@@ -1,0 +1,97 @@
+"""Model / training configuration dataclasses.
+
+The five named configs mirror the driver's benchmark workloads
+(BASELINE.json `configs`, lines 7-13), which bound the capability set of the
+unreadable reference (SURVEY.md §A).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TransducerConfig:
+    """Architecture of encoder + prediction network + joint."""
+
+    # frontend / input
+    input_dim: int = 80  # log-mel bins
+    # encoder
+    enc_layers: int = 2
+    enc_hidden: int = 256
+    bidirectional: bool = False
+    time_reduction: int = 1  # frame-stacking factor applied after layer 0
+    # prediction network
+    pred_layers: int = 1
+    pred_hidden: int = 256
+    embed_dim: int = 256
+    # joint
+    joint_dim: int = 256
+    vocab_size: int = 64  # including blank
+    blank: int = 0
+    # numerics
+    compute_dtype: str = "bfloat16"  # matmul dtype; params/cell state fp32
+
+    @property
+    def enc_out_dim(self) -> int:
+        return self.enc_hidden * (2 if self.bidirectional else 1)
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 5.0
+    warmup_steps: int = 500
+    total_steps: int = 100_000
+    seed: int = 0
+    # data-parallel mesh axis size (1 = single chip)
+    data_parallel: int = 1
+    # bucketing: (max_frames, max_labels) per bucket
+    buckets: tuple[tuple[int, int], ...] = ((400, 50), (800, 100), (1600, 200))
+
+
+# --- The five driver benchmark configs (BASELINE.json configs[0..4]) ------
+
+def config_greedy_smoke() -> TransducerConfig:
+    """configs[0]: 2x256 LSTM encoder + 1x256 prediction net, 80-dim log-mel."""
+    return TransducerConfig(enc_layers=2, enc_hidden=256, pred_layers=1,
+                            pred_hidden=256, embed_dim=256, joint_dim=256,
+                            vocab_size=64)
+
+
+def config_timit() -> TransducerConfig:
+    """configs[1]: TIMIT phonemes — 3x320 BiLSTM encoder. 62 phones + blank."""
+    return TransducerConfig(enc_layers=3, enc_hidden=320, bidirectional=True,
+                            pred_layers=1, pred_hidden=320, embed_dim=320,
+                            joint_dim=320, vocab_size=63)
+
+
+def config_libri100() -> TransducerConfig:
+    """configs[2]: LibriSpeech train-clean-100 — 4x512 LSTM encoder."""
+    return TransducerConfig(enc_layers=4, enc_hidden=512, pred_layers=1,
+                            pred_hidden=512, embed_dim=512, joint_dim=512,
+                            vocab_size=1024, time_reduction=2)
+
+
+def config_libri960() -> TransducerConfig:
+    """configs[4]: LibriSpeech 960h — 6x1024 encoder, char vocab (~30)."""
+    return TransducerConfig(enc_layers=6, enc_hidden=1024, pred_layers=2,
+                            pred_hidden=1024, embed_dim=512, joint_dim=1024,
+                            vocab_size=32, time_reduction=2)
+
+
+NAMED_CONFIGS = {
+    "greedy_smoke": config_greedy_smoke,
+    "timit": config_timit,
+    "libri100": config_libri100,
+    "libri960": config_libri960,
+}

@@ -1,0 +1,200 @@
+"""The Transducer model: encoder + prediction network + joint.
+
+Mirrors the reference's public API surface (`model forward` producing joint
+logits over the (T, U+1) lattice — SURVEY.md §A) as pure functions over an
+explicit parameter pytree. No module framework: plain dict pytrees keep
+pjit sharding annotations and Pallas kernel substitution trivial.
+
+Encoder: stacked uni/bi LSTM (optionally with time reduction by frame
+stacking after the first layer). Prediction network: embedding + stacked
+LSTM over blank-prefixed labels. Joint: additive projection + tanh -> vocab
+logits, computed in fp32 for parity (BASELINE.json: "logits ... to fp32
+tolerance").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from rnn_transducer_tpu.models.config import TransducerConfig
+from rnn_transducer_tpu.ops.lstm import (
+    bilstm_layer,
+    init_lstm_params,
+    lstm_cell,
+    lstm_layer,
+    mask_padding,
+)
+
+Params = dict[str, Any]
+
+
+def _init_linear(key, in_dim, out_dim, dtype=jnp.float32):
+    k = 1.0 / math.sqrt(in_dim)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), dtype, -k, k),
+        "b": jax.random.uniform(kb, (out_dim,), dtype, -k, k),
+    }
+
+
+def init_params(key, cfg: TransducerConfig) -> Params:
+    keys = jax.random.split(key, 8)
+    # --- encoder ---
+    enc = []
+    in_dim = cfg.input_dim
+    ek = jax.random.split(keys[0], cfg.enc_layers * 2)
+    for i in range(cfg.enc_layers):
+        if cfg.bidirectional:
+            enc.append({
+                "fwd": init_lstm_params(ek[2 * i], in_dim, cfg.enc_hidden),
+                "bwd": init_lstm_params(ek[2 * i + 1], in_dim, cfg.enc_hidden),
+            })
+            in_dim = 2 * cfg.enc_hidden
+        else:
+            enc.append(init_lstm_params(ek[2 * i], in_dim, cfg.enc_hidden))
+            in_dim = cfg.enc_hidden
+        if i == 0 and cfg.time_reduction > 1:
+            in_dim *= cfg.time_reduction
+    # --- prediction network ---
+    embed_scale = 1.0
+    embed = jax.random.normal(keys[1], (cfg.vocab_size, cfg.embed_dim)) * embed_scale
+    pred = []
+    pk = jax.random.split(keys[2], cfg.pred_layers)
+    pin = cfg.embed_dim
+    for i in range(cfg.pred_layers):
+        pred.append(init_lstm_params(pk[i], pin, cfg.pred_hidden))
+        pin = cfg.pred_hidden
+    # --- joint ---
+    joint = {
+        "enc_proj": _init_linear(keys[3], cfg.enc_out_dim, cfg.joint_dim),
+        "pred_proj": _init_linear(keys[4], cfg.pred_hidden, cfg.joint_dim),
+        "out": _init_linear(keys[5], cfg.joint_dim, cfg.vocab_size),
+    }
+    return {"encoder": enc, "embed": embed, "predictor": pred, "joint": joint}
+
+
+def _time_reduce(x, lens, factor: int):
+    """Stack `factor` consecutive frames: (B, T, F) -> (B, T//factor, F*factor)."""
+    B, T, F = x.shape
+    T2 = T // factor
+    x = x[:, : T2 * factor, :].reshape(B, T2, F * factor)
+    lens = jnp.minimum((lens.astype(jnp.int32) + factor - 1) // factor, T2)
+    return x, lens
+
+
+def encode(params: Params, cfg: TransducerConfig, feats, feat_lens):
+    """feats: (B, T, input_dim) -> (enc_out (B, T', enc_out_dim), enc_lens)."""
+    x = mask_padding(feats.astype(jnp.float32), feat_lens)
+    lens = feat_lens
+    cd = cfg.cdtype
+    for i, layer in enumerate(params["encoder"]):
+        if cfg.bidirectional:
+            x = bilstm_layer(layer["fwd"], layer["bwd"], x, lens,
+                             compute_dtype=cd)
+        else:
+            x, _ = lstm_layer(layer, x, compute_dtype=cd)
+        x = mask_padding(x, lens)
+        if i == 0 and cfg.time_reduction > 1:
+            x, lens = _time_reduce(x, lens, cfg.time_reduction)
+    return x, lens
+
+
+def predict(params: Params, cfg: TransducerConfig, labels, *, h0c0=None):
+    """Prediction network over blank-prefixed labels.
+
+    labels: (B, U) -> outputs (B, U+1, pred_hidden): position u conditions on
+    labels[:u] (u=0 is the start symbol = blank embedding).
+    Returns (outputs, final_states) where final_states is a list of (h, c)
+    per layer (used by streaming/step-wise decoding).
+    """
+    B, U = labels.shape
+    bos = jnp.full((B, 1), cfg.blank, labels.dtype)
+    inp = jnp.concatenate([bos, labels], axis=1)  # (B, U+1)
+    x = params["embed"][inp]  # (B, U+1, E)
+    states = []
+    for layer in params["predictor"]:
+        x, st = lstm_layer(layer, x, compute_dtype=cfg.cdtype)
+        states.append(st)
+    return x, states
+
+
+def predict_step(params: Params, cfg: TransducerConfig, label, states):
+    """Single step of the prediction network (for decoding).
+
+    label: (B,) int32 (the last emitted label; blank id = start symbol).
+    states: list per layer of (h, c) each (B, H). Returns (out (B, H), states').
+    """
+    x = params["embed"][label]  # (B, E)
+    new_states = []
+    for layer, (h, c) in zip(params["predictor"], states):
+        x_proj = (
+            jnp.dot(x.astype(cfg.cdtype), layer["w_ih"].astype(cfg.cdtype),
+                    preferred_element_type=jnp.float32)
+            + layer["b"].astype(jnp.float32)
+        )
+        h, c = lstm_cell(layer, x_proj, h, c, cfg.cdtype)
+        new_states.append((h, c))
+        x = h
+    return x, new_states
+
+
+def init_pred_state(cfg: TransducerConfig, batch: int):
+    return [
+        (jnp.zeros((batch, cfg.pred_hidden), jnp.float32),
+         jnp.zeros((batch, cfg.pred_hidden), jnp.float32))
+        for _ in range(cfg.pred_layers)
+    ]
+
+
+def joint(params: Params, cfg: TransducerConfig, enc_out, pred_out):
+    """Joint network: broadcast-add over the (T, U+1) lattice -> fp32 logits.
+
+    enc_out: (B, T, De), pred_out: (B, U+1, Dp) -> logits (B, T, U+1, V).
+    The two input projections are computed once per side (O(T)+O(U) matmuls);
+    only the cheap broadcast add + tanh + output matmul runs on the full
+    lattice. fp32 logits for parity.
+    """
+    jp = params["joint"]
+    cd = cfg.cdtype
+    f = (jnp.dot(enc_out.astype(cd), jp["enc_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["enc_proj"]["b"].astype(jnp.float32))  # (B, T, J)
+    g = (jnp.dot(pred_out.astype(cd), jp["pred_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["pred_proj"]["b"].astype(jnp.float32))  # (B, U1, J)
+    z = jnp.tanh(f[:, :, None, :] + g[:, None, :, :])  # (B, T, U1, J)
+    logits = (jnp.dot(z.astype(cd), jp["out"]["w"].astype(cd),
+                      preferred_element_type=jnp.float32)
+              + jp["out"]["b"].astype(jnp.float32))
+    return logits  # fp32 (B, T, U1, V)
+
+
+def joint_step(params: Params, cfg: TransducerConfig, enc_t, pred_u):
+    """Joint for single (t, u) positions: enc_t (B, De), pred_u (B, Dp) -> (B, V)."""
+    jp = params["joint"]
+    cd = cfg.cdtype
+    f = (jnp.dot(enc_t.astype(cd), jp["enc_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["enc_proj"]["b"].astype(jnp.float32))
+    g = (jnp.dot(pred_u.astype(cd), jp["pred_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["pred_proj"]["b"].astype(jnp.float32))
+    z = jnp.tanh(f + g)
+    return (jnp.dot(z.astype(cd), jp["out"]["w"].astype(cd),
+                    preferred_element_type=jnp.float32)
+            + jp["out"]["b"].astype(jnp.float32))
+
+
+def forward(params: Params, cfg: TransducerConfig, feats, feat_lens, labels):
+    """Full model forward: features + labels -> joint logits over the lattice.
+
+    Mirrors the reference `Transducer.forward` API (SURVEY.md §3).
+    Returns (logits (B, T', U+1, V), enc_lens (B,)).
+    """
+    enc_out, enc_lens = encode(params, cfg, feats, feat_lens)
+    pred_out, _ = predict(params, cfg, labels)
+    return joint(params, cfg, enc_out, pred_out), enc_lens

@@ -16,4 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# sitecustomize.py (axon TPU plugin) imports jax at interpreter startup, so
+# jax has already snapshotted JAX_PLATFORMS=axon from the parent env; the
+# os.environ override above is too late for it. Backends initialize lazily,
+# so updating the live config here still wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
