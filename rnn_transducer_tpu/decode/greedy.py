@@ -1,0 +1,97 @@
+"""Batched greedy RNN-T decoding as a single on-device `lax.while_loop`.
+
+The reference decodes with a host-side Python loop per utterance
+(SURVEY.md §3 — the loop this rebuild moves on-device). Here the whole
+batch advances in lock-step inside one jitted `lax.while_loop`: each
+utterance keeps its own lattice cursor (t, u), prediction-network state and
+done flag; finished utterances are masked, not branched on, so shapes stay
+static and the loop compiles once per (B, T, U_max) bucket.
+
+Per iteration: gather each utterance's current encoder frame, run one
+joint evaluation, emit argmax or advance time. Worst-case iteration count
+is T + U_max (each step advances t or u for every live utterance).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rnn_transducer_tpu.models import transducer as m
+from rnn_transducer_tpu.models.config import TransducerConfig
+
+
+def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
+                  max_symbols: int = 200):
+    """Greedy decode a batch of encoded utterances.
+
+    Args:
+      enc_out: (B, T, De) encoder outputs. enc_lens: (B,) valid frames.
+      max_symbols: static cap on emitted labels per utterance.
+
+    Returns:
+      tokens: (B, max_symbols) int32, blank-padded.
+      lengths: (B,) number of emitted labels.
+    """
+    B, T, _ = enc_out.shape
+    enc_lens = enc_lens.astype(jnp.int32)
+
+    pred0, states0 = _pred_step(params, cfg,
+                                jnp.full((B,), cfg.blank, jnp.int32),
+                                m.init_pred_state(cfg, B))
+
+    def cond(carry):
+        t, u, done, *_ = carry
+        return jnp.any(~done)
+
+    def body(carry):
+        t, u, done, tokens, pred_out, states = carry
+        # Current encoder frame per utterance (clamped gather keeps it safe).
+        t_safe = jnp.minimum(t, enc_lens - 1)
+        enc_t = jnp.take_along_axis(enc_out, t_safe[:, None, None], axis=1)[:, 0]
+        logits = m.joint_step(params, cfg, enc_t, pred_out)  # (B, V)
+        k = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        advance_t = (k == cfg.blank) | done
+        emit = ~advance_t
+        # Emit: write token at position u, bump u, step the predictor.
+        tokens = _masked_scatter(tokens, u, k, emit)
+        new_pred, new_states = _pred_step(params, cfg,
+                                          jnp.where(emit, k, cfg.blank),
+                                          states)
+        pred_out = jnp.where(emit[:, None], new_pred, pred_out)
+        states = jax.tree.map(
+            lambda new, old: jnp.where(
+                emit.reshape((B,) + (1,) * (new.ndim - 1)), new, old),
+            new_states, states)
+        u = u + emit.astype(jnp.int32)
+        t = t + advance_t.astype(jnp.int32)
+        done = (t >= enc_lens) | (u >= max_symbols)
+        return (t, u, done, tokens, pred_out, states)
+
+    t0 = jnp.zeros((B,), jnp.int32)
+    u0 = jnp.zeros((B,), jnp.int32)
+    done0 = t0 >= enc_lens
+    tokens0 = jnp.full((B, max_symbols), cfg.blank, jnp.int32)
+    carry = jax.lax.while_loop(
+        cond, body, (t0, u0, done0, tokens0, pred0, states0))
+    _, u, _, tokens, _, _ = carry
+    return tokens, u
+
+
+def _pred_step(params, cfg, label, states):
+    return m.predict_step(params, cfg, label, states)
+
+
+def _masked_scatter(tokens, u, k, emit):
+    """tokens[b, u[b]] = k[b] where emit[b]."""
+    B, U = tokens.shape
+    one_hot = jax.nn.one_hot(u, U, dtype=jnp.bool_)  # (B, U)
+    write = one_hot & emit[:, None]
+    return jnp.where(write, k[:, None], tokens)
+
+
+def recognize_greedy(params, cfg: TransducerConfig, feats, feat_lens,
+                     max_symbols: int = 200):
+    """Features -> label sequences (mirrors the reference `recognize` API)."""
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
+    return greedy_decode(params, cfg, enc_out, enc_lens, max_symbols)

@@ -1,0 +1,105 @@
+"""Training loop: jitted update step, optax optimizer, DP sharding.
+
+Replaces the reference's `train.py` epoch script (SURVEY.md §3) with a
+TPU-native design: one jitted `train_step` (forward + RNN-T loss + backward
++ Adam update) compiled per bucket shape; parameters replicated and batches
+sharded over the "data" mesh axis so the gradient all-reduce rides ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rnn_transducer_tpu.models import transducer as m
+from rnn_transducer_tpu.models.config import TrainConfig, TransducerConfig
+from rnn_transducer_tpu.ops.rnnt_loss import rnnt_loss
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("params", "opt_state", "step"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=tcfg.learning_rate,
+        warmup_steps=tcfg.warmup_steps,
+        decay_steps=max(tcfg.total_steps, tcfg.warmup_steps + 1),
+        end_value=tcfg.learning_rate * 0.05,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip_norm),
+        optax.adamw(schedule, weight_decay=tcfg.weight_decay),
+    )
+
+
+def init_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig) -> TrainState:
+    params = m.init_params(key, cfg)
+    tx = make_optimizer(tcfg)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
+            label_lens):
+    """Batch-mean RNN-T loss; per-utterance losses also returned."""
+    logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels)
+    per_utt = rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank)
+    return jnp.mean(per_utt), per_utt
+
+
+def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None):
+    """Build the jitted update step. With a mesh, batches are sharded over
+    the "data" axis and params/opt state replicated (XLA inserts the
+    gradient all-reduce)."""
+    tx = make_optimizer(tcfg)
+
+    def step_fn(state: TrainState, feats, feat_lens, labels, label_lens):
+        (loss, per_utt), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, cfg, feats, feat_lens, labels, label_lens),
+            has_aux=True,
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    state_sh = TrainState(params=repl, opt_state=repl, step=repl)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, data, data, data, data),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: TransducerConfig):
+    @jax.jit
+    def eval_fn(params, feats, feat_lens, labels, label_lens):
+        loss, per_utt = loss_fn(params, cfg, feats, feat_lens, labels,
+                                label_lens)
+        return loss, per_utt
+    return eval_fn

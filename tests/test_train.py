@@ -1,0 +1,124 @@
+"""Training loop: convergence on a learnable task, DP-sharding equivalence,
+bucketing, checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rnn_transducer_tpu.data.bucketing import bucket_stream
+from rnn_transducer_tpu.data.synthetic import learnable_batch, random_batch
+from rnn_transducer_tpu.decode.greedy import recognize_greedy
+from rnn_transducer_tpu.decode.metrics import error_rate, tokens_to_lists
+from rnn_transducer_tpu.models.config import TrainConfig, TransducerConfig
+from rnn_transducer_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from rnn_transducer_tpu.train.loop import (
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _tiny_cfg(vocab=8):
+    return TransducerConfig(enc_layers=1, enc_hidden=32, pred_layers=1,
+                            pred_hidden=32, embed_dim=16, joint_dim=32,
+                            vocab_size=vocab, input_dim=8,
+                            compute_dtype="float32")
+
+
+def test_loss_decreases_and_decodes_labels():
+    cfg = _tiny_cfg()
+    tcfg = TrainConfig(batch_size=8, learning_rate=3e-3, warmup_steps=10,
+                       total_steps=300, grad_clip_norm=5.0)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = make_train_step(cfg, tcfg)
+    rng = np.random.default_rng(0)
+    first_loss = None
+    for i in range(220):
+        feats, fl, labels, ll = learnable_batch(rng, tcfg.batch_size,
+                                                n_labels=3, input_dim=8,
+                                                vocab=cfg.vocab_size,
+                                                frames_per_label=2)
+        state, info = step(state, jnp.asarray(feats), jnp.asarray(fl),
+                           jnp.asarray(labels), jnp.asarray(ll))
+        if first_loss is None:
+            first_loss = float(info["loss"])
+    last_loss = float(info["loss"])
+    assert last_loss < first_loss * 0.35, (first_loss, last_loss)
+
+    # Greedy decode must mostly recover the labels now.
+    feats, fl, labels, ll = learnable_batch(rng, 8, n_labels=3, input_dim=8,
+                                            vocab=cfg.vocab_size,
+                                            frames_per_label=2)
+    toks, lens = recognize_greedy(state.params, cfg, jnp.asarray(feats),
+                                  jnp.asarray(fl), max_symbols=6)
+    hyps = tokens_to_lists(toks, lens)
+    refs = tokens_to_lists(labels, ll)
+    assert error_rate(refs, hyps) < 0.5
+
+
+def test_data_parallel_matches_single_device():
+    cfg = _tiny_cfg()
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=5,
+                       total_steps=100)
+    rng = np.random.default_rng(1)
+    feats, fl, labels, ll = random_batch(rng, 8, 12, 4, cfg.input_dim,
+                                         cfg.vocab_size)
+    batch = tuple(jnp.asarray(x) for x in (feats, fl, labels, ll))
+
+    state1 = init_train_state(jax.random.PRNGKey(2), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    state1, info1 = step1(state1, *batch)
+
+    mesh = make_mesh(8)
+    state8 = init_train_state(jax.random.PRNGKey(2), cfg, tcfg)
+    state8 = jax.tree.map(lambda x: x, state8)  # fresh copy
+    from rnn_transducer_tpu.train.loop import TrainState
+    state8 = TrainState(params=replicate(mesh, state8.params),
+                        opt_state=replicate(mesh, state8.opt_state),
+                        step=replicate(mesh, state8.step))
+    step8 = make_train_step(cfg, tcfg, mesh=mesh)
+    sharded = shard_batch(mesh, batch)
+    state8, info8 = step8(state8, *sharded)
+
+    np.testing.assert_allclose(float(info8["loss"]), float(info1["loss"]),
+                               rtol=1e-5)
+    p1 = jax.tree.leaves(state1.params)
+    p8 = jax.tree.leaves(state8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_bucket_stream_shapes_and_drop_accounting():
+    rng = np.random.default_rng(2)
+    def gen():
+        for _ in range(40):
+            T = int(rng.integers(5, 30))
+            U = int(rng.integers(1, 8))
+            yield (rng.normal(size=(T, 4)).astype(np.float32),
+                   rng.integers(1, 9, size=U).astype(np.int32))
+    buckets = ((10, 4), (20, 8))
+    seen = set()
+    for feats, fl, labels, ll in bucket_stream(gen(), buckets, batch_size=4):
+        assert (feats.shape[1], labels.shape[1]) in buckets
+        assert feats.shape[0] == 4
+        assert np.all(fl <= feats.shape[1]) and np.all(ll <= labels.shape[1])
+        seen.add((feats.shape[1], labels.shape[1]))
+    assert seen  # at least one bucket produced batches
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import dataclasses
+    from rnn_transducer_tpu.train.checkpoint import (restore_checkpoint,
+                                                     save_checkpoint)
+    cfg = _tiny_cfg()
+    tcfg = TrainConfig(batch_size=4)
+    state = init_train_state(jax.random.PRNGKey(3), cfg, tcfg)
+    tree = dataclasses.asdict(state)
+    save_checkpoint(str(tmp_path / "ck"), 7, tree)
+    target = dataclasses.asdict(init_train_state(jax.random.PRNGKey(4), cfg, tcfg))
+    restored, step = restore_checkpoint(str(tmp_path / "ck"), target)
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
