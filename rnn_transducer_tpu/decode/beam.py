@@ -1,0 +1,189 @@
+"""Batched RNN-T beam search with prefix merging, fully on-device.
+
+The reference family implements Graves-2012-style beam search as a
+host-side Python loop over hypotheses (SURVEY.md §3) — inherently serial
+and per-utterance. This is a ground-up batched redesign (cf. the
+token-wise/batch-synchronous formulations in PAPERS.md): all B utterances
+and K beams advance frame-synchronously with static shapes, so the whole
+search jits into one `lax.fori_loop`.
+
+Per frame t, up to `expansions` label-emission rounds:
+  * every live hypothesis deposits its blank-transition ("move to frame
+    t+1") into a fixed-size candidate pool;
+  * label extensions are scored for all (beam, vocab) pairs at once and
+    pruned with one batched top-k over K*V;
+after the rounds, remaining live hypotheses are force-blanked into the
+pool (latency-controlled search, PAPERS.md: Improved Beam Search). The
+pool is then *prefix-merged*: candidates with identical label sequences —
+distinct alignment paths to the same prefix — have their scores
+logaddexp-combined via an all-pairs equality matrix (the prediction-network
+state is a function of the prefix alone, so merging states is exact).
+Top-K merged candidates become the next frame's beams.
+
+With `expansions` >= the true max symbols per frame this matches the
+sequential merged beam search exactly (verified against a literal host
+implementation in tests); small caps trade a tiny amount of search
+accuracy for a fixed iteration count, as in latency-controlled RNN-T.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rnn_transducer_tpu.models import transducer as m
+from rnn_transducer_tpu.models.config import TransducerConfig
+
+NEG_INF = -1.0e30
+
+
+def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
+                beam: int = 8, max_symbols: int = 200, expansions: int = 3):
+    """Beam-search decode a batch of encoded utterances.
+
+    Args:
+      enc_out: (B, T, De); enc_lens: (B,).
+      beam: beam width K. max_symbols: static cap on emitted labels.
+      expansions: max label emissions per frame before a forced blank.
+
+    Returns:
+      tokens: (B, K, max_symbols) int32 blank-padded, best beam first.
+      lengths: (B, K) int32.
+      scores: (B, K) f32 merged log-probabilities.
+    """
+    B, T, De = enc_out.shape
+    K, U = beam, max_symbols
+    enc_lens = enc_lens.astype(jnp.int32)
+    P = (expansions + 1) * K  # candidate pool per utterance per frame
+
+    def flat(x):  # (B, K, ...) -> (B*K, ...)
+        return x.reshape((B * K,) + x.shape[2:])
+
+    def unflat(x):
+        return x.reshape((B, K) + x.shape[1:])
+
+    # --- initial beams: beam 0 = empty prefix, others dead ----------------
+    tokens0 = jnp.full((B, K, U), cfg.blank, jnp.int32)
+    lens0 = jnp.zeros((B, K), jnp.int32)
+    scores0 = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    pred0, states0 = m.predict_step(
+        params, cfg, jnp.full((B * K,), cfg.blank, jnp.int32),
+        m.init_pred_state(cfg, B * K))
+    pred0 = unflat(pred0)
+    states0 = jax.tree.map(unflat, states0)
+
+    def frame_step(t, carry):
+        tokens, lens, scores, pred_out, states = carry
+        enc_t = jnp.take_along_axis(
+            enc_out, jnp.minimum(t, enc_lens - 1)[:, None, None], axis=1
+        )[:, 0]  # (B, De)
+        enc_tk = jnp.repeat(enc_t, K, axis=0)  # (B*K, De) beam-broadcast
+
+        # Fixed-size candidate pool (filled round by round).
+        pool_tokens = jnp.zeros((B, P, U), jnp.int32)
+        pool_lens = jnp.zeros((B, P), jnp.int32)
+        pool_scores = jnp.full((B, P), NEG_INF, jnp.float32)
+        pool_pred = jnp.zeros((B, P) + pred_out.shape[2:], pred_out.dtype)
+        pool_states = jax.tree.map(
+            lambda s: jnp.zeros((B, P) + s.shape[2:], s.dtype), states)
+
+        live = (tokens, lens, scores, pred_out, states)
+        pool = (pool_tokens, pool_lens, pool_scores, pool_pred, pool_states)
+
+        def deposit(pool, live, e, live_scores_as):
+            """Write the live set's blank-finalization into pool slots [eK, (e+1)K)."""
+            (p_tok, p_len, p_sc, p_pr, p_st) = pool
+            (l_tok, l_len, _, l_pr, l_st) = live
+            sl = slice(e * K, (e + 1) * K)
+            p_tok = p_tok.at[:, sl].set(l_tok)
+            p_len = p_len.at[:, sl].set(l_len)
+            p_sc = p_sc.at[:, sl].set(live_scores_as)
+            p_pr = p_pr.at[:, sl].set(l_pr)
+            p_st = jax.tree.map(lambda p, l: p.at[:, sl].set(l), p_st, l_st)
+            return (p_tok, p_len, p_sc, p_pr, p_st)
+
+        for e in range(expansions + 1):
+            tokens, lens, scores, pred_out, states = live
+            logits = m.joint_step(params, cfg, enc_tk, flat(pred_out))
+            lp = jax.nn.log_softmax(logits, axis=-1)  # (B*K, V)
+            lp = unflat(lp)  # (B, K, V)
+            blank_sc = scores + lp[:, :, cfg.blank]
+            pool = deposit(pool, live, e, blank_sc)
+            if e == expansions:
+                break  # final round: forced blank only
+            # --- label extensions, one top-k over K*V per utterance -------
+            V = lp.shape[-1]
+            ext = scores[:, :, None] + lp  # (B, K, V)
+            ext = ext.at[:, :, cfg.blank].set(NEG_INF)
+            ext = jnp.where((lens >= U)[:, :, None], NEG_INF, ext)
+            top_sc, top_idx = jax.lax.top_k(ext.reshape(B, K * V), K)
+            src = top_idx // V  # (B, K) source beam
+            lab = (top_idx % V).astype(jnp.int32)
+            g_tok = jnp.take_along_axis(tokens, src[:, :, None], axis=1)
+            g_len = jnp.take_along_axis(lens, src, axis=1)
+            # append label at position g_len
+            write = jax.nn.one_hot(g_len, U, dtype=jnp.bool_)  # (B, K, U)
+            g_tok = jnp.where(write, lab[:, :, None], g_tok)
+            g_states = jax.tree.map(
+                lambda s: jnp.take_along_axis(
+                    s, src.reshape(src.shape + (1,) * (s.ndim - 2)), axis=1),
+                states)
+            new_pred, new_states = m.predict_step(
+                params, cfg, flat(lab), jax.tree.map(flat, g_states))
+            live = (g_tok, jnp.minimum(g_len + 1, U), top_sc,
+                    unflat(new_pred), jax.tree.map(unflat, new_states))
+
+        # --- prefix merge over the pool --------------------------------
+        p_tok, p_len, p_sc, p_pr, p_st = pool
+        same_len = p_len[:, :, None] == p_len[:, None, :]
+        same_tok = jnp.all(p_tok[:, :, None, :] == p_tok[:, None, :, :],
+                           axis=-1)
+        eq = same_len & same_tok  # (B, P, P)
+        # logsumexp of scores over each equivalence class
+        sc_b = jnp.where(eq, p_sc[:, None, :], NEG_INF)  # (B, P, P)
+        mx = jnp.max(sc_b, axis=-1)
+        merged = mx + jnp.log(
+            jnp.sum(jnp.exp(sc_b - mx[:, :, None]), axis=-1))
+        merged = jnp.where(mx <= NEG_INF * 0.5, NEG_INF, merged)
+        # keep one canonical representative per class (the lowest index)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (B, P, P), 2)
+        first = jnp.min(jnp.where(eq, idx, P), axis=-1)
+        me = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+        merged = jnp.where(first == me, merged, NEG_INF)
+
+        top_sc, top_i = jax.lax.top_k(merged, K)  # (B, K)
+        n_tok = jnp.take_along_axis(p_tok, top_i[:, :, None], axis=1)
+        n_len = jnp.take_along_axis(p_len, top_i, axis=1)
+        n_pr = jnp.take_along_axis(
+            p_pr, top_i.reshape(top_i.shape + (1,) * (p_pr.ndim - 2)), axis=1)
+        n_st = jax.tree.map(
+            lambda s: jnp.take_along_axis(
+                s, top_i.reshape(top_i.shape + (1,) * (s.ndim - 2)), axis=1),
+            p_st)
+
+        # frames past enc_len leave the carry untouched
+        active = (t < enc_lens).reshape((B,) + (1,) * 1)
+        pick = lambda new, old: jnp.where(
+            active.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+        (tokens, lens, scores, pred_out, states) = carry
+        return (pick(n_tok, tokens), pick(n_len, lens), pick(top_sc, scores),
+                pick(n_pr, pred_out),
+                jax.tree.map(pick, n_st, states))
+
+    carry = (tokens0, lens0, scores0, pred0, states0)
+    tokens, lens, scores, _, _ = jax.lax.fori_loop(0, T, frame_step, carry)
+    # sort beams by score descending
+    order = jnp.argsort(-scores, axis=-1)
+    tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+    lens = jnp.take_along_axis(lens, order, axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    return tokens, lens, scores
+
+
+def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
+                   beam: int = 8, max_symbols: int = 200,
+                   expansions: int = 3):
+    """Features -> N-best label sequences (reference `beam_search` API)."""
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
+    return beam_search(params, cfg, enc_out, enc_lens, beam=beam,
+                       max_symbols=max_symbols, expansions=expansions)
