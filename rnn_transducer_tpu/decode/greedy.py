@@ -22,23 +22,33 @@ from rnn_transducer_tpu.models.config import TransducerConfig
 
 
 def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
-                  max_symbols: int = 200):
+                  max_symbols: int = 200, decode_state=None):
     """Greedy decode a batch of encoded utterances.
 
     Args:
       enc_out: (B, T, De) encoder outputs. enc_lens: (B,) valid frames.
       max_symbols: static cap on emitted labels per utterance.
+      decode_state: optional carried decoder state from a previous chunk
+        (streaming): (u0, tokens0, pred_out, pred_states) as returned in
+        the third output. None = fresh utterance.
 
     Returns:
       tokens: (B, max_symbols) int32, blank-padded.
       lengths: (B,) number of emitted labels.
+      decode_state: carry for the next chunk.
     """
     B, T, _ = enc_out.shape
     enc_lens = enc_lens.astype(jnp.int32)
 
-    pred0, states0 = _pred_step(params, cfg,
-                                jnp.full((B,), cfg.blank, jnp.int32),
-                                m.init_pred_state(cfg, B))
+    if decode_state is None:
+        pred0, states0 = _pred_step(params, cfg,
+                                    jnp.full((B,), cfg.blank, jnp.int32),
+                                    m.init_pred_state(cfg, B))
+        u_init = jnp.zeros((B,), jnp.int32)
+        tokens_init = jnp.full((B, max_symbols), cfg.blank, jnp.int32)
+    else:
+        u_init, tokens_init, pred0, states0 = decode_state
+        assert tokens_init.shape == (B, max_symbols)
 
     def cond(carry):
         t, u, done, *_ = carry
@@ -69,13 +79,11 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         return (t, u, done, tokens, pred_out, states)
 
     t0 = jnp.zeros((B,), jnp.int32)
-    u0 = jnp.zeros((B,), jnp.int32)
-    done0 = t0 >= enc_lens
-    tokens0 = jnp.full((B, max_symbols), cfg.blank, jnp.int32)
+    done0 = (t0 >= enc_lens) | (u_init >= max_symbols)
     carry = jax.lax.while_loop(
-        cond, body, (t0, u0, done0, tokens0, pred0, states0))
-    _, u, _, tokens, _, _ = carry
-    return tokens, u
+        cond, body, (t0, u_init, done0, tokens_init, pred0, states0))
+    _, u, _, tokens, pred_out, states = carry
+    return tokens, u, (u, tokens, pred_out, states)
 
 
 def _pred_step(params, cfg, label, states):
@@ -94,4 +102,6 @@ def recognize_greedy(params, cfg: TransducerConfig, feats, feat_lens,
                      max_symbols: int = 200):
     """Features -> label sequences (mirrors the reference `recognize` API)."""
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
-    return greedy_decode(params, cfg, enc_out, enc_lens, max_symbols)
+    tokens, lens, _ = greedy_decode(params, cfg, enc_out, enc_lens,
+                                    max_symbols)
+    return tokens, lens

@@ -1,0 +1,90 @@
+"""Streaming chunked inference (BASELINE.json configs[4]).
+
+The utterance arrives in fixed-size chunks of frames; encoder LSTM state,
+prediction-network state and the emitted-token buffer are carried across
+chunks, so the transcript is available incrementally with chunk-level
+latency. Each chunk runs the same jitted encoder step + greedy while_loop
+used for offline decoding — one compile, reused for every chunk.
+
+Requires a unidirectional encoder (the 960h streaming config); chunk size
+must be a multiple of the encoder's time_reduction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from rnn_transducer_tpu.decode.greedy import greedy_decode
+from rnn_transducer_tpu.models import transducer as m
+from rnn_transducer_tpu.models.config import TransducerConfig
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("enc_state", "decode_state"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class StreamState:
+    enc_state: Any  # encoder per-layer (h, c)
+    decode_state: Any  # (u, tokens, pred_out, pred_states)
+
+
+def init_stream(params, cfg: TransducerConfig, batch: int,
+                max_symbols: int = 200) -> StreamState:
+    enc_state = m.init_enc_state(cfg, batch)
+    pred0, states0 = m.predict_step(
+        params, cfg, jnp.full((batch,), cfg.blank, jnp.int32),
+        m.init_pred_state(cfg, batch))
+    decode_state = (
+        jnp.zeros((batch,), jnp.int32),
+        jnp.full((batch, max_symbols), cfg.blank, jnp.int32),
+        pred0,
+        states0,
+    )
+    return StreamState(enc_state=enc_state, decode_state=decode_state)
+
+
+def stream_chunk(params, cfg: TransducerConfig, state: StreamState,
+                 feats_chunk, chunk_lens, max_symbols: int = 200):
+    """Feed one chunk; returns (state', tokens (B, max_symbols), lens (B,)).
+
+    tokens/lens reflect the FULL transcript so far (cumulative).
+    """
+    enc_out, enc_lens, enc_state = m.encode_chunk(
+        params, cfg, feats_chunk, chunk_lens, state.enc_state)
+    tokens, lens, decode_state = greedy_decode(
+        params, cfg, enc_out, enc_lens, max_symbols=max_symbols,
+        decode_state=state.decode_state)
+    return StreamState(enc_state=enc_state, decode_state=decode_state), \
+        tokens, lens
+
+
+def stream_transcribe(params, cfg: TransducerConfig, feats, feat_lens,
+                      chunk_frames: int, max_symbols: int = 200):
+    """Convenience: run a whole padded batch through the streaming path.
+
+    Pads T to a multiple of chunk_frames and feeds chunks sequentially.
+    Returns (tokens, lens) identical in layout to recognize_greedy.
+    """
+    B, T, F = feats.shape
+    n_chunks = -(-T // chunk_frames)
+    pad = n_chunks * chunk_frames - T
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    state = init_stream(params, cfg, B, max_symbols)
+    tokens = None
+    lens = None
+    step = jax.jit(functools.partial(stream_chunk, params, cfg,
+                                     max_symbols=max_symbols))
+    for i in range(n_chunks):
+        sl = feats[:, i * chunk_frames: (i + 1) * chunk_frames]
+        cl = jnp.clip(feat_lens.astype(jnp.int32) - i * chunk_frames, 0,
+                      chunk_frames)
+        state, tokens, lens = step(state, sl, cl)
+    return tokens, lens

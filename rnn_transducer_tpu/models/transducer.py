@@ -103,6 +103,44 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens):
     return x, lens
 
 
+def init_enc_state(cfg: TransducerConfig, batch: int):
+    """Per-layer (h, c) carry for streaming unidirectional encoders."""
+    assert not cfg.bidirectional, "streaming requires a unidirectional encoder"
+    return [
+        (jnp.zeros((batch, cfg.enc_hidden), jnp.float32),
+         jnp.zeros((batch, cfg.enc_hidden), jnp.float32))
+        for _ in range(cfg.enc_layers)
+    ]
+
+
+def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
+                 enc_state):
+    """Streaming encoder step: one chunk of frames with carried LSTM state.
+
+    feats: (B, C, input_dim) with C % time_reduction == 0. Only the final
+    chunk of an utterance may be partially valid (chunk_lens < C): LSTM
+    state past chunk_lens is garbage, which is harmless once the stream
+    ends there. Returns (enc_out (B, C', De), enc_lens', new_enc_state).
+    """
+    assert not cfg.bidirectional, "streaming requires a unidirectional encoder"
+    C = feats.shape[1]
+    if cfg.time_reduction > 1:
+        assert C % cfg.time_reduction == 0, (
+            f"chunk frames {C} must be divisible by time_reduction "
+            f"{cfg.time_reduction}")
+    x = mask_padding(feats.astype(jnp.float32), chunk_lens)
+    lens = chunk_lens
+    new_state = []
+    for i, (layer, (h0, c0)) in enumerate(
+            zip(params["encoder"], enc_state)):
+        x, (h, c) = lstm_layer(layer, x, h0, c0, compute_dtype=cfg.cdtype)
+        new_state.append((h, c))
+        x = mask_padding(x, lens)
+        if i == 0 and cfg.time_reduction > 1:
+            x, lens = _time_reduce(x, lens, cfg.time_reduction)
+    return x, lens, new_state
+
+
 def predict(params: Params, cfg: TransducerConfig, labels, *, h0c0=None):
     """Prediction network over blank-prefixed labels.
 

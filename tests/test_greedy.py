@@ -43,7 +43,7 @@ def test_device_greedy_matches_host_loop():
     feats = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)), jnp.float32)
     feat_lens = jnp.asarray(np.array([15, 11, 7, 15], np.int32))
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
-    tokens, lens = jax.jit(
+    tokens, lens, _ = jax.jit(
         lambda e, el: greedy_decode(params, cfg, e, el, max_symbols=20)
     )(enc_out, enc_lens)
     tokens, lens = np.asarray(tokens), np.asarray(lens)
