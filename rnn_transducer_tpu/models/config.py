@@ -53,6 +53,8 @@ class TrainConfig:
     warmup_steps: int = 500
     total_steps: int = 100_000
     seed: int = 0
+    # RNN-T loss kernel: "auto" (Pallas on TPU, XLA elsewhere), "pallas", "xla"
+    loss_impl: str = "auto"
     # data-parallel mesh axis size (1 = single chip)
     data_parallel: int = 1
     # bucketing: (max_frames, max_labels) per bucket

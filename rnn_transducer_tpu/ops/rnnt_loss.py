@@ -121,7 +121,7 @@ def _alpha_scan(lp_blank_m, lp_y_m):
         jnp.moveaxis(lp_blank_m[:, :-1, :], 1, 0),  # (T-1, B, U1)
         jnp.moveaxis(lp_y_m[:, 1:, :], 1, 0),
     )
-    _, rows = jax.lax.scan(step, row0, xs)
+    _, rows = jax.lax.scan(step, row0, xs, unroll=8)
     alpha = jnp.concatenate([row0[None], rows], axis=0)  # (T, B, U1)
     return jnp.moveaxis(alpha, 0, 1)  # (B, T, U1)
 
@@ -160,7 +160,7 @@ def _beta_scan(lp_blank_m, lp_y_m, accept):
         jnp.moveaxis(accept, 1, 0),
     )
     init = jnp.full((B, U1), NEG_INF, lp_blank_m.dtype)
-    _, rows = jax.lax.scan(step, init, xs, reverse=True)
+    _, rows = jax.lax.scan(step, init, xs, reverse=True, unroll=8)
     return jnp.moveaxis(rows, 0, 1)  # (B, T, U1)
 
 
@@ -179,17 +179,59 @@ def _prepare(logits, labels, frame_lens, label_lens, blank):
     return log_probs, lp_blank, lp_y, lp_blank_m, lp_y_m, accept
 
 
-def _forward(logits, labels, frame_lens, label_lens, blank):
-    _, lp_blank, _, lp_blank_m, lp_y_m, _ = _prepare(
-        logits, labels, frame_lens, label_lens, blank
-    )
-    alpha = _alpha_scan(lp_blank_m, lp_y_m)
+def _accept_scores(lp_blank, frame_lens, label_lens):
+    """The acceptance (terminal blank) score injected at (t_len-1, u_len)."""
     B, T, U1 = lp_blank.shape
+    t_ids = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    u_ids = jnp.arange(U1, dtype=jnp.int32)[None, None, :]
+    is_terminal = (t_ids == frame_lens.astype(jnp.int32)[:, None, None] - 1) & (
+        u_ids == label_lens.astype(jnp.int32)[:, None, None]
+    )
+    return jnp.where(is_terminal, lp_blank, NEG_INF)
+
+
+def forward_from_lp(lp_blank, lp_y, frame_lens, label_lens):
+    """Loss from pre-extracted blank/label log-probs (B, T, U1)."""
+    lp_blank_m, lp_y_m = _masked_transitions(lp_blank, lp_y, frame_lens,
+                                             label_lens)
+    alpha = _alpha_scan(lp_blank_m, lp_y_m)
+    B = lp_blank.shape[0]
     b_idx = jnp.arange(B)
     t_last = frame_lens.astype(jnp.int32) - 1
     u_last = label_lens.astype(jnp.int32)
     log_z = alpha[b_idx, t_last, u_last] + lp_blank[b_idx, t_last, u_last]
     return -log_z
+
+
+def occupancies_from_lp(lp_blank, lp_y, frame_lens, label_lens):
+    """Blank/emit arc posteriors g_blank, g_y: (B, T, U1) each.
+
+    d(-logZ)/d lp_blank = -g_blank; d(-logZ)/d lp_y = -g_y.
+    """
+    lp_blank_m, lp_y_m = _masked_transitions(lp_blank, lp_y, frame_lens,
+                                             label_lens)
+    accept = _accept_scores(lp_blank, frame_lens, label_lens)
+    alpha = _alpha_scan(lp_blank_m, lp_y_m)
+    beta = _beta_scan(lp_blank_m, lp_y_m, accept)
+    B, T, U1 = lp_blank.shape
+    log_z = beta[:, 0, 0]
+    beta_down = jnp.concatenate(
+        [beta[:, 1:, :], jnp.full((B, 1, U1), NEG_INF, beta.dtype)], axis=1
+    )
+    arc_blank = _logaddexp(lp_blank_m + beta_down, accept)
+    g_blank = jnp.exp(alpha + arc_blank - log_z[:, None, None])
+    beta_right = jnp.concatenate(
+        [beta[:, :, 1:], jnp.full((B, T, 1), NEG_INF, beta.dtype)], axis=2
+    )
+    g_y = jnp.exp(alpha + lp_y_m + beta_right - log_z[:, None, None])
+    return g_blank, g_y
+
+
+def _forward(logits, labels, frame_lens, label_lens, blank):
+    _, lp_blank, lp_y, *_ = _prepare(
+        logits, labels, frame_lens, label_lens, blank
+    )
+    return forward_from_lp(lp_blank, lp_y, frame_lens, label_lens)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -218,26 +260,11 @@ def _fwd(logits, labels, frame_lens, label_lens, blank):
 
 def _bwd(blank, res, g):
     logits, labels, frame_lens, label_lens = res
-    log_probs, lp_blank, lp_y, lp_blank_m, lp_y_m, accept = _prepare(
+    log_probs, lp_blank, lp_y, *_ = _prepare(
         logits, labels, frame_lens, label_lens, blank
     )
-    alpha = _alpha_scan(lp_blank_m, lp_y_m)
-    beta = _beta_scan(lp_blank_m, lp_y_m, accept)
+    g_blank, g_y = occupancies_from_lp(lp_blank, lp_y, frame_lens, label_lens)
     B, T, U1, V = log_probs.shape
-    log_z = beta[:, 0, 0]  # == alpha-side gather; beta[0,0] = log P(y|x)
-
-    # Occupancy of the blank arc out of (t, u): interior move to (t+1, u)
-    # plus the acceptance arc at the terminal cell.
-    beta_down = jnp.concatenate(
-        [beta[:, 1:, :], jnp.full((B, 1, U1), NEG_INF, beta.dtype)], axis=1
-    )
-    arc_blank = _logaddexp(lp_blank_m + beta_down, accept)
-    g_blank = jnp.exp(alpha + arc_blank - log_z[:, None, None])
-    # Occupancy of the emit arc out of (t, u) to (t, u+1).
-    beta_right = jnp.concatenate(
-        [beta[:, :, 1:], jnp.full((B, T, 1), NEG_INF, beta.dtype)], axis=2
-    )
-    g_y = jnp.exp(alpha + lp_y_m + beta_right - log_z[:, None, None])
 
     # d(-logZ)/d logits[t,u,v] = p_v * (g_blank + g_y) - onehot contributions.
     occ = g_blank + g_y  # (B, T, U1)

@@ -19,6 +19,16 @@ import optax
 from rnn_transducer_tpu.models import transducer as m
 from rnn_transducer_tpu.models.config import TrainConfig, TransducerConfig
 from rnn_transducer_tpu.ops.rnnt_loss import rnnt_loss
+from rnn_transducer_tpu.ops.rnnt_loss_pallas import rnnt_loss_pallas
+
+
+def select_rnnt_loss(impl: str = "auto"):
+    """Pick the loss kernel: Pallas on TPU, pure-XLA elsewhere (or forced)."""
+    if impl == "pallas":
+        return rnnt_loss_pallas
+    if impl == "xla":
+        return rnnt_loss
+    return rnnt_loss_pallas if jax.default_backend() == "tpu" else rnnt_loss
 
 
 @functools.partial(
@@ -55,10 +65,11 @@ def init_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig) -> TrainStat
 
 
 def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
-            label_lens):
+            label_lens, loss_impl: str = "auto"):
     """Batch-mean RNN-T loss; per-utterance losses also returned."""
     logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels)
-    per_utt = rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank)
+    per_utt = select_rnnt_loss(loss_impl)(logits, labels, enc_lens,
+                                          label_lens, cfg.blank)
     return jnp.mean(per_utt), per_utt
 
 
@@ -70,7 +81,8 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None):
 
     def step_fn(state: TrainState, feats, feat_lens, labels, label_lens):
         (loss, per_utt), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, feats, feat_lens, labels, label_lens),
+            lambda p: loss_fn(p, cfg, feats, feat_lens, labels, label_lens,
+                              tcfg.loss_impl),
             has_aux=True,
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
