@@ -1,0 +1,123 @@
+"""Decoding / evaluation CLI (mirrors the reference's eval.py / recognize).
+
+Examples:
+  python recognize.py --config smoke --mode greedy --data synthetic
+  python recognize.py --config libri100 --mode beam --beam 8 \
+      --data manifest:test.jsonl --ckpt-dir /tmp/ck
+
+Reports WER/PER, RTF and p50/p90 latency (BASELINE.json configs[3]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU RNN-T decoding + eval")
+    p.add_argument("--config", default="smoke")
+    p.add_argument("--data", default="synthetic")
+    p.add_argument("--mode", default="greedy",
+                   choices=["greedy", "beam", "streaming"])
+    p.add_argument("--beam", type=int, default=8)
+    p.add_argument("--expansions", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--max-symbols", type=int, default=100)
+    p.add_argument("--chunk-frames", type=int, default=32)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frame-hop-s", type=float, default=0.01,
+                   help="seconds of audio per encoder input frame (for RTF)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from train import get_model_config
+    from rnn_transducer_tpu.data.synthetic import learnable_batch
+    from rnn_transducer_tpu.decode.beam import recognize_beam
+    from rnn_transducer_tpu.decode.greedy import recognize_greedy
+    from rnn_transducer_tpu.decode.metrics import (RtfMeter, error_rate,
+                                                   tokens_to_lists)
+    from rnn_transducer_tpu.decode.streaming import stream_transcribe
+    from rnn_transducer_tpu.models import transducer as m
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.train import checkpoint as ckpt
+    from rnn_transducer_tpu.train.loop import TrainState, init_train_state
+
+    cfg = get_model_config(args.config)
+    state = init_train_state(jax.random.PRNGKey(args.seed), cfg, TrainConfig())
+    if args.ckpt_dir:
+        tree, step = ckpt.restore_checkpoint(args.ckpt_dir,
+                                             dataclasses.asdict(state))
+        state = TrainState(**tree)
+        print(f"loaded checkpoint step {step}", file=sys.stderr)
+    params = state.params
+
+    if args.mode == "greedy":
+        decode = jax.jit(lambda f, l: recognize_greedy(
+            params, cfg, f, l, max_symbols=args.max_symbols))
+    elif args.mode == "beam":
+        def decode(f, l):
+            toks, lens, _ = jax.jit(lambda f, l: recognize_beam(
+                params, cfg, f, l, beam=args.beam,
+                max_symbols=args.max_symbols,
+                expansions=args.expansions))(f, l)
+            return toks[:, 0], lens[:, 0]
+    else:
+        decode = lambda f, l: stream_transcribe(
+            params, cfg, f, l, chunk_frames=args.chunk_frames,
+            max_symbols=args.max_symbols)
+
+    if args.data.startswith("manifest:"):
+        from rnn_transducer_tpu.data.bucketing import bucket_stream
+        from rnn_transducer_tpu.data.manifest import manifest_examples
+        def batches():
+            yield from bucket_stream(
+                manifest_examples(args.data.split(":", 1)[1], cfg),
+                TrainConfig().buckets, args.batch_size, blank=cfg.blank)
+    else:
+        def batches():
+            rng = np.random.default_rng(args.seed + 1)
+            for _ in range(args.batches):
+                yield learnable_batch(rng, args.batch_size, n_labels=10,
+                                      input_dim=cfg.input_dim,
+                                      vocab=cfg.vocab_size, frames_per_label=4)
+
+    meter = RtfMeter()
+    refs, hyps = [], []
+    n_batches = 0
+    for feats, fl, labels, ll in batches():
+        f, l = jnp.asarray(feats), jnp.asarray(fl)
+        if n_batches == 0:  # compile outside the timed region
+            toks, lens = decode(f, l)
+            jax.block_until_ready(toks)
+        t0 = time.perf_counter()
+        toks, lens = decode(f, l)
+        toks, lens = np.asarray(toks), np.asarray(lens)  # forces completion
+        wall = time.perf_counter() - t0
+        audio_s = float(np.sum(fl)) * args.frame_hop_s
+        meter.add(wall, audio_s, n_utts=feats.shape[0])
+        hyps.extend(tokens_to_lists(toks, lens))
+        refs.extend(tokens_to_lists(labels, ll))
+        n_batches += 1
+    wer = error_rate(refs, hyps)
+    out = {"mode": args.mode, "wer": round(wer, 4), **{
+        k: round(v, 5) for k, v in meter.summary().items()}}
+    if args.mode == "beam":
+        out["beam"] = args.beam
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

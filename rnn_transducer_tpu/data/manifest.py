@@ -1,0 +1,65 @@
+"""JSONL-manifest dataset loader (TIMIT / LibriSpeech style).
+
+No corpora ship in this environment, so datasets are consumed through a
+manifest abstraction: one JSON object per line with either
+  {"feats": <npy path>,  "labels": [int, ...]}           (precomputed) or
+  {"audio": <raw f32 pcm path or .npy>, "labels": [...]} (frontend applied)
+Token ids follow the model config (blank = cfg.blank excluded from labels).
+
+`manifest_batches` streams examples through the length-bucketed batcher
+(fixed shapes, one XLA compile per bucket — data/bucketing.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from rnn_transducer_tpu.data.bucketing import bucket_stream
+
+
+def read_manifest(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+
+
+def load_example(rec, input_dim: int):
+    """Manifest record -> (feats (T, F) fp32, labels (U,) int32)."""
+    labels = np.asarray(rec["labels"], np.int32)
+    if "feats" in rec:
+        feats = np.load(rec["feats"]).astype(np.float32)
+    elif "audio" in rec:
+        import jax.numpy as jnp
+
+        from rnn_transducer_tpu.ops.logmel import log_mel
+        path = rec["audio"]
+        audio = (np.load(path) if path.endswith(".npy")
+                 else np.fromfile(path, np.float32))
+        f, fl = log_mel(jnp.asarray(audio[None]),
+                        jnp.asarray([len(audio)], np.int32),
+                        n_mels=input_dim)
+        feats = np.asarray(f[0, : int(fl[0])])
+    else:
+        raise ValueError(f"manifest record needs 'feats' or 'audio': {rec}")
+    if feats.shape[1] != input_dim:
+        raise ValueError(
+            f"feature dim {feats.shape[1]} != config input_dim {input_dim}")
+    return feats, labels
+
+
+def manifest_examples(path, cfg):
+    for rec in read_manifest(path):
+        yield load_example(rec, cfg.input_dim)
+
+
+def manifest_batches(path, cfg, tcfg, loop: bool = True):
+    """Infinite (by default) stream of bucketed, padded training batches."""
+    while True:
+        yield from bucket_stream(manifest_examples(path, cfg), tcfg.buckets,
+                                 tcfg.batch_size, blank=cfg.blank)
+        if not loop:
+            return

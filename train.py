@@ -1,0 +1,151 @@
+"""Training CLI (mirrors the reference's train.py entry point).
+
+Examples:
+  python train.py --config timit --steps 200 --batch-size 16
+  python train.py --config libri100 --data synthetic --ckpt-dir /tmp/ck
+  python train.py --config smoke   # tiny fast config for smoke tests
+
+Data: `--data synthetic` trains on the deterministic synthetic task (no
+corpora ship in this environment); `--data manifest:<path>` reads a JSONL
+manifest of {audio or feats, labels} records (see data/manifest.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU RNN-T training")
+    p.add_argument("--config", default="smoke",
+                   help="named config: smoke|greedy_smoke|timit|libri100|"
+                        "libri960, or a JSON file path")
+    p.add_argument("--data", default="synthetic",
+                   help="'synthetic' or 'manifest:<jsonl path>'")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup-steps", type=int, default=100)
+    p.add_argument("--grad-clip", type=float, default=5.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="mesh size; 0 = all local devices")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--max-frames", type=int, default=200)
+    p.add_argument("--max-labels", type=int, default=20)
+    p.add_argument("--loss-impl", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    return p.parse_args(argv)
+
+
+def get_model_config(name):
+    from rnn_transducer_tpu.models.config import NAMED_CONFIGS, TransducerConfig
+    if name == "smoke":
+        return TransducerConfig(enc_layers=1, enc_hidden=64, pred_layers=1,
+                                pred_hidden=64, embed_dim=32, joint_dim=64,
+                                vocab_size=32, input_dim=80)
+    if name in NAMED_CONFIGS:
+        return NAMED_CONFIGS[name]()
+    with open(name) as f:
+        return TransducerConfig(**json.load(f))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_transducer_tpu.data.synthetic import learnable_batch
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.parallel.mesh import (make_mesh, replicate,
+                                                  shard_batch)
+    from rnn_transducer_tpu.train import checkpoint as ckpt
+    from rnn_transducer_tpu.train.loop import (TrainState, init_train_state,
+                                               make_train_step)
+
+    cfg = get_model_config(args.config)
+    tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
+                       warmup_steps=args.warmup_steps,
+                       total_steps=max(args.steps, args.warmup_steps + 1),
+                       grad_clip_norm=args.grad_clip, seed=args.seed,
+                       loss_impl=args.loss_impl)
+
+    n_dev = args.data_parallel or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    print(f"devices={jax.devices()} mesh={'dp%d' % n_dev if mesh else 'single'}",
+          file=sys.stderr)
+
+    state = init_train_state(jax.random.PRNGKey(args.seed), cfg, tcfg)
+    start_step = 0
+    if args.resume and args.ckpt_dir and ckpt.latest_step(args.ckpt_dir) is not None:
+        tree, start_step = ckpt.restore_checkpoint(
+            args.ckpt_dir, dataclasses.asdict(state))
+        state = TrainState(**tree)
+        print(f"resumed from step {start_step}", file=sys.stderr)
+    if mesh is not None:
+        state = TrainState(params=replicate(mesh, state.params),
+                           opt_state=replicate(mesh, state.opt_state),
+                           step=replicate(mesh, state.step))
+    step_fn = make_train_step(cfg, tcfg, mesh=mesh)
+
+    if args.data.startswith("manifest:"):
+        from rnn_transducer_tpu.data.manifest import manifest_batches
+        batches = manifest_batches(args.data.split(":", 1)[1], cfg, tcfg)
+    else:
+        def synthetic_batches():
+            rng = np.random.default_rng(args.seed)
+            n_labels = min(args.max_labels, 20)
+            while True:
+                yield learnable_batch(rng, tcfg.batch_size,
+                                      n_labels=n_labels,
+                                      input_dim=cfg.input_dim,
+                                      vocab=cfg.vocab_size,
+                                      frames_per_label=max(
+                                          2, args.max_frames // n_labels // 2))
+        batches = synthetic_batches()
+
+    t_start = time.perf_counter()
+    utts = 0
+    step_no = start_step
+    info = {"loss": float("nan"), "grad_norm": float("nan")}
+    for i, (feats, fl, labels, ll) in enumerate(batches):
+        if i >= args.steps - start_step:
+            break
+        batch = tuple(jnp.asarray(x) for x in (feats, fl, labels, ll))
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, info = step_fn(state, *batch)
+        utts += feats.shape[0]
+        step_no = start_step + i + 1
+        if step_no % args.log_every == 0:
+            dt = time.perf_counter() - t_start
+            print(json.dumps({
+                "step": step_no,
+                "loss": round(float(info["loss"]), 4),
+                "grad_norm": round(float(info["grad_norm"]), 4),
+                "utt_per_sec": round(utts / dt, 2),
+            }), file=sys.stderr)
+        if args.ckpt_dir and step_no % args.ckpt_every == 0:
+            ckpt.save_checkpoint(args.ckpt_dir, step_no,
+                                 dataclasses.asdict(state))
+    if args.ckpt_dir:
+        ckpt.save_checkpoint(args.ckpt_dir, step_no, dataclasses.asdict(state))
+        print(f"saved final checkpoint at step {step_no} to {args.ckpt_dir}",
+              file=sys.stderr)
+    print(json.dumps({"final_loss": round(float(info["loss"]), 4),
+                      "steps": step_no}))
+    return state
+
+
+if __name__ == "__main__":
+    main()
