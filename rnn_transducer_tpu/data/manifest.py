@@ -33,16 +33,20 @@ def load_example(rec, input_dim: int):
     if "feats" in rec:
         feats = np.load(rec["feats"]).astype(np.float32)
     elif "audio" in rec:
-        import jax.numpy as jnp
-
-        from rnn_transducer_tpu.ops.logmel import log_mel
         path = rec["audio"]
         audio = (np.load(path) if path.endswith(".npy")
                  else np.fromfile(path, np.float32))
-        f, fl = log_mel(jnp.asarray(audio[None]),
-                        jnp.asarray([len(audio)], np.int32),
-                        n_mels=input_dim)
-        feats = np.asarray(f[0, : int(fl[0])])
+        from rnn_transducer_tpu.utils import hostio
+        if hostio.available():  # native C++ frontend (cpp/hostio.cpp)
+            feats = hostio.fbank(audio, n_mels=input_dim)
+        else:
+            import jax.numpy as jnp
+
+            from rnn_transducer_tpu.ops.logmel import log_mel
+            f, fl = log_mel(jnp.asarray(audio[None]),
+                            jnp.asarray([len(audio)], np.int32),
+                            n_mels=input_dim)
+            feats = np.asarray(f[0, : int(fl[0])])
     else:
         raise ValueError(f"manifest record needs 'feats' or 'audio': {rec}")
     if feats.shape[1] != input_dim:

@@ -19,6 +19,9 @@ except ImportError:  # pragma: no cover
 def edit_distance(ref, hyp) -> int:
     """Levenshtein distance between two token sequences."""
     ref, hyp = list(ref), list(hyp)
+    from rnn_transducer_tpu.utils import hostio
+    if hostio.available():  # native C++ path (cpp/hostio.cpp)
+        return hostio.edit_distance(ref, hyp)
     if _lev is not None:
         # Map tokens to unicode codepoints so the C string path applies.
         alphabet = {t: chr(0x100 + i) for i, t in enumerate(dict.fromkeys(ref + hyp))}
@@ -38,6 +41,9 @@ def edit_distance(ref, hyp) -> int:
 
 def error_rate(refs, hyps) -> float:
     """Corpus-level WER/PER: total edits / total reference tokens."""
+    from rnn_transducer_tpu.utils import hostio
+    if hostio.available() and refs:
+        return hostio.corpus_error_rate(refs, hyps)
     edits = sum(edit_distance(r, h) for r, h in zip(refs, hyps))
     total = sum(len(r) for r in refs)
     return edits / max(total, 1)
