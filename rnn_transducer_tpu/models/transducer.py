@@ -227,6 +227,24 @@ def joint_step(params: Params, cfg: TransducerConfig, enc_t, pred_u):
             + jp["out"]["b"].astype(jnp.float32))
 
 
+def joint_activations(params: Params, cfg: TransducerConfig, enc_out,
+                      pred_out):
+    """Per-side joint activations for the fused joint+loss op.
+
+    f = enc_proj(enc_out) + b, g = pred_proj(pred_out) + b: everything the
+    fused Pallas kernel needs to build logits tiles on-chip.
+    """
+    jp = params["joint"]
+    cd = cfg.cdtype
+    f = (jnp.dot(enc_out.astype(cd), jp["enc_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["enc_proj"]["b"].astype(jnp.float32))
+    g = (jnp.dot(pred_out.astype(cd), jp["pred_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["pred_proj"]["b"].astype(jnp.float32))
+    return f, g, jp["out"]["w"], jp["out"]["b"]
+
+
 def forward(params: Params, cfg: TransducerConfig, feats, feat_lens, labels):
     """Full model forward: features + labels -> joint logits over the lattice.
 

@@ -1,0 +1,298 @@
+"""Fully-fused joint-network + RNN-T loss Pallas kernels.
+
+The lattice logits (B, T, U+1, V) are the largest tensor in RNN-T training
+(~1 GB at LibriSpeech shapes) and, in the unfused pipeline, are written by
+the joint matmul, re-read by the loss forward, and re-read + re-written by
+the loss backward — 4+ lattice-sized HBM passes. These kernels never
+materialize them: each (batch, time-tile) grid step builds its logits tile
+in VMEM from the per-side joint activations
+
+    z = tanh(f[t] + g[u]),   logits = z @ W + b
+
+and immediately reduces it to what the lattice recursion needs
+(log-sum-exp + blank/label scores, forward) or consumes the occupancy
+posteriors to emit df, dg, dW, db directly (backward) — dW/dg/db are
+accumulated in VMEM across the sequentially-executed grid steps. Total HBM
+traffic drops from ~4 lattice passes to the (B,T,J)+(B,U,J) activations.
+
+f: (B, T, J) = enc_proj(enc_out) + b_enc;  g: (B, U1p, J) = pred_proj(...)
+with U1p = U+1 padded to a multiple of 8 (sublane alignment; pad rows
+carry label id -1 and zero occupancy). V is padded to the 128-lane
+boundary (zero weights, -inf bias, so pad vocab never scores). The
+(T+U)-step alpha/beta recursions stay in XLA on the tiny extracted
+(B, T, U1) arrays (rnnt_loss.py).
+
+Replaces the reference's joint `nn.Linear` + warp-rnnt pairing
+(SURVEY.md §2 rows 4-5) with a single TPU-native fused op.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rnn_transducer_tpu.ops.rnnt_loss import (
+    NEG_INF,
+    forward_from_lp,
+    occupancies_from_lp,
+)
+
+TILE_T = 8
+LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_axis(x, axis, mult, value=0.0):
+    size = x.shape[axis]
+    target = -(-size // mult) * mult
+    if target == size:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, target - size)
+    return jnp.pad(x, pads, constant_values=value)
+
+
+def _joint_tile(f_ref, g_ref, w_ref, b_ref, cdtype):
+    """z (TILE_T, U1p, J) f32 and logits (TILE_T, U1p, Vp) f32 in VMEM."""
+    f = f_ref[0]  # (TILE_T, J)
+    g = g_ref[0]  # (U1p, J)
+    z = jnp.tanh(f[:, None, :] + g[None, :, :])
+    logits = jax.lax.dot_general(
+        z.astype(cdtype), w_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE_T, U1p, Vp)
+    return z, logits + b_ref[0][None, None, :]
+
+
+# --------------------------- forward kernel ------------------------------
+
+def _fwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
+                lpb_ref, lpy_ref):
+    _, logits = _joint_tile(f_ref, g_ref, w_ref, b_ref, cdtype)
+    m = jnp.max(logits, axis=2, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(logits - m), axis=2, keepdims=True))
+    base = (m + lse)[:, :, 0]  # (TILE_T, U1p)
+    lab = lab_ref[0, 0, :]  # (U1p,)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+    onehot = col == lab[None, :, None]
+    sel = jnp.sum(jnp.where(onehot, logits, 0.0), axis=2)  # (TILE_T, U1p)
+    lpb_ref[0] = logits[:, :, blank] - base
+    lpy_ref[0] = jnp.where(lab[None, :] >= 0, sel - base, NEG_INF)
+
+
+def joint_lp_fwd(f, g, labels_pad, w, b, blank, cdtype):
+    """-> (lp_blank, lp_y): (B, Tp, U1p) f32. Never materializes logits."""
+    B, T, J = f.shape
+    U1p = g.shape[1]
+    Vp = w.shape[1]
+    nT = -(-T // TILE_T)
+    out_shape = jax.ShapeDtypeStruct((B, nT * TILE_T, U1p), jnp.float32)
+    out_spec = pl.BlockSpec((1, TILE_T, U1p), lambda b_, t: (b_, t, 0),
+                            memory_space=pltpu.VMEM)
+    lpb, lpy = pl.pallas_call(
+        functools.partial(_fwd_kernel, blank, cdtype),
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, TILE_T, J), lambda b_, t: (b_, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U1p, J), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, U1p), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_shape, out_shape),
+        interpret=_interpret(),
+    )(f, g, labels_pad, w, b)
+    return lpb[:, :T], lpy[:, :T]
+
+
+# --------------------------- backward kernel -----------------------------
+
+def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
+                occ_ref, gb_ref, gy_ref,
+                df_ref, dg_ref, dw_ref, db_ref):
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    z, logits = _joint_tile(f_ref, g_ref, w_ref, b_ref, cdtype)
+    m = jnp.max(logits, axis=2, keepdims=True)
+    e = jnp.exp(logits - m)
+    probs = e / jnp.sum(e, axis=2, keepdims=True)  # (TILE_T, U1p, Vp)
+    lab = lab_ref[0, 0, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+    dlogits = probs * occ_ref[0][:, :, None]
+    dlogits = dlogits - jnp.where(col == blank, gb_ref[0][:, :, None], 0.0)
+    dlogits = dlogits - jnp.where(col == lab[None, :, None],
+                                  gy_ref[0][:, :, None], 0.0)
+    dl_c = dlogits.astype(cdtype)
+    # dz = (dlogits @ W^T) * (1 - z^2)
+    dz = jax.lax.dot_general(
+        dl_c, w_ref[:],
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 - z * z)  # (TILE_T, U1p, J)
+    df_ref[0] = jnp.sum(dz, axis=1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        dg_ref[0] = jnp.zeros_like(dg_ref[0])
+
+    dg_ref[0] += jnp.sum(dz, axis=0)
+
+    @pl.when(jnp.logical_and(b_idx == 0, t_idx == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref[:])
+        db_ref[:] = jnp.zeros_like(db_ref[:])
+
+    # dW += z^T @ dlogits over the (t, u) tile. Mosaic only supports a
+    # single contracting dim, so unroll the small static t axis.
+    z_c = z.astype(cdtype)
+    dw_acc = jax.lax.dot_general(
+        z_c[0], dl_c[0], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    for tt in range(1, TILE_T):
+        dw_acc += jax.lax.dot_general(
+            z_c[tt], dl_c[tt], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dw_ref[:] += dw_acc
+    db_ref[0] += jnp.sum(dlogits, axis=(0, 1))
+
+
+def joint_lp_bwd(f, g, labels_pad, w, b, occ, gb, gy, blank, cdtype):
+    """-> (df, dg, dw, db); dW/dg/db accumulate across the sequential grid."""
+    B, T, J = f.shape
+    U1p = g.shape[1]
+    Vp = w.shape[1]
+    nT = -(-T // TILE_T)
+    if T % TILE_T:
+        # zero-pad time so tail tiles contribute zero occupancy
+        f = _pad_axis(f, 1, TILE_T)
+        occ = _pad_axis(occ, 1, TILE_T)
+        gb = _pad_axis(gb, 1, TILE_T)
+        gy = _pad_axis(gy, 1, TILE_T)
+    Tp = f.shape[1]
+    occ_spec = pl.BlockSpec((1, TILE_T, U1p), lambda b_, t: (b_, t, 0),
+                            memory_space=pltpu.VMEM)
+    df, dg, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, blank, cdtype),
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, TILE_T, J), lambda b_, t: (b_, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U1p, J), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, U1p), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            occ_spec, occ_spec, occ_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE_T, J), lambda b_, t: (b_, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U1p, J), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tp, J), jnp.float32),
+            jax.ShapeDtypeStruct((B, U1p, J), jnp.float32),
+            jax.ShapeDtypeStruct((J, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Vp), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(f, g, labels_pad, w, b, occ, gb, gy)
+    return df[:, :T], dg, dw, db
+
+
+# ------------------------------ public op --------------------------------
+
+def _prep_labels(labels, U1p):
+    """(B, U) labels -> (B, 1, U1p) padded with -1 at u >= U."""
+    B, U = labels.shape
+    return jnp.concatenate(
+        [labels.astype(jnp.int32),
+         jnp.full((B, U1p - U), -1, jnp.int32)], axis=1)[:, None, :]
+
+
+def _prep_wb(w, b):
+    V = w.shape[1]
+    w_p = _pad_axis(w.astype(jnp.float32), 1, LANE, 0.0)
+    b_p = _pad_axis(b.astype(jnp.float32).reshape(1, V), 1, LANE, NEG_INF)
+    return w_p, b_p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def rnnt_loss_fused(f, g, w, b, labels, frame_lens, label_lens, blank=0,
+                    compute_dtype=jnp.bfloat16):
+    """Per-utterance RNN-T loss from joint activations; logits never stored.
+
+    f: (B, T, J) encoder-side joint activation (projection + bias applied).
+    g: (B, U+1, J) predictor-side activation. w: (J, V), b: (V,).
+    """
+    loss, _ = _fused_fwd(f, g, w, b, labels, frame_lens, label_lens, blank,
+                         compute_dtype)
+    return loss
+
+
+def _fused_fwd(f, g, w, b, labels, frame_lens, label_lens, blank,
+               compute_dtype):
+    U1 = g.shape[1]
+    U1p = -(-U1 // 8) * 8
+    f32 = f.astype(jnp.float32)
+    g_p = _pad_axis(g.astype(jnp.float32), 1, 8)
+    w_p, b_p = _prep_wb(w, b)
+    lab = _prep_labels(labels, U1p)
+    w_c = w_p.astype(compute_dtype)
+    lpb, lpy = joint_lp_fwd(f32, g_p, lab, w_c, b_p, blank, compute_dtype)
+    lpb = lpb[:, :, :U1]
+    lpy = lpy[:, :, :U1]
+    loss = forward_from_lp(lpb, lpy, frame_lens, label_lens)
+    # dtype markers: residuals must be arrays, so carry zero-size tagged
+    # arrays instead of raw dtypes; b (unpadded, tiny) also records V.
+    markers = (jnp.zeros((0,), f.dtype), jnp.zeros((0,), g.dtype),
+               jnp.zeros((0,), w.dtype), b)
+    residuals = (f32, g_p, w_c, b_p, lab, frame_lens, label_lens, lpb, lpy,
+                 markers)
+    return loss, residuals
+
+
+def _fused_bwd(blank, compute_dtype, res, gbar):
+    (f32, g_p, w_c, b_p, lab, frame_lens, label_lens, lpb, lpy, markers) = res
+    f_mk, g_mk, w_mk, b_orig = markers
+    f_dt, g_dt, w_dt, b_dt = (f_mk.dtype, g_mk.dtype, w_mk.dtype,
+                              b_orig.dtype)
+    V = b_orig.shape[0]
+    U1 = lpb.shape[2]
+    U1p = g_p.shape[1]
+    g_blank, g_y = occupancies_from_lp(lpb, lpy, frame_lens, label_lens)
+    scale = gbar[:, None, None]
+    pad_u = [(0, 0), (0, 0), (0, U1p - U1)]
+    occ = jnp.pad((g_blank + g_y) * scale, pad_u)
+    gb = jnp.pad(g_blank * scale, pad_u)
+    gy = jnp.pad(g_y * scale, pad_u)
+    df, dg, dw, db = joint_lp_bwd(f32, g_p, lab, w_c, b_p, occ, gb, gy,
+                                  blank, compute_dtype)
+    return (df.astype(f_dt), dg[:, :U1].astype(g_dt),
+            dw[:, :V].astype(w_dt), db[0, :V].astype(b_dt),
+            None, None, None)
+
+
+rnnt_loss_fused.defvjp(_fused_fwd, _fused_bwd)

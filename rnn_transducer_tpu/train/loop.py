@@ -66,10 +66,24 @@ def init_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig) -> TrainStat
 
 def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             label_lens, loss_impl: str = "auto"):
-    """Batch-mean RNN-T loss; per-utterance losses also returned."""
-    logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels)
-    per_utt = select_rnnt_loss(loss_impl)(logits, labels, enc_lens,
-                                          label_lens, cfg.blank)
+    """Batch-mean RNN-T loss; per-utterance losses also returned.
+
+    "fused" (default on TPU) never materializes the (B,T,U+1,V) logits:
+    joint + loss run as one Pallas op (ops/rnnt_joint_fused.py).
+    """
+    if loss_impl == "auto":
+        loss_impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if loss_impl == "fused":
+        from rnn_transducer_tpu.ops.rnnt_joint_fused import rnnt_loss_fused
+        enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
+        pred_out, _ = m.predict(params, cfg, labels)
+        f, g, w, b = m.joint_activations(params, cfg, enc_out, pred_out)
+        per_utt = rnnt_loss_fused(f, g, w, b, labels, enc_lens, label_lens,
+                                  cfg.blank, cfg.cdtype)
+    else:
+        logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels)
+        per_utt = select_rnnt_loss(loss_impl)(logits, labels, enc_lens,
+                                              label_lens, cfg.blank)
     return jnp.mean(per_utt), per_utt
 
 

@@ -1,0 +1,94 @@
+"""Fused joint+loss Pallas op vs the unfused joint + rnnt_loss reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnn_transducer_tpu.models import transducer as m
+from rnn_transducer_tpu.models.config import TransducerConfig
+from rnn_transducer_tpu.ops.rnnt_joint_fused import rnnt_loss_fused
+from rnn_transducer_tpu.ops.rnnt_loss import rnnt_loss
+
+
+def _setup(B=3, T=11, U=4, J=32, V=21, seed=0):
+    rng = np.random.default_rng(seed)
+    f = jnp.asarray(rng.normal(size=(B, T, J)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, U + 1, J)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(J, V)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(1, V, size=(B, U)), jnp.int32)
+    fl = jnp.asarray(rng.integers(max(2, T - 3), T + 1, size=(B,)), jnp.int32)
+    ll = jnp.asarray(rng.integers(1, U + 1, size=(B,)), jnp.int32)
+    return f, g, w, b, labels, fl, ll
+
+
+def _reference_loss(f, g, w, b, labels, fl, ll):
+    z = jnp.tanh(f[:, :, None, :] + g[:, None, :, :])
+    logits = jnp.einsum("btuj,jv->btuv", z, w) + b
+    return rnnt_loss(logits, labels, fl, ll)
+
+
+def test_fused_loss_matches_unfused():
+    f, g, w, b, labels, fl, ll = _setup()
+    got = rnnt_loss_fused(f, g, w, b, labels, fl, ll,
+                          compute_dtype=jnp.float32)
+    want = _reference_loss(f, g, w, b, labels, fl, ll)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_grads_match_unfused():
+    f, g, w, b, labels, fl, ll = _setup(seed=1)
+
+    def fused(f, g, w, b):
+        return jnp.sum(rnnt_loss_fused(f, g, w, b, labels, fl, ll,
+                                       compute_dtype=jnp.float32))
+
+    def ref(f, g, w, b):
+        return jnp.sum(_reference_loss(f, g, w, b, labels, fl, ll))
+
+    got = jax.grad(fused, argnums=(0, 1, 2, 3))(f, g, w, b)
+    want = jax.grad(ref, argnums=(0, 1, 2, 3))(f, g, w, b)
+    for name, a, e in zip("fgwb", got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"grad d{name}")
+
+
+def test_fused_jit_and_nonaligned_shapes():
+    # T not a multiple of TILE_T, U+1 not a multiple of 8, V not of 128
+    f, g, w, b, labels, fl, ll = _setup(B=2, T=13, U=6, J=16, V=9, seed=2)
+    fn = jax.jit(jax.value_and_grad(
+        lambda f, g, w, b: jnp.sum(rnnt_loss_fused(
+            f, g, w, b, labels, fl, ll, compute_dtype=jnp.float32)),
+        argnums=(0, 1, 2, 3)))
+    v, grads = fn(f, g, w, b)
+    assert np.isfinite(float(v))
+    want = _reference_loss(f, g, w, b, labels, fl, ll)
+    np.testing.assert_allclose(float(v), float(jnp.sum(want)), rtol=1e-5)
+    for gr in grads:
+        assert np.all(np.isfinite(np.asarray(gr)))
+
+
+def test_fused_through_model_loss_fn():
+    from rnn_transducer_tpu.train.loop import loss_fn
+    cfg = TransducerConfig(enc_layers=1, enc_hidden=16, pred_layers=1,
+                           pred_hidden=16, embed_dim=8, joint_dim=16,
+                           vocab_size=11, input_dim=4,
+                           compute_dtype="float32")
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.normal(size=(2, 9, 4)), jnp.float32)
+    fl = jnp.asarray([9, 6], jnp.int32)
+    labels = jnp.asarray(rng.integers(1, 11, size=(2, 3)), jnp.int32)
+    ll = jnp.asarray([3, 2], jnp.int32)
+    lf, _ = loss_fn(params, cfg, feats, fl, labels, ll, loss_impl="fused")
+    lx, _ = loss_fn(params, cfg, feats, fl, labels, ll, loss_impl="xla")
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    gf = jax.grad(lambda p: loss_fn(p, cfg, feats, fl, labels, ll,
+                                    "fused")[0])(params)
+    gx = jax.grad(lambda p: loss_fn(p, cfg, feats, fl, labels, ll,
+                                    "xla")[0])(params)
+    for a, e in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-5)
