@@ -50,22 +50,28 @@ def main():
 
     t0 = time.perf_counter()
     state, info = step(state, feats, feat_lens, labels, label_lens)
-    jax.block_until_ready(info["loss"])
+    loss0 = float(jax.device_get(info["loss"]))
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s, "
-        f"loss={float(info['loss']):.2f}")
+        f"loss={loss0:.2f}")
 
-    n_warm, n_meas = 3, 10
-    for _ in range(n_warm):
-        state, info = step(state, feats, feat_lens, labels, label_lens)
-    jax.block_until_ready(info["loss"])
-    t0 = time.perf_counter()
-    for _ in range(n_meas):
-        state, info = step(state, feats, feat_lens, labels, label_lens)
-    jax.block_until_ready(info["loss"])
-    dt = time.perf_counter() - t0
-    utt_per_sec = B * n_meas / dt
-    log(f"{n_meas} steps in {dt:.2f}s -> {utt_per_sec:.1f} utt/s/chip "
-        f"({dt / n_meas * 1e3:.0f} ms/step)")
+    # Slope timing: N_small vs N_large chained steps, each run forced to
+    # completion with device_get (block_until_ready can return early through
+    # the axon relay); the difference cancels the fixed sync overhead.
+    ns = (3, 13)
+    times = []
+    for n in ns:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, info = step(state, feats, feat_lens, labels,
+                                   label_lens)
+            jax.device_get(info["loss"])
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    dt = (times[1] - times[0]) / (ns[1] - ns[0])
+    utt_per_sec = B / dt
+    log(f"slope-timed: {dt * 1e3:.1f} ms/step -> {utt_per_sec:.1f} utt/s/chip")
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "tools", "cpu_baseline.json")

@@ -60,13 +60,23 @@ def lstm_cell(params, x_proj, h, c, compute_dtype=jnp.bfloat16):
     return h_new, c_new
 
 
-def lstm_layer(params, x, h0=None, c0=None, *, compute_dtype=jnp.bfloat16):
+def lstm_layer(params, x, h0=None, c0=None, *, compute_dtype=jnp.bfloat16,
+               impl: str = "auto"):
     """Run one unidirectional LSTM layer over (B, T, I) -> (B, T, H).
 
-    Returns (outputs, (h_T, c_T)). State is fp32.
+    Returns (outputs, (h_T, c_T)). State is fp32. impl="auto" dispatches to
+    the fused Pallas kernel (ops/lstm_pallas.py) on TPU for lane-aligned
+    shapes; "scan"/"pallas" force a path.
     """
     B, T, _ = x.shape
     H = params["w_hh"].shape[0]
+    if impl != "scan":
+        from rnn_transducer_tpu.ops import lstm_pallas
+        if impl == "pallas" or (
+                impl == "auto" and jax.default_backend() == "tpu"
+                and lstm_pallas.supported(B, H)):
+            return lstm_pallas.lstm_layer_pallas(
+                params, x, h0, c0, compute_dtype=compute_dtype)
     x_proj = (
         jnp.dot(x.astype(compute_dtype), params["w_ih"].astype(compute_dtype),
                 preferred_element_type=jnp.float32)

@@ -1,0 +1,281 @@
+"""Fused Pallas LSTM layer: the whole time recurrence runs on-chip.
+
+The XLA `lax.scan` LSTM (ops/lstm.py) pays per-step dispatch overhead and
+streams h/c through HBM every step. This kernel keeps W_hh and the (h, c)
+carry resident in VMEM across a time-tiled sequential grid: each grid step
+DMAs one (B_tile, TILE_T, 4H) slab of the precomputed input projections,
+runs TILE_T recurrent-matmul + gate updates entirely on-chip, and writes
+back only the (B_tile, TILE_T, H) outputs. Large layers additionally tile
+the batch (grid = (nB, nT), time innermost so the carry stays coherent).
+
+Backward is hand-derived BPTT with gate *recomputation* (one extra
+recurrent matmul instead of storing (B, T, 4H) gate activations): the
+time-reversed grid recomputes gates from x_proj and the saved h/c
+trajectories, carries dh/dc in VMEM scratch, and emits dgates; the weight
+gradients dW_ih/dW_hh/db then fall out of large batched XLA matmuls over
+the dgates tensor — MXU-shaped work XLA already does optimally.
+
+Used automatically for lane-aligned layer sizes (H % 128 == 0, B % 8 == 0);
+other shapes fall back to the scan implementation. Gate order matches
+torch (i, f, g, o) like ops/lstm.py, so the same parity tests apply.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+TILE_T = 8  # sublane constraint: time tile must be a multiple of 8
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _tile_b(B: int, H: int) -> int:
+    # Keep the working set (x slab + 4-5 H-sized tiles + resident W_hh)
+    # under VMEM with double buffering; large layers tile the batch.
+    if H <= 256:
+        return B
+    if H <= 512:
+        return min(B, 16)
+    return min(B, 8)
+
+
+def supported(B: int, H: int) -> bool:
+    return H % LANE == 0 and B % 8 == 0
+
+
+def _split4(gates, H):
+    return (gates[:, 0:H], gates[:, H:2 * H], gates[:, 2 * H:3 * H],
+            gates[:, 3 * H:4 * H])
+
+
+# ------------------------------- forward ---------------------------------
+
+def _fwd_kernel(cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
+                h_s, c_s):
+    t_idx = pl.program_id(1)
+    H = h0_ref.shape[1]
+
+    @pl.when(t_idx == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    h = h_s[:]
+    c = c_s[:]
+    for i in range(TILE_T):
+        gates = x_ref[0, :, i, :] + jnp.dot(
+            h.astype(cdtype), w_ref[:], preferred_element_type=jnp.float32)
+        i_, f_, g_, o_ = _split4(gates, H)
+        c = jax.nn.sigmoid(f_) * c + jax.nn.sigmoid(i_) * jnp.tanh(g_)
+        h = jax.nn.sigmoid(o_) * jnp.tanh(c)
+        hs_ref[0, :, i, :] = h
+        cs_ref[0, :, i, :] = c
+    h_s[:] = h
+    c_s[:] = c
+
+
+def _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype):
+    B, T, H4 = x_proj.shape
+    H = H4 // 4
+    BT = _tile_b(B, H)
+    nB = B // BT
+    nT = -(-T // TILE_T)
+    Tp = nT * TILE_T
+    if Tp != T:
+        x_proj = jnp.pad(x_proj, ((0, 0), (0, Tp - T), (0, 0)))
+    # reshape to (nB, BT, Tp, .) so the batch tile is a leading block dim
+    x_proj = x_proj.reshape(nB, BT, Tp, H4)
+    w_c = w_hh.astype(cdtype)
+    out_shape = jax.ShapeDtypeStruct((nB, BT, Tp, H), jnp.float32)
+    out_spec = pl.BlockSpec((1, BT, TILE_T, H), lambda b, t: (b, 0, t, 0),
+                            memory_space=pltpu.VMEM)
+    hs, cs = pl.pallas_call(
+        functools.partial(_fwd_kernel, cdtype),
+        grid=(nB, nT),  # time innermost: the (h, c) carry stays coherent
+        in_specs=[
+            pl.BlockSpec((1, BT, TILE_T, H4), lambda b, t: (b, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x_proj, h0, c0, w_c)
+    hs = hs.reshape(B, Tp, H)[:, :T]
+    cs = cs.reshape(B, Tp, H)[:, :T]
+    return hs, cs
+
+
+# ------------------------------- backward --------------------------------
+
+def _bwd_kernel(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
+                dcT_ref, w_ref, dx_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+    t_idx = pl.program_id(1)
+    H = dcT_ref.shape[1]
+
+    @pl.when(t_idx == 0)
+    def _():
+        dh_s[:] = jnp.zeros_like(dh_s[:])
+        dc_s[:] = dcT_ref[:]
+
+    dh = dh_s[:]
+    dc_carry = dc_s[:]
+    for i in reversed(range(TILE_T)):
+        # Steps past the true sequence end (time padding in the last tile)
+        # must leave the dh/dc carries untouched — the dcT init would
+        # otherwise decay through the pad before reaching the real T-1.
+        t_global = (nT - 1 - t_idx) * TILE_T + i
+        valid = t_global < T
+        gates = x_ref[0, :, i, :] + jnp.dot(
+            hp_ref[0, :, i, :], w_ref[:], preferred_element_type=jnp.float32)
+        i_l, f_l, g_l, o_l = _split4(gates, H)
+        i_s = jax.nn.sigmoid(i_l)
+        f_s = jax.nn.sigmoid(f_l)
+        g_t = jnp.tanh(g_l)
+        o_s = jax.nn.sigmoid(o_l)
+        c_t = cs_ref[0, :, i, :]
+        tc = jnp.tanh(c_t)
+        dh_tot = dhs_ref[0, :, i, :] + dh
+        do = dh_tot * tc
+        dc = dc_carry + dh_tot * o_s * (1.0 - tc * tc)
+        di = dc * g_t
+        dg = dc * i_s
+        df = dc * cp_ref[0, :, i, :]
+        dgates = jnp.concatenate(
+            [di * i_s * (1.0 - i_s), df * f_s * (1.0 - f_s),
+             dg * (1.0 - g_t * g_t), do * o_s * (1.0 - o_s)], axis=1)
+        dx_ref[0, :, i, :] = dgates
+        dc_carry = jnp.where(valid, dc * f_s, dc_carry)
+        # dh[t-1] = dgates @ W^T : contract the 4H dim of both
+        dh_new = jax.lax.dot_general(
+            dgates.astype(cdtype), w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh = jnp.where(valid, dh_new, dh)
+    dh_s[:] = dh
+    dc_s[:] = dc_carry
+    dh0_ref[:] = dh
+    dc0_ref[:] = dc_carry
+
+
+def _lstm_core_bwd(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
+    B, T, H4 = x_proj.shape
+    H = H4 // 4
+    BT = _tile_b(B, H)
+    nB = B // BT
+    nT = -(-T // TILE_T)
+    Tp = nT * TILE_T
+    # fold the final-state cotangent into the last step's output cotangent
+    dhs = dhs.at[:, T - 1, :].add(dhT)
+    hs_prev = jnp.concatenate([h0[:, None, :], hs[:, :-1, :]], axis=1)
+    cs_prev = jnp.concatenate([c0[:, None, :], cs[:, :-1, :]], axis=1)
+
+    def padt(a):
+        return (jnp.pad(a, ((0, 0), (0, Tp - T), (0, 0)))
+                if Tp != T else a)
+
+    def shape4(a):
+        return padt(a).reshape(nB, BT, Tp, a.shape[-1])
+
+    x_proj4 = shape4(x_proj)
+    # hs_prev is only consumed by the recurrent matmul, which runs in the
+    # compute dtype anyway — stream it pre-cast to halve its VMEM slab.
+    hp4 = shape4(hs_prev).astype(cdtype)
+    cs4 = shape4(cs)
+    cp4 = shape4(cs_prev)
+    dhs4 = shape4(dhs)
+    dcT2 = dcT
+    w_c = w_hh.astype(cdtype)
+    rev = lambda b, t, nT=nT: (b, 0, nT - 1 - t, 0)
+    tile = lambda h: pl.BlockSpec((1, BT, TILE_T, h), rev,
+                                  memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((BT, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+    dx, dh0, dc0 = pl.pallas_call(
+        functools.partial(_bwd_kernel, T, nT, cdtype),
+        grid=(nB, nT),
+        in_specs=[tile(H4), tile(H), tile(H), tile(H), tile(H), vec,
+                  pl.BlockSpec((H, H4), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(tile(H4), vec, vec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nB, BT, Tp, H4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x_proj4, hp4, cs4, cp4, dhs4, dcT2, w_c)
+    dx = dx.reshape(B, Tp, H4)[:, :T]
+    # Weight grad as one large XLA matmul over dgates.
+    dw_hh = jnp.einsum("bth,btk->hk", hs_prev, dx,
+                       preferred_element_type=jnp.float32)
+    return dx, dw_hh, dh0, dc0
+
+
+# ------------------------------ public op --------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _lstm_core(x_proj, w_hh, h0, c0, cdtype):
+    hs, cs = _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype)
+    T = x_proj.shape[1]
+    return hs, hs[:, T - 1], cs[:, T - 1]
+
+
+def _core_fwd(x_proj, w_hh, h0, c0, cdtype):
+    hs, cs = _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype)
+    T = x_proj.shape[1]
+    out = (hs, hs[:, T - 1], cs[:, T - 1])
+    return out, (x_proj, w_hh, h0, c0, hs, cs)
+
+
+def _core_bwd(cdtype, res, cot):
+    x_proj, w_hh, h0, c0, hs, cs = res
+    dhs, dhT, dcT = cot
+    dx, dw_hh, dh0, dc0 = _lstm_core_bwd(
+        x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype)
+    return dx, dw_hh.astype(w_hh.dtype), dh0, dc0
+
+
+_lstm_core.defvjp(_core_fwd, _core_bwd)
+
+
+def lstm_layer_pallas(params, x, h0=None, c0=None, *,
+                      compute_dtype=jnp.bfloat16):
+    """Drop-in replacement for ops.lstm.lstm_layer on aligned shapes.
+
+    x: (B, T, I) -> (outputs (B, T, H) fp32, (h_T, c_T)).
+    """
+    B, T, _ = x.shape
+    H = params["w_hh"].shape[0]
+    x_proj = (
+        jnp.dot(x.astype(compute_dtype),
+                params["w_ih"].astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+        + params["b"].astype(jnp.float32)
+    )
+    if h0 is None:
+        h0 = jnp.zeros((B, H), jnp.float32)
+    if c0 is None:
+        c0 = jnp.zeros((B, H), jnp.float32)
+    hs, hT, cT = _lstm_core(x_proj, params["w_hh"], h0, c0, compute_dtype)
+    return hs, (hT, cT)
