@@ -88,17 +88,26 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
 
 
 def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None):
-    """Build the jitted update step. With a mesh, batches are sharded over
-    the "data" axis and params/opt state replicated (XLA inserts the
-    gradient all-reduce)."""
+    """Build the jitted update step.
+
+    With a mesh the step runs under `shard_map` over the "data" axis:
+    each shard computes loss/grads on its local batch slice and the
+    gradients are pmean-ed over ICI. shard_map (rather than jit+shardings
+    auto-SPMD) is required because the Pallas kernels in the fused loss /
+    LSTM paths have no SPMD partitioning rules — inside shard_map each
+    device runs the kernel on its local shard, which is exactly DP.
+    """
     tx = make_optimizer(tcfg)
 
-    def step_fn(state: TrainState, feats, feat_lens, labels, label_lens):
+    def grads_and_metrics(params, feats, feat_lens, labels, label_lens):
         (loss, per_utt), grads = jax.value_and_grad(
             lambda p: loss_fn(p, cfg, feats, feat_lens, labels, label_lens,
                               tcfg.loss_impl),
             has_aux=True,
-        )(state.params)
+        )(params)
+        return loss, grads
+
+    def apply(state, loss, grads):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
@@ -107,19 +116,32 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None):
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
     if mesh is None:
+        def step_fn(state, feats, feat_lens, labels, label_lens):
+            loss, grads = grads_and_metrics(state.params, feats, feat_lens,
+                                            labels, label_lens)
+            return apply(state, loss, grads)
+
         return jax.jit(step_fn, donate_argnums=(0,))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    state_sh = TrainState(params=repl, opt_state=repl, step=repl)
-    return jax.jit(
-        step_fn,
-        in_shardings=(state_sh, data, data, data, data),
-        out_shardings=(state_sh, repl),
-        donate_argnums=(0,),
+    def shard_fn(state, feats, feat_lens, labels, label_lens):
+        loss, grads = grads_and_metrics(state.params, feats, feat_lens,
+                                        labels, label_lens)
+        # batch-mean over all shards: each shard's mean weighted equally
+        loss = jax.lax.pmean(loss, "data")
+        grads = jax.lax.pmean(grads, "data")
+        return apply(state, loss, grads)
+
+    state_spec = TrainState(params=P(), opt_state=P(), step=P())
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(state_spec, P("data"), P("data"), P("data"), P("data")),
+        out_specs=(state_spec, P()),
+        check_vma=False,
     )
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_eval_step(cfg: TransducerConfig):

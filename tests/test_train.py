@@ -90,6 +90,33 @@ def test_data_parallel_matches_single_device():
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("impl", ["fused", "pallas"])
+def test_data_parallel_with_pallas_kernels(impl):
+    """Pallas kernels have no SPMD rule; shard_map must make DP exact."""
+    cfg = _tiny_cfg()
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=5,
+                       total_steps=100, loss_impl=impl)
+    rng = np.random.default_rng(7)
+    feats, fl, labels, ll = random_batch(rng, 8, 12, 4, cfg.input_dim,
+                                         cfg.vocab_size)
+    batch = tuple(jnp.asarray(x) for x in (feats, fl, labels, ll))
+    state1 = init_train_state(jax.random.PRNGKey(9), cfg, tcfg)
+    _, info1 = make_train_step(cfg, tcfg)(state1, *batch)
+
+    from rnn_transducer_tpu.train.loop import TrainState
+    mesh = make_mesh(8)
+    state8 = init_train_state(jax.random.PRNGKey(9), cfg, tcfg)
+    state8 = TrainState(params=replicate(mesh, state8.params),
+                        opt_state=replicate(mesh, state8.opt_state),
+                        step=replicate(mesh, state8.step))
+    _, info8 = make_train_step(cfg, tcfg, mesh=mesh)(
+        state8, *shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(info8["loss"]), float(info1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(info8["grad_norm"]),
+                               float(info1["grad_norm"]), rtol=1e-4)
+
+
 def test_bucket_stream_shapes_and_drop_accounting():
     rng = np.random.default_rng(2)
     def gen():
