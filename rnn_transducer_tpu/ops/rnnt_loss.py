@@ -190,11 +190,36 @@ def _accept_scores(lp_blank, frame_lens, label_lens):
     return jnp.where(is_terminal, lp_blank, NEG_INF)
 
 
+def _use_wavefront() -> bool:
+    """Whether to use the Pallas diagonal-wavefront lattice kernel
+    (ops/rnnt_lattice_pallas.py) instead of the scan+associative-solve path.
+
+    Measured on v5e (B=32, T=200, U=40): scan alpha 2.3 ms / beta 0.2 ms vs
+    wavefront ~12 ms each — the T+U sequential fori steps with dynamic
+    sublane indexing dominate, so the wavefront stays off by default and is
+    kept as a tested alternative implementation (SURVEY.md §7.6)."""
+    return False
+
+
+def _alpha(lp_blank_m, lp_y_m):
+    if _use_wavefront():
+        from rnn_transducer_tpu.ops.rnnt_lattice_pallas import alpha_wavefront
+        return alpha_wavefront(lp_blank_m, lp_y_m)
+    return _alpha_scan(lp_blank_m, lp_y_m)
+
+
+def _beta(lp_blank_m, lp_y_m, accept):
+    if _use_wavefront():
+        from rnn_transducer_tpu.ops.rnnt_lattice_pallas import beta_wavefront
+        return beta_wavefront(lp_blank_m, lp_y_m, accept)
+    return _beta_scan(lp_blank_m, lp_y_m, accept)
+
+
 def forward_from_lp(lp_blank, lp_y, frame_lens, label_lens):
     """Loss from pre-extracted blank/label log-probs (B, T, U1)."""
     lp_blank_m, lp_y_m = _masked_transitions(lp_blank, lp_y, frame_lens,
                                              label_lens)
-    alpha = _alpha_scan(lp_blank_m, lp_y_m)
+    alpha = _alpha(lp_blank_m, lp_y_m)
     B = lp_blank.shape[0]
     b_idx = jnp.arange(B)
     t_last = frame_lens.astype(jnp.int32) - 1
@@ -211,8 +236,8 @@ def occupancies_from_lp(lp_blank, lp_y, frame_lens, label_lens):
     lp_blank_m, lp_y_m = _masked_transitions(lp_blank, lp_y, frame_lens,
                                              label_lens)
     accept = _accept_scores(lp_blank, frame_lens, label_lens)
-    alpha = _alpha_scan(lp_blank_m, lp_y_m)
-    beta = _beta_scan(lp_blank_m, lp_y_m, accept)
+    alpha = _alpha(lp_blank_m, lp_y_m)
+    beta = _beta(lp_blank_m, lp_y_m, accept)
     B, T, U1 = lp_blank.shape
     log_z = beta[:, 0, 0]
     beta_down = jnp.concatenate(

@@ -1,0 +1,64 @@
+"""End-to-end data prep: wav -> features + manifest -> trainable batches."""
+
+import json
+import os
+import sys
+import wave
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+import prepare_manifest
+
+
+def _write_wav(path, n_samples=8000, seed=0):
+    rng = np.random.default_rng(seed)
+    pcm = (rng.normal(size=n_samples) * 3000).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+
+def test_prepare_paired_and_train(tmp_path, capsys):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i, text in enumerate(["hello world", "the quick brown fox",
+                              "jumps over", "the lazy dog"]):
+        _write_wav(corpus / f"utt{i}.wav", n_samples=6000 + 800 * i, seed=i)
+        (corpus / f"utt{i}.txt").write_text(text)
+    out = tmp_path / "out"
+    prepare_manifest.main(["--in-dir", str(corpus), "--out-dir", str(out),
+                           "--tokenizer", "char"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["utts"] == 4
+    man = out / "manifest.jsonl"
+    recs = [json.loads(l) for l in man.read_text().splitlines()]
+    assert all(os.path.exists(r["feats"]) for r in recs)
+    feats = np.load(recs[0]["feats"])
+    assert feats.shape[1] == 80 and feats.shape[0] > 10
+
+    # feed straight into the training CLI
+    import train
+    train.main(["--config", "smoke", "--steps", "1", "--batch-size", "4",
+                "--data", f"manifest:{man}", "--data-parallel", "1"])
+    out_line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(json.loads(out_line)["final_loss"])
+
+
+def test_prepare_librispeech_layout(tmp_path, capsys):
+    d = tmp_path / "ls" / "19" / "198"
+    d.mkdir(parents=True)
+    _write_wav(d / "19-198-0000.wav", seed=1)
+    _write_wav(d / "19-198-0001.wav", seed=2)
+    (d / "19-198.trans.txt").write_text(
+        "19-198-0000 HELLO THERE\n19-198-0001 GENERAL KENOBI\n")
+    out = tmp_path / "out"
+    prepare_manifest.main(["--in-dir", str(tmp_path / "ls"),
+                           "--out-dir", str(out),
+                           "--layout", "librispeech"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["utts"] == 2
