@@ -114,6 +114,29 @@ def main(argv=None):
                                           2, args.max_frames // n_labels // 2))
         batches = synthetic_batches()
 
+    # Dev-set evaluation (reference train.py evaluates per epoch): loss +
+    # greedy PER/WER on a fixed held-out batch.
+    from rnn_transducer_tpu.decode.greedy import recognize_greedy
+    from rnn_transducer_tpu.decode.metrics import error_rate, tokens_to_lists
+    from rnn_transducer_tpu.train.loop import make_eval_step
+
+    eval_rng = np.random.default_rng(args.seed + 12345)
+    dev_batch = learnable_batch(eval_rng, min(tcfg.batch_size, 8),
+                                n_labels=min(args.max_labels, 20),
+                                input_dim=cfg.input_dim,
+                                vocab=cfg.vocab_size, frames_per_label=4)
+    eval_fn = make_eval_step(cfg)
+    decode_fn = jax.jit(lambda p, f, l: recognize_greedy(
+        p, cfg, f, l, max_symbols=max(args.max_labels * 2, 8)))
+
+    def run_eval(params):
+        f, flen, lab, lablen = (jnp.asarray(x) for x in dev_batch)
+        dev_loss, _ = eval_fn(params, f, flen, lab, lablen)
+        toks, lens = decode_fn(params, f, flen)
+        per = error_rate(tokens_to_lists(lab, lablen),
+                         tokens_to_lists(toks, lens))
+        return float(dev_loss), per
+
     t_start = time.perf_counter()
     utts = 0
     step_no = start_step
@@ -135,6 +158,12 @@ def main(argv=None):
                 "grad_norm": round(float(info["grad_norm"]), 4),
                 "utt_per_sec": round(utts / dt, 2),
             }), file=sys.stderr)
+        if args.eval_every and step_no % args.eval_every == 0:
+            eval_params = state.params
+            dev_loss, per = run_eval(eval_params)
+            print(json.dumps({"step": step_no,
+                              "dev_loss": round(dev_loss, 4),
+                              "dev_per": round(per, 4)}), file=sys.stderr)
         if args.ckpt_dir and step_no % args.ckpt_every == 0:
             ckpt.save_checkpoint(args.ckpt_dir, step_no,
                                  dataclasses.asdict(state))
