@@ -53,6 +53,8 @@ class TrainConfig:
     warmup_steps: int = 500
     total_steps: int = 100_000
     seed: int = 0
+    # accumulate gradients over k microbatches before each optimizer update
+    grad_accum: int = 1
     # RNN-T loss kernel: "auto" (Pallas on TPU, XLA elsewhere), "pallas", "xla"
     loss_impl: str = "auto"
     # data-parallel mesh axis size (1 = single chip)

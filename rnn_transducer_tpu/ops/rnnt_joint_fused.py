@@ -37,11 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rnn_transducer_tpu.ops.rnnt_loss import (
     NEG_INF,
-    forward_from_lp,
+    forward_from_lp_with_alpha,
     occupancies_from_lp,
 )
 
-TILE_T = 8
+TILE_T = 8       # backward tile
+TILE_T_FWD = 16  # forward tile (separate: fwd VMEM footprint is smaller)
 LANE = 128
 
 
@@ -93,15 +94,15 @@ def joint_lp_fwd(f, g, labels_pad, w, b, blank, cdtype):
     B, T, J = f.shape
     U1p = g.shape[1]
     Vp = w.shape[1]
-    nT = -(-T // TILE_T)
-    out_shape = jax.ShapeDtypeStruct((B, nT * TILE_T, U1p), jnp.float32)
-    out_spec = pl.BlockSpec((1, TILE_T, U1p), lambda b_, t: (b_, t, 0),
+    nT = -(-T // TILE_T_FWD)
+    out_shape = jax.ShapeDtypeStruct((B, nT * TILE_T_FWD, U1p), jnp.float32)
+    out_spec = pl.BlockSpec((1, TILE_T_FWD, U1p), lambda b_, t: (b_, t, 0),
                             memory_space=pltpu.VMEM)
     lpb, lpy = pl.pallas_call(
         functools.partial(_fwd_kernel, blank, cdtype),
         grid=(B, nT),
         in_specs=[
-            pl.BlockSpec((1, TILE_T, J), lambda b_, t: (b_, t, 0),
+            pl.BlockSpec((1, TILE_T_FWD, J), lambda b_, t: (b_, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U1p, J), lambda b_, t: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -264,25 +265,28 @@ def _fused_fwd(f, g, w, b, labels, frame_lens, label_lens, blank,
     lpb, lpy = joint_lp_fwd(f32, g_p, lab, w_c, b_p, blank, compute_dtype)
     lpb = lpb[:, :, :U1]
     lpy = lpy[:, :, :U1]
-    loss = forward_from_lp(lpb, lpy, frame_lens, label_lens)
+    loss, alpha = forward_from_lp_with_alpha(lpb, lpy, frame_lens,
+                                             label_lens)
     # dtype markers: residuals must be arrays, so carry zero-size tagged
     # arrays instead of raw dtypes; b (unpadded, tiny) also records V.
     markers = (jnp.zeros((0,), f.dtype), jnp.zeros((0,), g.dtype),
                jnp.zeros((0,), w.dtype), b)
     residuals = (f32, g_p, w_c, b_p, lab, frame_lens, label_lens, lpb, lpy,
-                 markers)
+                 alpha, markers)
     return loss, residuals
 
 
 def _fused_bwd(blank, compute_dtype, res, gbar):
-    (f32, g_p, w_c, b_p, lab, frame_lens, label_lens, lpb, lpy, markers) = res
+    (f32, g_p, w_c, b_p, lab, frame_lens, label_lens, lpb, lpy, alpha,
+     markers) = res
     f_mk, g_mk, w_mk, b_orig = markers
     f_dt, g_dt, w_dt, b_dt = (f_mk.dtype, g_mk.dtype, w_mk.dtype,
                               b_orig.dtype)
     V = b_orig.shape[0]
     U1 = lpb.shape[2]
     U1p = g_p.shape[1]
-    g_blank, g_y = occupancies_from_lp(lpb, lpy, frame_lens, label_lens)
+    g_blank, g_y = occupancies_from_lp(lpb, lpy, frame_lens, label_lens,
+                                       alpha=alpha)
     scale = gbar[:, None, None]
     pad_u = [(0, 0), (0, 0), (0, U1p - U1)]
     occ = jnp.pad((g_blank + g_y) * scale, pad_u)

@@ -217,6 +217,14 @@ def _beta(lp_blank_m, lp_y_m, accept):
 
 def forward_from_lp(lp_blank, lp_y, frame_lens, label_lens):
     """Loss from pre-extracted blank/label log-probs (B, T, U1)."""
+    loss, _ = forward_from_lp_with_alpha(lp_blank, lp_y, frame_lens,
+                                         label_lens)
+    return loss
+
+
+def forward_from_lp_with_alpha(lp_blank, lp_y, frame_lens, label_lens):
+    """Like forward_from_lp, also returning alpha so a custom backward can
+    reuse it instead of re-running the forward recursion."""
     lp_blank_m, lp_y_m = _masked_transitions(lp_blank, lp_y, frame_lens,
                                              label_lens)
     alpha = _alpha(lp_blank_m, lp_y_m)
@@ -225,18 +233,20 @@ def forward_from_lp(lp_blank, lp_y, frame_lens, label_lens):
     t_last = frame_lens.astype(jnp.int32) - 1
     u_last = label_lens.astype(jnp.int32)
     log_z = alpha[b_idx, t_last, u_last] + lp_blank[b_idx, t_last, u_last]
-    return -log_z
+    return -log_z, alpha
 
 
-def occupancies_from_lp(lp_blank, lp_y, frame_lens, label_lens):
+def occupancies_from_lp(lp_blank, lp_y, frame_lens, label_lens, alpha=None):
     """Blank/emit arc posteriors g_blank, g_y: (B, T, U1) each.
 
     d(-logZ)/d lp_blank = -g_blank; d(-logZ)/d lp_y = -g_y.
+    Pass `alpha` (saved from the forward) to skip re-running its recursion.
     """
     lp_blank_m, lp_y_m = _masked_transitions(lp_blank, lp_y, frame_lens,
                                              label_lens)
     accept = _accept_scores(lp_blank, frame_lens, label_lens)
-    alpha = _alpha(lp_blank_m, lp_y_m)
+    if alpha is None:
+        alpha = _alpha(lp_blank_m, lp_y_m)
     beta = _beta(lp_blank_m, lp_y_m, accept)
     B, T, U1 = lp_blank.shape
     log_z = beta[:, 0, 0]

@@ -51,10 +51,13 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
         decay_steps=max(tcfg.total_steps, tcfg.warmup_steps + 1),
         end_value=tcfg.learning_rate * 0.05,
     )
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip_norm),
         optax.adamw(schedule, weight_decay=tcfg.weight_decay),
     )
+    if tcfg.grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tcfg.grad_accum)
+    return tx
 
 
 def init_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig) -> TrainState:

@@ -49,6 +49,34 @@ def test_prepare_paired_and_train(tmp_path, capsys):
     assert np.isfinite(json.loads(out_line)["final_loss"])
 
 
+def test_prepare_timit_layout_with_sphere(tmp_path, capsys):
+    d = tmp_path / "timit" / "dr1" / "fcjf0"
+    d.mkdir(parents=True)
+    # synthetic NIST SPHERE file (uncompressed PCM16 little-endian)
+    rng = np.random.default_rng(3)
+    pcm = (rng.normal(size=7000) * 3000).astype("<i2")
+    header = (b"NIST_1A\n   1024\n"
+              b"sample_rate -i 16000\n"
+              b"channel_count -i 1\n"
+              b"sample_n_bytes -i 2\n"
+              b"sample_byte_format -s2 01\n"
+              b"sample_coding -s3 pcm\n"
+              b"end_head\n")
+    with open(d / "sa1.wav", "wb") as f:
+        f.write(header.ljust(1024, b" "))
+        f.write(pcm.tobytes())
+    (d / "sa1.phn").write_text(
+        "0 2000 h#\n2000 4000 sh\n4000 6000 iy\n6000 7000 h#\n")
+    out = tmp_path / "out"
+    prepare_manifest.main(["--in-dir", str(tmp_path / "timit"),
+                           "--out-dir", str(out), "--layout", "timit",
+                           "--tokenizer", "phone"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["utts"] == 1 and res["vocab_size"] == 63
+    rec = json.loads((out / "manifest.jsonl").read_text().splitlines()[0])
+    assert len(rec["labels"]) == 4  # h# sh iy h#
+
+
 def test_prepare_librispeech_layout(tmp_path, capsys):
     d = tmp_path / "ls" / "19" / "198"
     d.mkdir(parents=True)

@@ -135,6 +135,35 @@ def test_bucket_stream_shapes_and_drop_accounting():
     assert seen  # at least one bucket produced batches
 
 
+def test_grad_accumulation_matches_big_batch():
+    """k microbatches with grad_accum=k == one optimizer update on their
+    average gradient (equal microbatch sizes)."""
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(11)
+    feats, fl, labels, ll = random_batch(rng, 8, 10, 3, cfg.input_dim,
+                                         cfg.vocab_size)
+    halves = [tuple(jnp.asarray(x[i * 4:(i + 1) * 4]) for x in
+                    (feats, fl, labels, ll)) for i in range(2)]
+    full = tuple(jnp.asarray(x) for x in (feats, fl, labels, ll))
+
+    tcfg_acc = TrainConfig(batch_size=4, learning_rate=1e-3, warmup_steps=5,
+                           total_steps=100, grad_accum=2)
+    s_acc = init_train_state(jax.random.PRNGKey(3), cfg, tcfg_acc)
+    step_acc = make_train_step(cfg, tcfg_acc)
+    for h in halves:
+        s_acc, _ = step_acc(s_acc, *h)
+
+    tcfg_big = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=5,
+                           total_steps=100)
+    s_big = init_train_state(jax.random.PRNGKey(3), cfg, tcfg_big)
+    s_big, _ = make_train_step(cfg, tcfg_big)(s_big, *full)
+
+    for a, e in zip(jax.tree.leaves(s_acc.params),
+                    jax.tree.leaves(s_big.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-5, atol=1e-7)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import dataclasses
     from rnn_transducer_tpu.train.checkpoint import (restore_checkpoint,

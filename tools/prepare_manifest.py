@@ -13,6 +13,8 @@ conversion first (no codec libraries ship in this environment).
 Layouts:
   paired:      <dir>/**/xxx.wav + xxx.txt (transcript next to audio)
   librispeech: <dir>/**/<spk>-<chap>-<utt>.wav + <spk>-<chap>.trans.txt
+  timit:       <dir>/**/xxx.wav|.sph (NIST SPHERE, uncompressed PCM16) +
+               xxx.phn (per-line "start end phone"; use --tokenizer phone)
 
 Usage:
   python tools/prepare_manifest.py --in-dir corpus/ --out-dir data/train \
@@ -32,12 +34,43 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def read_sphere(path: str) -> tuple[np.ndarray, int]:
+    """NIST SPHERE reader (uncompressed PCM16 only — TIMIT distribution)."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if not magic.startswith(b"NIST_1A"):
+            raise ValueError(f"{path}: not a NIST SPHERE file")
+        header_size = int(f.read(8).strip())
+        f.seek(0)
+        header = f.read(header_size).decode("ascii", "ignore")
+        fields = {}
+        for line in header.splitlines()[2:]:
+            parts = line.split()
+            if len(parts) >= 3:
+                fields[parts[0]] = parts[2]
+        if fields.get("sample_coding", "pcm") not in ("pcm", "pcm,embedded-"):
+            raise ValueError(f"{path}: compressed SPHERE unsupported "
+                             f"({fields.get('sample_coding')}) — convert "
+                             "with sph2pipe first")
+        sr = int(fields.get("sample_rate", 16000))
+        f.seek(header_size)
+        pcm = np.frombuffer(f.read(), np.int16)
+        if fields.get("sample_byte_format") == "10":  # big-endian
+            pcm = pcm.byteswap()
+        return pcm.astype(np.float32) / 32768.0, sr
+
+
 def read_audio(path: str) -> tuple[np.ndarray, int]:
     """-> (float32 PCM in [-1, 1], sample_rate)."""
     if path.endswith(".npy"):
         return np.load(path).astype(np.float32), 16000
     if path.endswith(".f32"):
         return np.fromfile(path, np.float32), 16000
+    if path.endswith(".sph"):
+        return read_sphere(path)
+    with open(path, "rb") as probe:
+        if probe.read(8).startswith(b"NIST_1A"):  # TIMIT .wav are SPHERE
+            return read_sphere(path)
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -63,6 +96,21 @@ def iter_paired(in_dir):
                 if os.path.exists(txt):
                     with open(txt) as t:
                         yield os.path.join(root, f), t.read().strip()
+
+
+def iter_timit(in_dir):
+    """TIMIT: audio + .phn phonetic transcription (start end phone lines)."""
+    for root, _, files in os.walk(in_dir):
+        for f in sorted(files):
+            if f.rsplit(".", 1)[-1].lower() in ("wav", "sph"):
+                stem = os.path.join(root, f.rsplit(".", 1)[0])
+                for ext in (".phn", ".PHN"):
+                    if os.path.exists(stem + ext):
+                        with open(stem + ext) as t:
+                            phones = [ln.split()[2] for ln in t
+                                      if len(ln.split()) >= 3]
+                        yield os.path.join(root, f), " ".join(phones)
+                        break
 
 
 def iter_librispeech(in_dir):
@@ -94,7 +142,7 @@ def main(argv=None):
     p.add_argument("--in-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--layout", default="paired",
-                   choices=["paired", "librispeech"])
+                   choices=["paired", "librispeech", "timit"])
     p.add_argument("--tokenizer", default="char", choices=["char", "phone"])
     p.add_argument("--n-mels", type=int, default=80)
     p.add_argument("--max-utts", type=int, default=0)
@@ -105,8 +153,9 @@ def main(argv=None):
     tok = CharTokenizer() if args.tokenizer == "char" else PhonemeTokenizer()
     feats_dir = os.path.join(args.out_dir, "feats")
     os.makedirs(feats_dir, exist_ok=True)
-    it = (iter_paired if args.layout == "paired" else iter_librispeech)(
-        args.in_dir)
+    layouts = {"paired": iter_paired, "librispeech": iter_librispeech,
+               "timit": iter_timit}
+    it = layouts[args.layout](args.in_dir)
     n = 0
     skipped = 0
     with open(os.path.join(args.out_dir, "manifest.jsonl"), "w") as out:
