@@ -111,12 +111,23 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None):
         return loss, grads
 
     def apply(state, loss, grads):
+        # Failure guard: a non-finite loss/grad (rare divergence spikes in
+        # RNN-T training) skips the update instead of corrupting the params.
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        params = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                              params, state.params)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "ndim")
+            else new, opt_state, state.opt_state)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        return new_state, {"loss": loss, "grad_norm": gnorm,
+                           "skipped_nonfinite": (~ok).astype(jnp.int32)}
 
     if mesh is None:
         def step_fn(state, feats, feat_lens, labels, label_lens):

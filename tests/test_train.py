@@ -135,6 +135,25 @@ def test_bucket_stream_shapes_and_drop_accounting():
     assert seen  # at least one bucket produced batches
 
 
+def test_nonfinite_batch_skips_update():
+    cfg = _tiny_cfg()
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-2, warmup_steps=1,
+                       total_steps=100)
+    state = init_train_state(jax.random.PRNGKey(5), cfg, tcfg)
+    step = make_train_step(cfg, tcfg)
+    rng = np.random.default_rng(5)
+    feats, fl, labels, ll = random_batch(rng, 4, 8, 3, cfg.input_dim,
+                                         cfg.vocab_size)
+    feats[0, 0, 0] = np.nan
+    params_before = [np.asarray(x) for x in jax.tree.leaves(state.params)]
+    state, info = step(state, jnp.asarray(feats), jnp.asarray(fl),
+                       jnp.asarray(labels), jnp.asarray(ll))
+    assert int(info["skipped_nonfinite"]) == 1
+    for a, b in zip(params_before, jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert int(state.step) == 1  # step counter still advances
+
+
 def test_grad_accumulation_matches_big_batch():
     """k microbatches with grad_accum=k == one optimizer update on their
     average gradient (equal microbatch sizes)."""
