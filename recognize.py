@@ -24,7 +24,7 @@ def parse_args(argv=None):
     p.add_argument("--config", default="smoke")
     p.add_argument("--data", default="synthetic")
     p.add_argument("--mode", default="greedy",
-                   choices=["greedy", "beam", "streaming"])
+                   choices=["greedy", "beam", "streaming", "streaming_beam"])
     p.add_argument("--beam", type=int, default=8)
     p.add_argument("--expansions", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=8)
@@ -73,6 +73,15 @@ def main(argv=None):
                 params, cfg, f, l, beam=args.beam,
                 max_symbols=args.max_symbols,
                 expansions=args.expansions))(f, l)
+            return toks[:, 0], lens[:, 0]
+    elif args.mode == "streaming_beam":
+        from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam
+
+        def decode(f, l):
+            toks, lens, _ = stream_transcribe_beam(
+                params, cfg, f, l, chunk_frames=args.chunk_frames,
+                beam=args.beam, max_symbols=args.max_symbols,
+                expansions=args.expansions)
             return toks[:, 0], lens[:, 0]
     else:
         decode = lambda f, l: stream_transcribe(

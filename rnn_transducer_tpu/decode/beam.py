@@ -37,19 +37,41 @@ from rnn_transducer_tpu.models.config import TransducerConfig
 NEG_INF = -1.0e30
 
 
+def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
+                    beam: int = 8, max_symbols: int = 200):
+    """Initial beam carry: beam 0 = empty prefix, others dead. The same
+    structure is threaded across frames — and across chunks for streaming
+    beam decoding (decode/streaming.py)."""
+    B, K, U = batch, beam, max_symbols
+    tokens0 = jnp.full((B, K, U), cfg.blank, jnp.int32)
+    lens0 = jnp.zeros((B, K), jnp.int32)
+    scores0 = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    pred0, states0 = m.predict_step(
+        params, cfg, jnp.full((B * K,), cfg.blank, jnp.int32),
+        m.init_pred_state(cfg, B * K))
+    pred0 = pred0.reshape(B, K, -1)
+    states0 = jax.tree.map(lambda x: x.reshape((B, K) + x.shape[1:]),
+                           states0)
+    return (tokens0, lens0, scores0, pred0, states0)
+
+
 def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
-                beam: int = 8, max_symbols: int = 200, expansions: int = 3):
+                beam: int = 8, max_symbols: int = 200, expansions: int = 3,
+                beam_state=None):
     """Beam-search decode a batch of encoded utterances.
 
     Args:
       enc_out: (B, T, De); enc_lens: (B,).
       beam: beam width K. max_symbols: static cap on emitted labels.
       expansions: max label emissions per frame before a forced blank.
+      beam_state: carried beams from a previous chunk (streaming); None
+        starts fresh utterances.
 
     Returns:
       tokens: (B, K, max_symbols) int32 blank-padded, best beam first.
       lengths: (B, K) int32.
       scores: (B, K) f32 merged log-probabilities.
+      beam_state: carry for the next chunk (unsorted).
     """
     B, T, De = enc_out.shape
     K, U = beam, max_symbols
@@ -62,15 +84,9 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
     def unflat(x):
         return x.reshape((B, K) + x.shape[1:])
 
-    # --- initial beams: beam 0 = empty prefix, others dead ----------------
-    tokens0 = jnp.full((B, K, U), cfg.blank, jnp.int32)
-    lens0 = jnp.zeros((B, K), jnp.int32)
-    scores0 = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
-    pred0, states0 = m.predict_step(
-        params, cfg, jnp.full((B * K,), cfg.blank, jnp.int32),
-        m.init_pred_state(cfg, B * K))
-    pred0 = unflat(pred0)
-    states0 = jax.tree.map(unflat, states0)
+    if beam_state is None:
+        beam_state = init_beam_state(params, cfg, B, beam=K, max_symbols=U)
+    tokens0, lens0, scores0, pred0, states0 = beam_state
 
     def frame_step(t, carry):
         tokens, lens, scores, pred_out, states = carry
@@ -171,13 +187,14 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
                 jax.tree.map(pick, n_st, states))
 
     carry = (tokens0, lens0, scores0, pred0, states0)
-    tokens, lens, scores, _, _ = jax.lax.fori_loop(0, T, frame_step, carry)
+    carry = jax.lax.fori_loop(0, T, frame_step, carry)
+    tokens, lens, scores, _, _ = carry
     # sort beams by score descending
     order = jnp.argsort(-scores, axis=-1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
     lens = jnp.take_along_axis(lens, order, axis=1)
     scores = jnp.take_along_axis(scores, order, axis=1)
-    return tokens, lens, scores
+    return tokens, lens, scores, carry
 
 
 def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
@@ -185,5 +202,7 @@ def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
                    expansions: int = 3):
     """Features -> N-best label sequences (reference `beam_search` API)."""
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
-    return beam_search(params, cfg, enc_out, enc_lens, beam=beam,
-                       max_symbols=max_symbols, expansions=expansions)
+    tokens, lens, scores, _ = beam_search(
+        params, cfg, enc_out, enc_lens, beam=beam,
+        max_symbols=max_symbols, expansions=expansions)
+    return tokens, lens, scores

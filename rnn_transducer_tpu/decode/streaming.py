@@ -65,6 +65,55 @@ def stream_chunk(params, cfg: TransducerConfig, state: StreamState,
         tokens, lens
 
 
+def init_stream_beam(params, cfg: TransducerConfig, batch: int, *,
+                     beam: int = 8, max_symbols: int = 200) -> StreamState:
+    from rnn_transducer_tpu.decode.beam import init_beam_state
+    return StreamState(
+        enc_state=m.init_enc_state(cfg, batch),
+        decode_state=init_beam_state(params, cfg, batch, beam=beam,
+                                     max_symbols=max_symbols))
+
+
+def stream_chunk_beam(params, cfg: TransducerConfig, state: StreamState,
+                      feats_chunk, chunk_lens, *, beam: int = 8,
+                      max_symbols: int = 200, expansions: int = 3):
+    """Streaming beam search: beams (with prefix merging) carry across
+    chunks. Returns (state', tokens (B,K,U), lens (B,K), scores (B,K))."""
+    from rnn_transducer_tpu.decode.beam import beam_search
+    enc_out, enc_lens, enc_state = m.encode_chunk(
+        params, cfg, feats_chunk, chunk_lens, state.enc_state)
+    tokens, lens, scores, beam_state = beam_search(
+        params, cfg, enc_out, enc_lens, beam=beam,
+        max_symbols=max_symbols, expansions=expansions,
+        beam_state=state.decode_state)
+    return (StreamState(enc_state=enc_state, decode_state=beam_state),
+            tokens, lens, scores)
+
+
+def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
+                           chunk_frames: int, *, beam: int = 8,
+                           max_symbols: int = 200, expansions: int = 3):
+    """Whole padded batch through the streaming beam path (cf.
+    stream_transcribe). Returns (tokens (B,K,U), lens, scores)."""
+    B, T, F = feats.shape
+    n_chunks = -(-T // chunk_frames)
+    pad = n_chunks * chunk_frames - T
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    state = init_stream_beam(params, cfg, B, beam=beam,
+                             max_symbols=max_symbols)
+    step = jax.jit(functools.partial(stream_chunk_beam, params, cfg,
+                                     beam=beam, max_symbols=max_symbols,
+                                     expansions=expansions))
+    tokens = lens = scores = None
+    for i in range(n_chunks):
+        sl = feats[:, i * chunk_frames: (i + 1) * chunk_frames]
+        cl = jnp.clip(feat_lens.astype(jnp.int32) - i * chunk_frames, 0,
+                      chunk_frames)
+        state, tokens, lens, scores = step(state, sl, cl)
+    return tokens, lens, scores
+
+
 def stream_transcribe(params, cfg: TransducerConfig, feats, feat_lens,
                       chunk_frames: int, max_symbols: int = 200):
     """Convenience: run a whole padded batch through the streaming path.

@@ -76,7 +76,7 @@ def test_device_beam_matches_host_reference():
     feat_lens = jnp.asarray(np.array([5, 3, 4], np.int32))
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
     K, E, U = 4, 2, 8
-    tokens, lens, scores = jax.jit(
+    tokens, lens, scores, _ = jax.jit(
         lambda e, el: beam_search(params, cfg, e, el, beam=K, max_symbols=U,
                                   expansions=E))(enc_out, enc_lens)
     tokens, lens, scores = map(np.asarray, (tokens, lens, scores))
@@ -128,8 +128,9 @@ def test_prefix_merge_accumulates_paths():
     feats = jnp.asarray(rng.normal(size=(1, 4, cfg.input_dim)), jnp.float32)
     feat_lens = jnp.asarray(np.array([4], np.int32))
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
-    tokens, lens, scores = beam_search(params, cfg, enc_out, enc_lens,
-                                       beam=8, max_symbols=6, expansions=3)
+    tokens, lens, scores, _ = beam_search(params, cfg, enc_out, enc_lens,
+                                          beam=8, max_symbols=6,
+                                          expansions=3)
     b0 = np.asarray(scores)[0, 0]
     # exact total log-prob of the winning prefix via the RNN-T loss oracle
     from rnn_transducer_tpu.ops.rnnt_oracle import rnnt_loss_oracle

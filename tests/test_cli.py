@@ -39,7 +39,7 @@ def test_train_cli_data_parallel(capsys):
     assert np.isfinite(res["final_loss"])
 
 
-@pytest.mark.parametrize("mode", ["greedy", "beam", "streaming"])
+@pytest.mark.parametrize("mode", ["greedy", "beam", "streaming", "streaming_beam"])
 def test_recognize_cli_modes(mode, capsys):
     argv = ["--config", "smoke", "--mode", mode, "--batch-size", "2",
             "--batches", "1", "--max-symbols", "16", "--beam", "3",

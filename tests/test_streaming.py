@@ -70,6 +70,34 @@ def test_streaming_transcript_grows_monotonically():
         prev_tokens, prev_lens = np.asarray(tokens), lens_np
 
 
+def test_streaming_beam_matches_offline_beam():
+    from rnn_transducer_tpu.decode.beam import recognize_beam
+    from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam
+    from rnn_transducer_tpu.models import transducer as m
+    cfg = _cfg()
+    params = m.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    B, T = 2, 16
+    feats = np.zeros((B, T, cfg.input_dim), np.float32)
+    feat_lens = np.array([16, 11], np.int32)
+    for b in range(B):
+        feats[b, : feat_lens[b]] = rng.normal(
+            size=(feat_lens[b], cfg.input_dim))
+    feats, feat_lens = jnp.asarray(feats), jnp.asarray(feat_lens)
+    off_tok, off_len, off_sc = recognize_beam(
+        params, cfg, feats, feat_lens, beam=4, max_symbols=10, expansions=2)
+    st_tok, st_len, st_sc = stream_transcribe_beam(
+        params, cfg, feats, feat_lens, chunk_frames=8, beam=4,
+        max_symbols=10, expansions=2)
+    np.testing.assert_allclose(np.asarray(st_sc), np.asarray(off_sc),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st_len), np.asarray(off_len))
+    for b in range(B):
+        L = int(off_len[b, 0])
+        np.testing.assert_array_equal(np.asarray(st_tok[b, 0, :L]),
+                                      np.asarray(off_tok[b, 0, :L]))
+
+
 def test_streaming_rejects_bidirectional():
     from rnn_transducer_tpu.models import transducer as m
     cfg = TransducerConfig(enc_layers=1, enc_hidden=8, bidirectional=True,
