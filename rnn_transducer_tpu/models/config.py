@@ -34,6 +34,9 @@ class TransducerConfig:
     blank: int = 0
     # numerics
     compute_dtype: str = "bfloat16"  # matmul dtype; params/cell state fp32
+    # rematerialize encoder layers in the backward pass (trade FLOPs for
+    # HBM when training long utterances / big batches)
+    remat_encoder: bool = False
 
     @property
     def enc_out_dim(self) -> int:

@@ -91,12 +91,17 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens):
     x = mask_padding(feats.astype(jnp.float32), feat_lens)
     lens = feat_lens
     cd = cfg.cdtype
-    for i, layer in enumerate(params["encoder"]):
+
+    def run_layer(layer, x, lens):
         if cfg.bidirectional:
-            x = bilstm_layer(layer["fwd"], layer["bwd"], x, lens,
-                             compute_dtype=cd)
-        else:
-            x, _ = lstm_layer(layer, x, compute_dtype=cd)
+            return bilstm_layer(layer["fwd"], layer["bwd"], x, lens,
+                                compute_dtype=cd)
+        return lstm_layer(layer, x, compute_dtype=cd)[0]
+
+    if cfg.remat_encoder:
+        run_layer = jax.checkpoint(run_layer)
+    for i, layer in enumerate(params["encoder"]):
+        x = run_layer(layer, x, lens)
         x = mask_padding(x, lens)
         if i == 0 and cfg.time_reduction > 1:
             x, lens = _time_reduce(x, lens, cfg.time_reduction)

@@ -50,6 +50,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def fused_supported(u1: int, j: int, v: int) -> bool:
+    """Rough VMEM feasibility check for the fused kernels.
+
+    The backward holds ~4 (TILE_T, U1p, Vp) f32 tiles (logits/probs/
+    dlogits + epilogue) plus z and the weights; reject configs that cannot
+    fit so callers fall back to the two-pass Pallas loss.
+    """
+    u1p = -(-u1 // 8) * 8
+    vp = -(-v // LANE) * LANE
+    jbytes = j * vp * 4 + j * vp * 4  # W (compute) + dW accumulator
+    tile_bytes = 4 * TILE_T * u1p * vp * 4 + 2 * TILE_T * u1p * j * 4
+    return jbytes + tile_bytes < 12 * 1024 * 1024
+
+
 def _pad_axis(x, axis, mult, value=0.0):
     size = x.shape[axis]
     target = -(-size // mult) * mult

@@ -75,7 +75,13 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
     joint + loss run as one Pallas op (ops/rnnt_joint_fused.py).
     """
     if loss_impl == "auto":
-        loss_impl = "fused" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu":
+            from rnn_transducer_tpu.ops.rnnt_joint_fused import fused_supported
+            loss_impl = ("fused" if fused_supported(
+                labels.shape[1] + 1, cfg.joint_dim, cfg.vocab_size)
+                else "pallas")
+        else:
+            loss_impl = "xla"
     if loss_impl == "fused":
         from rnn_transducer_tpu.ops.rnnt_joint_fused import rnnt_loss_fused
         enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)

@@ -89,6 +89,28 @@ def test_joint_step_matches_full_joint():
                                atol=1e-5)
 
 
+def test_remat_encoder_same_values_and_grads():
+    cfg = TransducerConfig(enc_layers=2, enc_hidden=16, pred_hidden=16,
+                           embed_dim=8, joint_dim=16, vocab_size=9,
+                           input_dim=4, compute_dtype="float32")
+    cfg_r = TransducerConfig(**{**cfg.__dict__, "remat_encoder": True})
+    params = m.init_params(jax.random.PRNGKey(8), cfg)
+    feats, feat_lens, labels, label_lens = _batch(cfg, T=10, U=3)
+
+    def loss(c):
+        def f(p):
+            logits, enc_lens = m.forward(p, c, feats, feat_lens, labels)
+            return rnnt_loss_mean(logits, labels, enc_lens, label_lens)
+        return f
+
+    v1, g1 = jax.value_and_grad(loss(cfg))(params)
+    v2, g2 = jax.value_and_grad(loss(cfg_r))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, e in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_end_to_end_loss_and_grad():
     cfg = config_timit()
     # shrink for test speed, keep bi + time structure
