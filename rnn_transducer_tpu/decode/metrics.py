@@ -85,11 +85,3 @@ class RtfMeter:
             "n": len(self.latencies),
         }
 
-
-class Timer:
-    def __enter__(self):
-        self.t0 = time.perf_counter()
-        return self
-
-    def __exit__(self, *exc):
-        self.wall_s = time.perf_counter() - self.t0

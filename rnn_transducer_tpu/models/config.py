@@ -8,7 +8,6 @@ unreadable reference (SURVEY.md §A).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

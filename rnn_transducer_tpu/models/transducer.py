@@ -146,7 +146,7 @@ def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
     return x, lens, new_state
 
 
-def predict(params: Params, cfg: TransducerConfig, labels, *, h0c0=None):
+def predict(params: Params, cfg: TransducerConfig, labels):
     """Prediction network over blank-prefixed labels.
 
     labels: (B, U) -> outputs (B, U+1, pred_hidden): position u conditions on

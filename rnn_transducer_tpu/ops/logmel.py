@@ -16,7 +16,6 @@ triangular filters) and closed over as a constant.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

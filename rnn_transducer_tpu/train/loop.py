@@ -143,7 +143,7 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None):
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     def shard_fn(state, feats, feat_lens, labels, label_lens):
         loss, grads = grads_and_metrics(state.params, feats, feat_lens,
