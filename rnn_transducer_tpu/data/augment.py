@@ -1,0 +1,41 @@
+"""SpecAugment (Park et al. 2019): time/frequency masking on log-mel.
+
+Standard augmentation for this model family. Fully jittable: masks are
+sampled with jax.random and applied as multiplicative zero-masks, so the
+augmentation runs on-device inside the train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def spec_augment(key, feats, feat_lens, *, n_time_masks: int = 2,
+                 time_mask_frames: int = 20, n_freq_masks: int = 2,
+                 freq_mask_bins: int = 15):
+    """feats: (B, T, F) -> masked copy. Masks never exceed valid frames."""
+    B, T, F = feats.shape
+    keys = jax.random.split(key, 4)
+    t_ids = jnp.arange(T, dtype=jnp.int32)[None, None, :]  # (1, 1, T)
+    f_ids = jnp.arange(F, dtype=jnp.int32)[None, None, :]  # (1, 1, F)
+
+    # time masks: starts in [0, len - w], widths in [0, time_mask_frames]
+    tw = jax.random.randint(keys[0], (B, n_time_masks), 0,
+                            time_mask_frames + 1)
+    max_start = jnp.maximum(
+        feat_lens.astype(jnp.int32)[:, None] - tw, 1)
+    ts = jax.random.randint(keys[1], (B, n_time_masks), 0, T)
+    ts = ts % max_start
+    t_masked = jnp.any(
+        (t_ids >= ts[:, :, None]) & (t_ids < (ts + tw)[:, :, None]), axis=1)
+
+    fw = jax.random.randint(keys[2], (B, n_freq_masks), 0,
+                            freq_mask_bins + 1)
+    fs = jax.random.randint(keys[3], (B, n_freq_masks), 0,
+                            jnp.maximum(F - freq_mask_bins, 1))
+    f_masked = jnp.any(
+        (f_ids >= fs[:, :, None]) & (f_ids < (fs + fw)[:, :, None]), axis=1)
+
+    keep = (~t_masked)[:, :, None] & (~f_masked)[:, None, :]  # (B, T, F)
+    return jnp.where(keep, feats, 0.0)

@@ -172,16 +172,16 @@ def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
         db_ref[:] = jnp.zeros_like(db_ref[:])
 
     # dW += z^T @ dlogits over the (t, u) tile. Mosaic only supports a
-    # single contracting dim, so unroll the small static t axis.
-    z_c = z.astype(cdtype)
-    dw_acc = jax.lax.dot_general(
-        z_c[0], dl_c[0], dimension_numbers=(((0,), (0,)), ((), ())),
+    # single contracting dim; collapse the sublane-aligned (t, u) dims
+    # (U1p is a multiple of 8) into one contraction axis.
+    U1p = z.shape[1]
+    J = z.shape[2]
+    Vp = dl_c.shape[2]
+    z2 = z.astype(cdtype).reshape(TILE_T * U1p, J)
+    dl2 = dl_c.reshape(TILE_T * U1p, Vp)
+    dw_ref[:] += jax.lax.dot_general(
+        z2, dl2, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    for tt in range(1, TILE_T):
-        dw_acc += jax.lax.dot_general(
-            z_c[tt], dl_c[tt], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    dw_ref[:] += dw_acc
     db_ref[0] += jnp.sum(dlogits, axis=(0, 1))
 
 

@@ -44,7 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--max-frames", type=int, default=200)
     p.add_argument("--max-labels", type=int, default=20)
     p.add_argument("--loss-impl", default="auto",
-                   choices=["auto", "pallas", "xla"])
+                   choices=["auto", "fused", "pallas", "xla"])
+    p.add_argument("--spec-augment", action="store_true",
+                   help="apply SpecAugment time/freq masking on features")
     return p.parse_args(argv)
 
 
@@ -141,10 +143,17 @@ def main(argv=None):
     utts = 0
     step_no = start_step
     info = {"loss": float("nan"), "grad_norm": float("nan")}
+    if args.spec_augment:
+        from rnn_transducer_tpu.data.augment import spec_augment
+        aug_fn = jax.jit(spec_augment)
+        aug_key = jax.random.PRNGKey(args.seed + 777)
     for i, (feats, fl, labels, ll) in enumerate(batches):
         if i >= args.steps - start_step:
             break
         batch = tuple(jnp.asarray(x) for x in (feats, fl, labels, ll))
+        if args.spec_augment:
+            aug_key, k = jax.random.split(aug_key)
+            batch = (aug_fn(k, batch[0], batch[1]),) + batch[1:]
         if mesh is not None:
             batch = shard_batch(mesh, batch)
         state, info = step_fn(state, *batch)
