@@ -68,11 +68,12 @@ def main(argv=None):
         decode = jax.jit(lambda f, l: recognize_greedy(
             params, cfg, f, l, max_symbols=args.max_symbols))
     elif args.mode == "beam":
+        beam_jit = jax.jit(lambda f, l: recognize_beam(
+            params, cfg, f, l, beam=args.beam,
+            max_symbols=args.max_symbols, expansions=args.expansions))
+
         def decode(f, l):
-            toks, lens, _ = jax.jit(lambda f, l: recognize_beam(
-                params, cfg, f, l, beam=args.beam,
-                max_symbols=args.max_symbols,
-                expansions=args.expansions))(f, l)
+            toks, lens, _ = beam_jit(f, l)
             return toks[:, 0], lens[:, 0]
     elif args.mode == "streaming_beam":
         from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam
