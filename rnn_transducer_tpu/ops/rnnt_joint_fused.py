@@ -75,15 +75,20 @@ def _pad_axis(x, axis, mult, value=0.0):
 
 
 def _joint_tile(f_ref, g_ref, w_ref, b_ref, cdtype):
-    """z (TILE_T, U1p, J) f32 and logits (TILE_T, U1p, Vp) f32 in VMEM."""
-    f = f_ref[0]  # (TILE_T, J)
+    """z (tile, U1p, J) f32 and logits (tile, U1p, Vp) f32 in VMEM.
+
+    The matmul runs on the sublane-collapsed 2D view (tile*U1p, J) — U1p is
+    a multiple of 8, so the collapse/split are free relayouts and the MXU
+    sees one tall matmul instead of a batched 3D contraction.
+    """
+    f = f_ref[0]  # (tile, J)
     g = g_ref[0]  # (U1p, J)
+    tile, U1p, J = f.shape[0], g.shape[0], g.shape[1]
+    Vp = w_ref.shape[1]
     z = jnp.tanh(f[:, None, :] + g[None, :, :])
-    logits = jax.lax.dot_general(
-        z.astype(cdtype), w_ref[:],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (TILE_T, U1p, Vp)
+    logits2 = jnp.dot(z.astype(cdtype).reshape(tile * U1p, J), w_ref[:],
+                      preferred_element_type=jnp.float32)
+    logits = logits2.reshape(tile, U1p, Vp)
     return z, logits + b_ref[0][None, None, :]
 
 
@@ -152,12 +157,14 @@ def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
     dlogits = dlogits - jnp.where(col == lab[None, :, None],
                                   gy_ref[0][:, :, None], 0.0)
     dl_c = dlogits.astype(cdtype)
-    # dz = (dlogits @ W^T) * (1 - z^2)
-    dz = jax.lax.dot_general(
-        dl_c, w_ref[:],
-        dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * (1.0 - z * z)  # (TILE_T, U1p, J)
+    # dz = (dlogits @ W^T) * (1 - z^2), on the collapsed 2D view
+    U1p_, J_ = z.shape[1], z.shape[2]
+    Vp_ = dl_c.shape[2]
+    dz2 = jax.lax.dot_general(
+        dl_c.reshape(TILE_T * U1p_, Vp_), w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dz = dz2.reshape(TILE_T, U1p_, J_) * (1.0 - z * z)
     df_ref[0] = jnp.sum(dz, axis=1)
 
     @pl.when(t_idx == 0)
