@@ -64,16 +64,19 @@ def main(argv=None):
         print(f"loaded checkpoint step {step}", file=sys.stderr)
     params = state.params
 
+    # NOTE: params is always a traced jit argument — capturing it in the
+    # closure would inline the weights into the compiled program.
     if args.mode == "greedy":
-        decode = jax.jit(lambda f, l: recognize_greedy(
-            params, cfg, f, l, max_symbols=args.max_symbols))
+        greedy_jit = jax.jit(lambda p, f, l: recognize_greedy(
+            p, cfg, f, l, max_symbols=args.max_symbols))
+        decode = lambda f, l: greedy_jit(params, f, l)
     elif args.mode == "beam":
-        beam_jit = jax.jit(lambda f, l: recognize_beam(
-            params, cfg, f, l, beam=args.beam,
+        beam_jit = jax.jit(lambda p, f, l: recognize_beam(
+            p, cfg, f, l, beam=args.beam,
             max_symbols=args.max_symbols, expansions=args.expansions))
 
         def decode(f, l):
-            toks, lens, _ = beam_jit(f, l)
+            toks, lens, _ = beam_jit(params, f, l)
             return toks[:, 0], lens[:, 0]
     elif args.mode == "streaming_beam":
         from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam

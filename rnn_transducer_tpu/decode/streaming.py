@@ -102,15 +102,15 @@ def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
         feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
     state = init_stream_beam(params, cfg, B, beam=beam,
                              max_symbols=max_symbols)
-    step = jax.jit(functools.partial(stream_chunk_beam, params, cfg,
-                                     beam=beam, max_symbols=max_symbols,
-                                     expansions=expansions))
+    step = jax.jit(lambda p, s, x, l: stream_chunk_beam(
+        p, cfg, s, x, l, beam=beam, max_symbols=max_symbols,
+        expansions=expansions))
     tokens = lens = scores = None
     for i in range(n_chunks):
         sl = feats[:, i * chunk_frames: (i + 1) * chunk_frames]
         cl = jnp.clip(feat_lens.astype(jnp.int32) - i * chunk_frames, 0,
                       chunk_frames)
-        state, tokens, lens, scores = step(state, sl, cl)
+        state, tokens, lens, scores = step(params, state, sl, cl)
     return tokens, lens, scores
 
 
@@ -129,11 +129,14 @@ def stream_transcribe(params, cfg: TransducerConfig, feats, feat_lens,
     state = init_stream(params, cfg, B, max_symbols)
     tokens = None
     lens = None
-    step = jax.jit(functools.partial(stream_chunk, params, cfg,
-                                     max_symbols=max_symbols))
+    # params must be a traced argument (not a closure constant): captured
+    # arrays are inlined into the HLO, which at 6x1024 scale makes the
+    # program itself hundreds of MB.
+    step = jax.jit(lambda p, s, x, l: stream_chunk(
+        p, cfg, s, x, l, max_symbols=max_symbols))
     for i in range(n_chunks):
         sl = feats[:, i * chunk_frames: (i + 1) * chunk_frames]
         cl = jnp.clip(feat_lens.astype(jnp.int32) - i * chunk_frames, 0,
                       chunk_frames)
-        state, tokens, lens = step(state, sl, cl)
+        state, tokens, lens = step(params, state, sl, cl)
     return tokens, lens

@@ -72,9 +72,14 @@ def lstm_layer(params, x, h0=None, c0=None, *, compute_dtype=jnp.bfloat16,
     H = params["w_hh"].shape[0]
     if impl != "scan":
         from rnn_transducer_tpu.ops import lstm_pallas
+        # Auto-dispatch only for long sequences: for short ones (e.g. the
+        # prediction network over labels) XLA places the kernel's full
+        # dgates output in VMEM, which can exceed the 16 MB budget at
+        # large H — and the scan path is already fast there.
+        long_enough = B * T * 4 * H * 4 > 24 * 1024 * 1024
         if impl == "pallas" or (
                 impl == "auto" and jax.default_backend() == "tpu"
-                and lstm_pallas.supported(B, H)):
+                and lstm_pallas.supported(B, H) and long_enough):
             return lstm_pallas.lstm_layer_pallas(
                 params, x, h0, c0, compute_dtype=compute_dtype)
     x_proj = (

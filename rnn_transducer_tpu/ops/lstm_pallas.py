@@ -48,7 +48,16 @@ def _tile_b(B: int, H: int) -> int:
 
 
 def supported(B: int, H: int) -> bool:
-    return H % LANE == 0 and B % 8 == 0
+    """Lane-aligned shapes up to H=512.
+
+    H=1024 currently fails on VMEM: the unrolled backward's per-step gate
+    intermediates plus the 8 MB bf16 W_hh exceed the 16 MB budget, and the
+    non-unrolled variant needs dynamic sublane indexing Mosaic cannot prove
+    aligned. Fix would be transposing tiles to (1, TILE_T, BT, H4) so the
+    time index lands on an untiled leading dim — future work; the scan
+    path handles large H meanwhile.
+    """
+    return H % LANE == 0 and H <= 512 and B % 8 == 0
 
 
 def _split4(gates, H):
@@ -135,9 +144,8 @@ def _bwd_kernel(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
         dh_s[:] = jnp.zeros_like(dh_s[:])
         dc_s[:] = dcT_ref[:]
 
-    dh = dh_s[:]
-    dc_carry = dc_s[:]
-    for i in reversed(range(TILE_T)):
+    def step(i, carry):
+        dh, dc_carry = carry
         # Steps past the true sequence end (time padding in the last tile)
         # must leave the dh/dc carries untouched — the dcT init would
         # otherwise decay through the pad before reaching the real T-1.
@@ -169,6 +177,12 @@ def _bwd_kernel(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dh = jnp.where(valid, dh_new, dh)
+        return dh, dc_carry
+
+    carry = (dh_s[:], dc_s[:])
+    for i in reversed(range(TILE_T)):  # static unroll: aligned indexing
+        carry = step(i, carry)
+    dh, dc_carry = carry
     dh_s[:] = dh
     dc_s[:] = dc_carry
     dh0_ref[:] = dh

@@ -17,6 +17,7 @@ def test_supported_predicate():
     assert supported(32, 512)
     assert not supported(8, 320)  # TIMIT hidden size -> scan fallback
     assert not supported(3, 128)
+    assert not supported(8, 1024)  # large-H VMEM limit -> scan fallback
 
 
 def test_fwd_matches_scan():
