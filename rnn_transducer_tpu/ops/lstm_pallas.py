@@ -48,16 +48,17 @@ def _tile_b(B: int, H: int) -> int:
 
 
 def supported(B: int, H: int) -> bool:
-    """Lane-aligned shapes up to H=512.
+    """Lane-aligned shapes; H > 512 uses the time-major (v2) kernels."""
+    return H % LANE == 0 and H <= 2048 and B % 8 == 0
 
-    H=1024 currently fails on VMEM: the unrolled backward's per-step gate
-    intermediates plus the 8 MB bf16 W_hh exceed the 16 MB budget, and the
-    non-unrolled variant needs dynamic sublane indexing Mosaic cannot prove
-    aligned. Fix would be transposing tiles to (1, TILE_T, BT, H4) so the
-    time index lands on an untiled leading dim — future work; the scan
-    path handles large H meanwhile.
-    """
-    return H % LANE == 0 and H <= 512 and B % 8 == 0
+
+def _use_v2(H: int) -> bool:
+    """H > 512: W_hh alone is >=8 MB bf16, so the unrolled inner loop's
+    live intermediates blow VMEM. The v2 kernels use time-major tiles
+    (1, TILE_T, BT, H*) — the loop index lands on an untiled leading dim,
+    which makes lax.fori_loop indexing legal and keeps only one step's
+    intermediates live."""
+    return H > 512
 
 
 def _split4(gates, H):
@@ -246,17 +247,189 @@ def _lstm_core_bwd(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
     return dx, dw_hh, dh0, dc0
 
 
+# --------------------- v2: time-major tiles (large H) --------------------
+
+def _fwd_kernel_v2(cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
+                   h_s, c_s):
+    t_idx = pl.program_id(1)
+    H = h0_ref.shape[1]
+
+    @pl.when(t_idx == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    def step(i, carry):
+        h, c = carry
+        gates = x_ref[0, i, :, :] + jnp.dot(
+            h.astype(cdtype), w_ref[:], preferred_element_type=jnp.float32)
+        i_, f_, g_, o_ = _split4(gates, H)
+        c = jax.nn.sigmoid(f_) * c + jax.nn.sigmoid(i_) * jnp.tanh(g_)
+        h = jax.nn.sigmoid(o_) * jnp.tanh(c)
+        hs_ref[0, i, :, :] = h
+        cs_ref[0, i, :, :] = c
+        return h, c
+
+    h, c = jax.lax.fori_loop(0, TILE_T, step, (h_s[:], c_s[:]))
+    h_s[:] = h
+    c_s[:] = c
+
+
+def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype):
+    B, T, H4 = x_proj.shape
+    H = H4 // 4
+    BT = min(B, 8)
+    nB = B // BT
+    nT = -(-T // TILE_T)
+    Tp = nT * TILE_T
+    if Tp != T:
+        x_proj = jnp.pad(x_proj, ((0, 0), (0, Tp - T), (0, 0)))
+    # time-major tiles: (nB, Tp, BT, H4); batch tile = sublane dim (BT=8)
+    x4 = x_proj.reshape(nB, BT, Tp, H4).transpose(0, 2, 1, 3)
+    w_c = w_hh.astype(cdtype)
+    out_shape = jax.ShapeDtypeStruct((nB, Tp, BT, H), jnp.float32)
+    out_spec = pl.BlockSpec((1, TILE_T, BT, H), lambda b, t: (b, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    hs, cs = pl.pallas_call(
+        functools.partial(_fwd_kernel_v2, cdtype),
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((1, TILE_T, BT, H4), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x4, h0, c0, w_c)
+    hs = hs.transpose(0, 2, 1, 3).reshape(B, Tp, H)[:, :T]
+    cs = cs.transpose(0, 2, 1, 3).reshape(B, Tp, H)[:, :T]
+    return hs, cs
+
+
+def _bwd_kernel_v2(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
+                   dcT_ref, w_ref, dx_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+    t_idx = pl.program_id(1)
+    H = dcT_ref.shape[1]
+
+    @pl.when(t_idx == 0)
+    def _():
+        dh_s[:] = jnp.zeros_like(dh_s[:])
+        dc_s[:] = dcT_ref[:]
+
+    def step(k, carry):
+        i = TILE_T - 1 - k
+        dh, dc_carry = carry
+        t_global = (nT - 1 - t_idx) * TILE_T + i
+        valid = t_global < T
+        gates = x_ref[0, i, :, :] + jnp.dot(
+            hp_ref[0, i, :, :], w_ref[:], preferred_element_type=jnp.float32)
+        i_l, f_l, g_l, o_l = _split4(gates, H)
+        i_s = jax.nn.sigmoid(i_l)
+        f_s = jax.nn.sigmoid(f_l)
+        g_t = jnp.tanh(g_l)
+        o_s = jax.nn.sigmoid(o_l)
+        tc = jnp.tanh(cs_ref[0, i, :, :])
+        dh_tot = dhs_ref[0, i, :, :] + dh
+        do = dh_tot * tc
+        dc = dc_carry + dh_tot * o_s * (1.0 - tc * tc)
+        di = dc * g_t
+        dg = dc * i_s
+        df = dc * cp_ref[0, i, :, :]
+        dgates = jnp.concatenate(
+            [di * i_s * (1.0 - i_s), df * f_s * (1.0 - f_s),
+             dg * (1.0 - g_t * g_t), do * o_s * (1.0 - o_s)], axis=1)
+        dx_ref[0, i, :, :] = dgates
+        dc_carry = jnp.where(valid, dc * f_s, dc_carry)
+        dh_new = jax.lax.dot_general(
+            dgates.astype(cdtype), w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh = jnp.where(valid, dh_new, dh)
+        return dh, dc_carry
+
+    dh, dc_carry = jax.lax.fori_loop(0, TILE_T, step, (dh_s[:], dc_s[:]))
+    dh_s[:] = dh
+    dc_s[:] = dc_carry
+    dh0_ref[:] = dh
+    dc0_ref[:] = dc_carry
+
+
+def _lstm_core_bwd_v2(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
+    B, T, H4 = x_proj.shape
+    H = H4 // 4
+    BT = min(B, 8)
+    nB = B // BT
+    nT = -(-T // TILE_T)
+    Tp = nT * TILE_T
+    dhs = dhs.at[:, T - 1, :].add(dhT)
+    hs_prev = jnp.concatenate([h0[:, None, :], hs[:, :-1, :]], axis=1)
+    cs_prev = jnp.concatenate([c0[:, None, :], cs[:, :-1, :]], axis=1)
+
+    def shape4(a):
+        a = (jnp.pad(a, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else a)
+        return a.reshape(nB, BT, Tp, a.shape[-1]).transpose(0, 2, 1, 3)
+
+    x4 = shape4(x_proj)
+    hp4 = shape4(hs_prev).astype(cdtype)
+    cs4 = shape4(cs)
+    cp4 = shape4(cs_prev)
+    dhs4 = shape4(dhs)
+    w_c = w_hh.astype(cdtype)
+    rev = lambda b, t, nT=nT: (b, nT - 1 - t, 0, 0)
+    tile = lambda h: pl.BlockSpec((1, TILE_T, BT, h), rev,
+                                  memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((BT, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+    dx, dh0, dc0 = pl.pallas_call(
+        functools.partial(_bwd_kernel_v2, T, nT, cdtype),
+        grid=(nB, nT),
+        in_specs=[tile(H4), tile(H), tile(H), tile(H), tile(H), vec,
+                  pl.BlockSpec((H, H4), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(tile(H4), vec, vec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nB, Tp, BT, H4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x4, hp4, cs4, cp4, dhs4, dcT, w_c)
+    dx = dx.transpose(0, 2, 1, 3).reshape(B, Tp, H4)[:, :T]
+    dw_hh = jnp.einsum("bth,btk->hk", hs_prev, dx,
+                       preferred_element_type=jnp.float32)
+    return dx, dw_hh, dh0, dc0
+
+
 # ------------------------------ public op --------------------------------
+
+def _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype):
+    if _use_v2(w_hh.shape[0]):
+        return _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype)
+    return _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype)
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _lstm_core(x_proj, w_hh, h0, c0, cdtype):
-    hs, cs = _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype)
+    hs, cs = _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype)
     T = x_proj.shape[1]
     return hs, hs[:, T - 1], cs[:, T - 1]
 
 
 def _core_fwd(x_proj, w_hh, h0, c0, cdtype):
-    hs, cs = _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype)
+    hs, cs = _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype)
     T = x_proj.shape[1]
     out = (hs, hs[:, T - 1], cs[:, T - 1])
     return out, (x_proj, w_hh, h0, c0, hs, cs)
@@ -265,7 +438,8 @@ def _core_fwd(x_proj, w_hh, h0, c0, cdtype):
 def _core_bwd(cdtype, res, cot):
     x_proj, w_hh, h0, c0, hs, cs = res
     dhs, dhT, dcT = cot
-    dx, dw_hh, dh0, dc0 = _lstm_core_bwd(
+    bwd = (_lstm_core_bwd_v2 if _use_v2(w_hh.shape[0]) else _lstm_core_bwd)
+    dx, dw_hh, dh0, dc0 = bwd(
         x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype)
     return dx, dw_hh.astype(w_hh.dtype), dh0, dc0
 

@@ -17,7 +17,7 @@ def test_supported_predicate():
     assert supported(32, 512)
     assert not supported(8, 320)  # TIMIT hidden size -> scan fallback
     assert not supported(3, 128)
-    assert not supported(8, 1024)  # large-H VMEM limit -> scan fallback
+    assert supported(8, 1024)  # time-major (v2) kernels
 
 
 def test_fwd_matches_scan():
@@ -62,6 +62,31 @@ def test_grads_match_scan():
 
     g_want = jax.grad(loss(lstm_layer), argnums=(0, 1))(params, x)
     g_got = jax.grad(loss(lstm_layer_pallas), argnums=(0, 1))(params, x)
+    jax.tree.map(
+        lambda a, e: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-5),
+        g_got, g_want)
+
+
+def test_v2_large_h_matches_scan():
+    """H > 512 dispatches to the time-major kernels."""
+    B, T, I, H = 8, 11, 16, 1024
+    params = _params(I, H, seed=5)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, T, I)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
+    want, (hT_w, cT_w) = lstm_layer(params, x, compute_dtype=jnp.float32)
+    got, (hT, cT) = lstm_layer_pallas(params, x, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(hT_w), atol=1e-5)
+
+    def loss(fn):
+        return lambda p: jnp.sum(
+            fn(p, x, compute_dtype=jnp.float32)[0] * ct)
+
+    g_want = jax.grad(loss(lstm_layer))(params)
+    g_got = jax.grad(loss(lstm_layer_pallas))(params)
     jax.tree.map(
         lambda a, e: np.testing.assert_allclose(
             np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-5),
