@@ -5,16 +5,22 @@ Workload = BASELINE.json configs[2]: LibriSpeech train-clean-100 shapes —
 vocab 1024. Runs the full jitted train step (forward + RNN-T loss +
 backward + AdamW) on the available TPU chip and prints ONE JSON line:
 
-  {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": N,
+   "mfu": ..., "libri960_utt_per_sec": ..., "libri960_mfu": ...}
 
 vs_baseline divides by the torch-CPU reference stand-in measured by
 tools/torch_cpu_baseline.py (cached in tools/cpu_baseline.json; the real
-reference repo was unreadable — SURVEY.md §0). Progress goes to stderr;
-stdout carries only the JSON line.
+reference repo was unreadable — SURVEY.md §0). MFU uses the analytic
+matmul FLOP count (utils/flops.py) against the v5e bf16 peak. The
+configs[4] (libri960, 6x1024) measurement rides along as secondary keys.
+
+`--profile-dir DIR` captures a jax.profiler trace of the timed region.
+Progress goes to stderr; stdout carries only the JSON line.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -27,25 +33,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def measure_config(cfg, B, T, U, ns=(3, 13), repeats=2, profile_dir=None):
+    """Slope-timed ms/step for one config; returns (dt_seconds, mfu)."""
     import jax
     import jax.numpy as jnp
 
-    from rnn_transducer_tpu.models.config import TrainConfig, config_libri100
+    from rnn_transducer_tpu.models.config import TrainConfig
     from rnn_transducer_tpu.train.loop import init_train_state, make_train_step
+    from rnn_transducer_tpu.utils.flops import mfu as mfu_of
+    from rnn_transducer_tpu.utils.logging import device_trace
 
-    cfg = config_libri100()
-    B, T, U = 32, 400, 40
     tcfg = TrainConfig(batch_size=B, warmup_steps=100, total_steps=10000)
-
-    log(f"devices: {jax.devices()}")
     state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
     step = make_train_step(cfg, tcfg)
 
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)), jnp.float32)
     feat_lens = jnp.asarray(np.full((B,), T, np.int32))
-    labels = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, U)), jnp.int32)
+    labels = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, U)),
+                         jnp.int32)
     label_lens = jnp.asarray(np.full((B,), U, np.int32))
 
     t0 = time.perf_counter()
@@ -57,38 +63,69 @@ def main():
     # Slope timing: N_small vs N_large chained steps, each run forced to
     # completion with device_get (block_until_ready can return early through
     # the axon relay); the difference cancels the fixed sync overhead.
-    ns = (3, 13)
     times = []
-    for n in ns:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                state, info = step(state, feats, feat_lens, labels,
-                                   label_lens)
-            jax.device_get(info["loss"])
-            best = min(best, time.perf_counter() - t0)
-        times.append(best)
+    with device_trace(profile_dir):
+        for n in ns:
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    state, info = step(state, feats, feat_lens, labels,
+                                       label_lens)
+                jax.device_get(info["loss"])
+                best = min(best, time.perf_counter() - t0)
+            times.append(best)
     dt = (times[1] - times[0]) / (ns[1] - ns[0])
-    utt_per_sec = B / dt
-    log(f"slope-timed: {dt * 1e3:.1f} ms/step -> {utt_per_sec:.1f} utt/s/chip")
+    return dt, mfu_of(cfg, B, T, U, dt)
 
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "tools", "cpu_baseline.json")
-    vs_baseline = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            cpu = json.load(f)
-        vs_baseline = utt_per_sec / cpu["utterances_per_sec"]
-        log(f"torch-CPU baseline: {cpu['utterances_per_sec']:.3f} utt/s -> "
-            f"{vs_baseline:.1f}x")
 
-    print(json.dumps({
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the timed region")
+    p.add_argument("--skip-libri960", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from rnn_transducer_tpu.models.config import (config_libri100,
+                                                  config_libri960)
+
+    log(f"devices: {jax.devices()}")
+
+    # headline: configs[2] (LibriSpeech train-clean-100 shapes)
+    dt, mfu = measure_config(config_libri100(), B=32, T=400, U=40,
+                             profile_dir=args.profile_dir)
+    utt_per_sec = 32 / dt
+    log(f"libri100: {dt * 1e3:.1f} ms/step -> {utt_per_sec:.1f} utt/s/chip, "
+        f"MFU {mfu:.1%}")
+
+    out = {
         "metric": "rnnt_train_throughput_libri100_cfg",
         "value": round(utt_per_sec, 2),
         "unit": "utt/s/chip",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-    }))
+        "vs_baseline": None,
+        "mfu": round(mfu, 4),
+    }
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tools", "cpu_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            cpu = json.load(f)
+        out["vs_baseline"] = round(utt_per_sec / cpu["utterances_per_sec"], 2)
+        log(f"torch-CPU baseline: {cpu['utterances_per_sec']:.3f} utt/s -> "
+            f"{out['vs_baseline']:.1f}x")
+
+    # secondary: configs[4] (LibriSpeech 960h shapes, 6x1024 char)
+    if not args.skip_libri960:
+        dt9, mfu9 = measure_config(config_libri960(), B=16, T=400, U=60)
+        log(f"libri960: {dt9 * 1e3:.1f} ms/step -> {16 / dt9:.1f} utt/s/chip, "
+            f"MFU {mfu9:.1%}")
+        out["libri960_utt_per_sec"] = round(16 / dt9, 2)
+        out["libri960_mfu"] = round(mfu9, 4)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

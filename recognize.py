@@ -21,7 +21,9 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TPU RNN-T decoding + eval")
-    p.add_argument("--config", default="smoke")
+    p.add_argument("--config", default=None,
+                   help="named config; defaults to the config stored in "
+                        "--ckpt-dir's meta.json, else 'smoke'")
     p.add_argument("--data", default="synthetic")
     p.add_argument("--mode", default="greedy",
                    choices=["greedy", "beam", "streaming", "streaming_beam"])
@@ -55,7 +57,17 @@ def main(argv=None):
     from rnn_transducer_tpu.train import checkpoint as ckpt
     from rnn_transducer_tpu.train.loop import TrainState, init_train_state
 
-    cfg = get_model_config(args.config)
+    # Self-describing checkpoints: the model config rides in meta.json, so
+    # --ckpt-dir alone is enough; an explicit --config must match it.
+    saved_cfg = ckpt.load_model_config(args.ckpt_dir) if args.ckpt_dir else None
+    if args.config is not None:
+        cfg = get_model_config(args.config)
+        if saved_cfg is not None and saved_cfg != cfg:
+            raise SystemExit(
+                f"--config {args.config} does not match the config saved in "
+                f"{args.ckpt_dir}/meta.json: {saved_cfg}")
+    else:
+        cfg = saved_cfg if saved_cfg is not None else get_model_config("smoke")
     state = init_train_state(jax.random.PRNGKey(args.seed), cfg, TrainConfig())
     if args.ckpt_dir:
         tree, step = ckpt.restore_checkpoint(args.ckpt_dir,
@@ -98,32 +110,38 @@ def main(argv=None):
         def batches():
             yield from bucket_stream(
                 manifest_examples(args.data.split(":", 1)[1], cfg),
-                TrainConfig().buckets, args.batch_size, blank=cfg.blank)
+                TrainConfig().buckets, args.batch_size, blank=cfg.blank,
+                with_valid=True)
     else:
         def batches():
             rng = np.random.default_rng(args.seed + 1)
             for _ in range(args.batches):
                 yield learnable_batch(rng, args.batch_size, n_labels=10,
                                       input_dim=cfg.input_dim,
-                                      vocab=cfg.vocab_size, frames_per_label=4)
+                                      vocab=cfg.vocab_size,
+                                      frames_per_label=4) + (args.batch_size,)
 
     meter = RtfMeter()
     refs, hyps = [], []
-    n_batches = 0
-    for feats, fl, labels, ll in batches():
+    warmed: set[tuple] = set()
+    for feats, fl, labels, ll, n_valid in batches():
         f, l = jnp.asarray(feats), jnp.asarray(fl)
-        if n_batches == 0:  # compile outside the timed region
+        if feats.shape not in warmed:
+            # Each distinct bucket shape triggers an XLA compile; warm it
+            # outside the timed region so RTF/p50 report steady-state.
+            warmed.add(feats.shape)
             toks, lens = decode(f, l)
             jax.block_until_ready(toks)
         t0 = time.perf_counter()
         toks, lens = decode(f, l)
         toks, lens = np.asarray(toks), np.asarray(lens)  # forces completion
         wall = time.perf_counter() - t0
-        audio_s = float(np.sum(fl)) * args.frame_hop_s
-        meter.add(wall, audio_s, n_utts=feats.shape[0])
-        hyps.extend(tokens_to_lists(toks, lens))
-        refs.extend(tokens_to_lists(labels, ll))
-        n_batches += 1
+        # Padding rows (drained partial batches repeat real utterances) are
+        # excluded from WER/RTF accounting.
+        audio_s = float(np.sum(fl[:n_valid])) * args.frame_hop_s
+        meter.add(wall, audio_s, n_utts=n_valid)
+        hyps.extend(tokens_to_lists(toks[:n_valid], lens[:n_valid]))
+        refs.extend(tokens_to_lists(labels[:n_valid], ll[:n_valid]))
     wer = error_rate(refs, hyps)
     out = {"mode": args.mode, "wer": round(wer, 4), **{
         k: round(v, 5) for k, v in meter.summary().items()}}

@@ -25,8 +25,11 @@ def spec_augment(key, feats, feat_lens, *, n_time_masks: int = 2,
                             time_mask_frames + 1)
     max_start = jnp.maximum(
         feat_lens.astype(jnp.int32)[:, None] - tw, 1)
-    ts = jax.random.randint(keys[1], (B, n_time_masks), 0, T)
-    ts = ts % max_start
+    # Uniform over the per-row variable range [0, max_start): scale a
+    # uniform float (a `randint(0, T) % max_start` would over-represent
+    # small start indices — Park et al. sample uniformly).
+    u = jax.random.uniform(keys[1], (B, n_time_masks))
+    ts = jnp.minimum((u * max_start).astype(jnp.int32), max_start - 1)
     t_masked = jnp.any(
         (t_ids >= ts[:, :, None]) & (t_ids < (ts + tw)[:, :, None]), axis=1)
 

@@ -38,7 +38,11 @@ class BucketBatcher:
         return None
 
     def add(self, feats: np.ndarray, labels: np.ndarray):
-        """feats: (T, F) float32; labels: (U,) int32. Returns a batch or None."""
+        """feats: (T, F) float32; labels: (U,) int32.
+
+        Returns (feats, feat_lens, labels, label_lens, n_valid) when a
+        bucket fills, else None.
+        """
         b = self._bucket_for(len(feats), len(labels))
         if b is None:
             self.n_dropped += 1
@@ -48,7 +52,7 @@ class BucketBatcher:
             return self._emit(b)
         return None
 
-    def _emit(self, b):
+    def _emit(self, b, n_valid: int | None = None):
         items = self._pending.pop(b)
         B = len(items)
         max_t, max_u = b
@@ -62,27 +66,40 @@ class BucketBatcher:
             labels[i, : len(l)] = l
             feat_lens[i] = len(f)
             label_lens[i] = len(l)
-        return feats, feat_lens, labels, label_lens
+        return feats, feat_lens, labels, label_lens, (
+            B if n_valid is None else n_valid)
 
     def flush(self) -> Iterator[tuple]:
-        """Emit remaining partial batches, padded with repeats to full size."""
+        """Emit remaining partial batches, padded (cyclically) to full size.
+
+        The trailing element of each yielded tuple is the count of real
+        (non-padding) rows, so eval can exclude the repeats from WER/RTF.
+        """
         for b in list(self._pending):
             items = self._pending[b]
             if not items:
                 continue
-            while len(items) < self.batch_size:
-                items.append(items[len(items) % max(len(items), 1)])
-            yield self._emit(b)
+            n_valid = len(items)
+            for i in range(self.batch_size - n_valid):
+                items.append(items[i % n_valid])
+            yield self._emit(b, n_valid)
 
 
 def bucket_stream(examples: Iterable[tuple[np.ndarray, np.ndarray]],
                   buckets, batch_size: int, blank: int = 0,
-                  drain: bool = True) -> Iterator[tuple]:
-    """Stream (feats, labels) examples into fixed-shape padded batches."""
+                  drain: bool = True, with_valid: bool = False
+                  ) -> Iterator[tuple]:
+    """Stream (feats, labels) examples into fixed-shape padded batches.
+
+    With `with_valid`, yields 5-tuples (feats, feat_lens, labels,
+    label_lens, n_valid) where n_valid counts real rows (padding repeats in
+    drained partial batches are excluded); otherwise the 4-tuple batch.
+    """
     batcher = BucketBatcher(buckets, batch_size, blank)
     for feats, labels in examples:
         out = batcher.add(feats, labels)
         if out is not None:
-            yield out
+            yield out if with_valid else out[:4]
     if drain:
-        yield from batcher.flush()
+        for out in batcher.flush():
+            yield out if with_valid else out[:4]

@@ -12,6 +12,7 @@ Token ids follow the model config (blank = cfg.blank excluded from labels).
 
 from __future__ import annotations
 
+import itertools
 import json
 
 import numpy as np
@@ -60,10 +61,31 @@ def manifest_examples(path, cfg):
         yield load_example(rec, cfg.input_dim)
 
 
-def manifest_batches(path, cfg, tcfg, loop: bool = True):
-    """Infinite (by default) stream of bucketed, padded training batches."""
+def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0):
+    """Infinite (by default) stream of bucketed, padded training batches.
+
+    skip_first: exclude the first N manifest examples from every epoch
+    (used to hold them out as a dev batch — see `manifest_dev_batch`).
+    """
     while True:
-        yield from bucket_stream(manifest_examples(path, cfg), tcfg.buckets,
-                                 tcfg.batch_size, blank=cfg.blank)
+        ex = manifest_examples(path, cfg)
+        if skip_first:
+            ex = itertools.islice(ex, skip_first, None)
+        yield from bucket_stream(ex, tcfg.buckets, tcfg.batch_size,
+                                 blank=cfg.blank)
         if not loop:
             return
+
+
+def manifest_dev_batch(path, cfg, tcfg, n: int | None = None):
+    """The first `n` (default batch_size) examples as one fixed padded batch.
+
+    Returns (feats, feat_lens, labels, label_lens, n_valid) or None if the
+    manifest is empty / nothing fits the buckets.
+    """
+    n = n or tcfg.batch_size
+    ex = itertools.islice(manifest_examples(path, cfg), n)
+    for batch in bucket_stream(ex, tcfg.buckets, tcfg.batch_size,
+                               blank=cfg.blank, with_valid=True):
+        return batch
+    return None

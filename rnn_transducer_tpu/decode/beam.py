@@ -16,9 +16,12 @@ after the rounds, remaining live hypotheses are force-blanked into the
 pool (latency-controlled search, PAPERS.md: Improved Beam Search). The
 pool is then *prefix-merged*: candidates with identical label sequences —
 distinct alignment paths to the same prefix — have their scores
-logaddexp-combined via an all-pairs equality matrix (the prediction-network
-state is a function of the prefix alone, so merging states is exact).
-Top-K merged candidates become the next frame's beams.
+logaddexp-combined (the prediction-network state is a function of the
+prefix alone, so merging states is exact). Prefix equality is decided by
+an incrementally-maintained rolling hash (two independent 32-bit lanes +
+length), so the merge is O(P^2) per frame instead of the O(P^2 * U)
+all-pairs token compare. Top-K merged candidates become the next frame's
+beams.
 
 With `expansions` >= the true max symbols per frame this matches the
 sequential merged beam search exactly (verified against a literal host
@@ -36,6 +39,17 @@ from rnn_transducer_tpu.models.config import TransducerConfig
 
 NEG_INF = -1.0e30
 
+# Rolling-hash multipliers (odd -> bijective mod 2^32) for the two
+# independent prefix-hash lanes; collisions require both lanes AND the
+# length to collide simultaneously (~2^-64 per candidate pair).
+HASH_MULT = (1000003, 2654435761)
+
+
+def _hash_append(h, lab):
+    """h: (..., 2) uint32 rolling prefix hash; lab: (...) int32 label."""
+    mult = jnp.asarray(HASH_MULT, jnp.uint32)
+    return h * mult + (lab.astype(jnp.uint32) + 1)[..., None]
+
 
 def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
                     beam: int = 8, max_symbols: int = 200):
@@ -46,13 +60,14 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
     tokens0 = jnp.full((B, K, U), cfg.blank, jnp.int32)
     lens0 = jnp.zeros((B, K), jnp.int32)
     scores0 = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    hash0 = jnp.zeros((B, K, 2), jnp.uint32)
     pred0, states0 = m.predict_step(
         params, cfg, jnp.full((B * K,), cfg.blank, jnp.int32),
         m.init_pred_state(cfg, B * K))
     pred0 = pred0.reshape(B, K, -1)
     states0 = jax.tree.map(lambda x: x.reshape((B, K) + x.shape[1:]),
                            states0)
-    return (tokens0, lens0, scores0, pred0, states0)
+    return (tokens0, lens0, scores0, hash0, pred0, states0)
 
 
 def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
@@ -86,10 +101,10 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
 
     if beam_state is None:
         beam_state = init_beam_state(params, cfg, B, beam=K, max_symbols=U)
-    tokens0, lens0, scores0, pred0, states0 = beam_state
+    tokens0, lens0, scores0, hash0, pred0, states0 = beam_state
 
     def frame_step(t, carry):
-        tokens, lens, scores, pred_out, states = carry
+        tokens, lens, scores, hashes, pred_out, states = carry
         enc_t = jnp.take_along_axis(
             enc_out, jnp.minimum(t, enc_lens - 1)[:, None, None], axis=1
         )[:, 0]  # (B, De)
@@ -99,27 +114,30 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
         pool_tokens = jnp.zeros((B, P, U), jnp.int32)
         pool_lens = jnp.zeros((B, P), jnp.int32)
         pool_scores = jnp.full((B, P), NEG_INF, jnp.float32)
+        pool_hash = jnp.zeros((B, P, 2), jnp.uint32)
         pool_pred = jnp.zeros((B, P) + pred_out.shape[2:], pred_out.dtype)
         pool_states = jax.tree.map(
             lambda s: jnp.zeros((B, P) + s.shape[2:], s.dtype), states)
 
-        live = (tokens, lens, scores, pred_out, states)
-        pool = (pool_tokens, pool_lens, pool_scores, pool_pred, pool_states)
+        live = (tokens, lens, scores, hashes, pred_out, states)
+        pool = (pool_tokens, pool_lens, pool_scores, pool_hash, pool_pred,
+                pool_states)
 
         def deposit(pool, live, e, live_scores_as):
             """Write the live set's blank-finalization into pool slots [eK, (e+1)K)."""
-            (p_tok, p_len, p_sc, p_pr, p_st) = pool
-            (l_tok, l_len, _, l_pr, l_st) = live
+            (p_tok, p_len, p_sc, p_h, p_pr, p_st) = pool
+            (l_tok, l_len, _, l_h, l_pr, l_st) = live
             sl = slice(e * K, (e + 1) * K)
             p_tok = p_tok.at[:, sl].set(l_tok)
             p_len = p_len.at[:, sl].set(l_len)
             p_sc = p_sc.at[:, sl].set(live_scores_as)
+            p_h = p_h.at[:, sl].set(l_h)
             p_pr = p_pr.at[:, sl].set(l_pr)
             p_st = jax.tree.map(lambda p, l: p.at[:, sl].set(l), p_st, l_st)
-            return (p_tok, p_len, p_sc, p_pr, p_st)
+            return (p_tok, p_len, p_sc, p_h, p_pr, p_st)
 
         for e in range(expansions + 1):
-            tokens, lens, scores, pred_out, states = live
+            tokens, lens, scores, hashes, pred_out, states = live
             logits = m.joint_step(params, cfg, enc_tk, flat(pred_out))
             lp = jax.nn.log_softmax(logits, axis=-1)  # (B*K, V)
             lp = unflat(lp)  # (B, K, V)
@@ -137,24 +155,29 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
             lab = (top_idx % V).astype(jnp.int32)
             g_tok = jnp.take_along_axis(tokens, src[:, :, None], axis=1)
             g_len = jnp.take_along_axis(lens, src, axis=1)
+            g_hash = jnp.take_along_axis(hashes, src[:, :, None], axis=1)
             # append label at position g_len
             write = jax.nn.one_hot(g_len, U, dtype=jnp.bool_)  # (B, K, U)
             g_tok = jnp.where(write, lab[:, :, None], g_tok)
+            g_hash = _hash_append(g_hash, lab)
             g_states = jax.tree.map(
                 lambda s: jnp.take_along_axis(
                     s, src.reshape(src.shape + (1,) * (s.ndim - 2)), axis=1),
                 states)
             new_pred, new_states = m.predict_step(
                 params, cfg, flat(lab), jax.tree.map(flat, g_states))
-            live = (g_tok, jnp.minimum(g_len + 1, U), top_sc,
+            live = (g_tok, jnp.minimum(g_len + 1, U), top_sc, g_hash,
                     unflat(new_pred), jax.tree.map(unflat, new_states))
 
         # --- prefix merge over the pool --------------------------------
-        p_tok, p_len, p_sc, p_pr, p_st = pool
+        # Equality via the carried rolling hash: O(P^2) compares instead of
+        # the O(P^2 * U) all-pairs token-tensor compare; exact up to a
+        # ~2^-64 two-lane hash collision.
+        p_tok, p_len, p_sc, p_h, p_pr, p_st = pool
         same_len = p_len[:, :, None] == p_len[:, None, :]
-        same_tok = jnp.all(p_tok[:, :, None, :] == p_tok[:, None, :, :],
-                           axis=-1)
-        eq = same_len & same_tok  # (B, P, P)
+        same_hash = jnp.all(p_h[:, :, None, :] == p_h[:, None, :, :],
+                            axis=-1)  # (B, P, P) — hash lanes, not tokens
+        eq = same_len & same_hash  # (B, P, P)
         # logsumexp of scores over each equivalence class
         sc_b = jnp.where(eq, p_sc[:, None, :], NEG_INF)  # (B, P, P)
         mx = jnp.max(sc_b, axis=-1)
@@ -170,6 +193,7 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
         top_sc, top_i = jax.lax.top_k(merged, K)  # (B, K)
         n_tok = jnp.take_along_axis(p_tok, top_i[:, :, None], axis=1)
         n_len = jnp.take_along_axis(p_len, top_i, axis=1)
+        n_h = jnp.take_along_axis(p_h, top_i[:, :, None], axis=1)
         n_pr = jnp.take_along_axis(
             p_pr, top_i.reshape(top_i.shape + (1,) * (p_pr.ndim - 2)), axis=1)
         n_st = jax.tree.map(
@@ -181,14 +205,14 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
         active = (t < enc_lens).reshape((B,) + (1,) * 1)
         pick = lambda new, old: jnp.where(
             active.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
-        (tokens, lens, scores, pred_out, states) = carry
+        (tokens, lens, scores, hashes, pred_out, states) = carry
         return (pick(n_tok, tokens), pick(n_len, lens), pick(top_sc, scores),
-                pick(n_pr, pred_out),
+                pick(n_h, hashes), pick(n_pr, pred_out),
                 jax.tree.map(pick, n_st, states))
 
-    carry = (tokens0, lens0, scores0, pred0, states0)
+    carry = (tokens0, lens0, scores0, hash0, pred0, states0)
     carry = jax.lax.fori_loop(0, T, frame_step, carry)
-    tokens, lens, scores, _, _ = carry
+    tokens, lens, scores = carry[0], carry[1], carry[2]
     # sort beams by score descending
     order = jnp.argsort(-scores, axis=-1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)

@@ -36,6 +36,9 @@ class TransducerConfig:
     # rematerialize encoder layers in the backward pass (trade FLOPs for
     # HBM when training long utterances / big batches)
     remat_encoder: bool = False
+    # auxiliary CTC head on the encoder output (family staple: encoder
+    # pretraining with CTC before switching to the RNN-T loss)
+    ctc_head: bool = False
 
     @property
     def enc_out_dim(self) -> int:

@@ -74,7 +74,13 @@ def init_params(key, cfg: TransducerConfig) -> Params:
         "pred_proj": _init_linear(keys[4], cfg.pred_hidden, cfg.joint_dim),
         "out": _init_linear(keys[5], cfg.joint_dim, cfg.vocab_size),
     }
-    return {"encoder": enc, "embed": embed, "predictor": pred, "joint": joint}
+    params = {"encoder": enc, "embed": embed, "predictor": pred,
+              "joint": joint}
+    if cfg.ctc_head:
+        # Auxiliary CTC projection for encoder pretraining (SURVEY.md §B).
+        params["ctc_head"] = _init_linear(keys[6], cfg.enc_out_dim,
+                                          cfg.vocab_size)
+    return params
 
 
 def _time_reduce(x, lens, factor: int):
@@ -248,6 +254,15 @@ def joint_activations(params: Params, cfg: TransducerConfig, enc_out,
                  preferred_element_type=jnp.float32)
          + jp["pred_proj"]["b"].astype(jnp.float32))
     return f, g, jp["out"]["w"], jp["out"]["b"]
+
+
+def ctc_logits(params: Params, cfg: TransducerConfig, enc_out):
+    """CTC head: encoder output -> (B, T', V) logits (fp32)."""
+    head = params["ctc_head"]
+    cd = cfg.cdtype
+    return (jnp.dot(enc_out.astype(cd), head["w"].astype(cd),
+                    preferred_element_type=jnp.float32)
+            + head["b"].astype(jnp.float32))
 
 
 def forward(params: Params, cfg: TransducerConfig, feats, feat_lens, labels):

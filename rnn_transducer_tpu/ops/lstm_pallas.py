@@ -248,9 +248,27 @@ def _lstm_core_bwd(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
 
 
 # --------------------- v2: time-major tiles (large H) --------------------
+#
+# Tiles are (1, TILE_T, BT, H*): the time index lands on an UNTILED leading
+# dim, so (a) lax.fori_loop indexing is legal and (b) TILE_T is not bound
+# by the 8-sublane constraint (that applies to the trailing (BT, H*) dims).
+# The MXU cares about the batch tile: the per-step recurrent matmul is
+# (BT, H) x (H, 4H), so BT is pushed as wide as VMEM allows (W_hh bf16 is
+# 8 MB resident at H=1024) and TILE_T shrinks to compensate — the total
+# number of sequential time steps is TILE_T-independent, but nB = B/BT
+# batch passes are sequential, so doubling BT halves the critical path.
 
-def _fwd_kernel_v2(cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
-                   h_s, c_s):
+def _tile_bt_v2(B: int, H: int) -> tuple[int, int]:
+    """(BT, TILE_T): widest batch tile that fits VMEM next to W_hh."""
+    if B % 32 == 0 and H <= 1024:
+        return 32, 2
+    if B % 16 == 0 and H <= 1024:
+        return 16, 4
+    return min(B, 8), 8
+
+
+def _fwd_kernel_v2(tile_t, cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref,
+                   cs_ref, h_s, c_s):
     t_idx = pl.program_id(1)
     H = h0_ref.shape[1]
 
@@ -270,7 +288,7 @@ def _fwd_kernel_v2(cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
         cs_ref[0, i, :, :] = c
         return h, c
 
-    h, c = jax.lax.fori_loop(0, TILE_T, step, (h_s[:], c_s[:]))
+    h, c = jax.lax.fori_loop(0, tile_t, step, (h_s[:], c_s[:]))
     h_s[:] = h
     c_s[:] = c
 
@@ -278,23 +296,23 @@ def _fwd_kernel_v2(cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
 def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype):
     B, T, H4 = x_proj.shape
     H = H4 // 4
-    BT = min(B, 8)
+    BT, tile_t = _tile_bt_v2(B, H)
     nB = B // BT
-    nT = -(-T // TILE_T)
-    Tp = nT * TILE_T
+    nT = -(-T // tile_t)
+    Tp = nT * tile_t
     if Tp != T:
         x_proj = jnp.pad(x_proj, ((0, 0), (0, Tp - T), (0, 0)))
-    # time-major tiles: (nB, Tp, BT, H4); batch tile = sublane dim (BT=8)
+    # time-major tiles: (nB, Tp, BT, H4); batch tile = sublane dim
     x4 = x_proj.reshape(nB, BT, Tp, H4).transpose(0, 2, 1, 3)
     w_c = w_hh.astype(cdtype)
     out_shape = jax.ShapeDtypeStruct((nB, Tp, BT, H), jnp.float32)
-    out_spec = pl.BlockSpec((1, TILE_T, BT, H), lambda b, t: (b, t, 0, 0),
+    out_spec = pl.BlockSpec((1, tile_t, BT, H), lambda b, t: (b, t, 0, 0),
                             memory_space=pltpu.VMEM)
     hs, cs = pl.pallas_call(
-        functools.partial(_fwd_kernel_v2, cdtype),
+        functools.partial(_fwd_kernel_v2, tile_t, cdtype),
         grid=(nB, nT),
         in_specs=[
-            pl.BlockSpec((1, TILE_T, BT, H4), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, tile_t, BT, H4), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, H), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -316,8 +334,9 @@ def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype):
     return hs, cs
 
 
-def _bwd_kernel_v2(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
-                   dcT_ref, w_ref, dx_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+def _bwd_kernel_v2(T, nT, tile_t, cdtype, x_ref, hp_ref, cs_ref, cp_ref,
+                   dhs_ref, dcT_ref, w_ref, dx_ref, dh0_ref, dc0_ref,
+                   dh_s, dc_s):
     t_idx = pl.program_id(1)
     H = dcT_ref.shape[1]
 
@@ -327,9 +346,9 @@ def _bwd_kernel_v2(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
         dc_s[:] = dcT_ref[:]
 
     def step(k, carry):
-        i = TILE_T - 1 - k
+        i = tile_t - 1 - k
         dh, dc_carry = carry
-        t_global = (nT - 1 - t_idx) * TILE_T + i
+        t_global = (nT - 1 - t_idx) * tile_t + i
         valid = t_global < T
         gates = x_ref[0, i, :, :] + jnp.dot(
             hp_ref[0, i, :, :], w_ref[:], preferred_element_type=jnp.float32)
@@ -357,7 +376,7 @@ def _bwd_kernel_v2(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
         dh = jnp.where(valid, dh_new, dh)
         return dh, dc_carry
 
-    dh, dc_carry = jax.lax.fori_loop(0, TILE_T, step, (dh_s[:], dc_s[:]))
+    dh, dc_carry = jax.lax.fori_loop(0, tile_t, step, (dh_s[:], dc_s[:]))
     dh_s[:] = dh
     dc_s[:] = dc_carry
     dh0_ref[:] = dh
@@ -367,10 +386,10 @@ def _bwd_kernel_v2(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
 def _lstm_core_bwd_v2(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
     B, T, H4 = x_proj.shape
     H = H4 // 4
-    BT = min(B, 8)
+    BT, tile_t = _tile_bt_v2(B, H)
     nB = B // BT
-    nT = -(-T // TILE_T)
-    Tp = nT * TILE_T
+    nT = -(-T // tile_t)
+    Tp = nT * tile_t
     dhs = dhs.at[:, T - 1, :].add(dhT)
     hs_prev = jnp.concatenate([h0[:, None, :], hs[:, :-1, :]], axis=1)
     cs_prev = jnp.concatenate([c0[:, None, :], cs[:, :-1, :]], axis=1)
@@ -380,17 +399,19 @@ def _lstm_core_bwd_v2(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
         return a.reshape(nB, BT, Tp, a.shape[-1]).transpose(0, 2, 1, 3)
 
     x4 = shape4(x_proj)
+    # hs_prev is only consumed by the recurrent matmul, which runs in the
+    # compute dtype anyway — stream it pre-cast to halve its VMEM slab.
     hp4 = shape4(hs_prev).astype(cdtype)
     cs4 = shape4(cs)
     cp4 = shape4(cs_prev)
     dhs4 = shape4(dhs)
     w_c = w_hh.astype(cdtype)
     rev = lambda b, t, nT=nT: (b, nT - 1 - t, 0, 0)
-    tile = lambda h: pl.BlockSpec((1, TILE_T, BT, h), rev,
+    tile = lambda h: pl.BlockSpec((1, tile_t, BT, h), rev,
                                   memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((BT, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
     dx, dh0, dc0 = pl.pallas_call(
-        functools.partial(_bwd_kernel_v2, T, nT, cdtype),
+        functools.partial(_bwd_kernel_v2, T, nT, tile_t, cdtype),
         grid=(nB, nT),
         in_specs=[tile(H4), tile(H), tile(H), tile(H), tile(H), vec,
                   pl.BlockSpec((H, H4), lambda b, t: (0, 0),

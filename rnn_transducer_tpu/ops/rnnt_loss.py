@@ -230,10 +230,13 @@ def forward_from_lp_with_alpha(lp_blank, lp_y, frame_lens, label_lens):
     alpha = _alpha(lp_blank_m, lp_y_m)
     B = lp_blank.shape[0]
     b_idx = jnp.arange(B)
-    t_last = frame_lens.astype(jnp.int32) - 1
+    # frame_lens == 0 (empty utterance) has no valid alignment: define its
+    # loss as 0 with zero gradient instead of gathering at t = -1.
+    valid = frame_lens.astype(jnp.int32) >= 1
+    t_last = jnp.maximum(frame_lens.astype(jnp.int32), 1) - 1
     u_last = label_lens.astype(jnp.int32)
     log_z = alpha[b_idx, t_last, u_last] + lp_blank[b_idx, t_last, u_last]
-    return -log_z, alpha
+    return jnp.where(valid, -log_z, 0.0), alpha
 
 
 def occupancies_from_lp(lp_blank, lp_y, frame_lens, label_lens, alpha=None):
@@ -254,11 +257,17 @@ def occupancies_from_lp(lp_blank, lp_y, frame_lens, label_lens, alpha=None):
         [beta[:, 1:, :], jnp.full((B, 1, U1), NEG_INF, beta.dtype)], axis=1
     )
     arc_blank = _logaddexp(lp_blank_m + beta_down, accept)
-    g_blank = jnp.exp(alpha + arc_blank - log_z[:, None, None])
+    # Empty utterances (frame_lens == 0) have log_z = -inf; their loss is
+    # defined as 0 (see forward_from_lp_with_alpha), so zero occupancies.
+    valid = (frame_lens.astype(jnp.int32) >= 1)[:, None, None]
+    g_blank = jnp.where(
+        valid, jnp.exp(alpha + arc_blank - log_z[:, None, None]), 0.0)
     beta_right = jnp.concatenate(
         [beta[:, :, 1:], jnp.full((B, T, 1), NEG_INF, beta.dtype)], axis=2
     )
-    g_y = jnp.exp(alpha + lp_y_m + beta_right - log_z[:, None, None])
+    g_y = jnp.where(
+        valid, jnp.exp(alpha + lp_y_m + beta_right - log_z[:, None, None]),
+        0.0)
     return g_blank, g_y
 
 

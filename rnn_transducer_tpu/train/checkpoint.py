@@ -1,7 +1,15 @@
-"""Checkpoint save/restore via orbax (reference: torch.save per epoch)."""
+"""Checkpoint save/restore via orbax (reference: torch.save per epoch).
+
+Checkpoints are self-describing: `save_checkpoint` writes a `meta.json`
+sidecar (model config + optional tokenizer/extra metadata) next to the
+orbax step directories, so `recognize.py --ckpt-dir` can reconstruct the
+model without the user re-specifying `--config`.
+"""
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Any
 
@@ -9,13 +17,66 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+META_FILE = "meta.json"
 
-def save_checkpoint(ckpt_dir: str, step: int, state_tree: Any):
-    """Save a pytree (params/opt_state/step) under ckpt_dir/step."""
+# One CheckpointManager per directory, kept open for the process lifetime
+# (constructing a manager per save/restore call is wasteful at scale).
+_managers: dict[str, ocp.CheckpointManager] = {}
+
+
+def _manager(ckpt_dir: str) -> ocp.CheckpointManager:
+    mgr = _managers.get(ckpt_dir)
+    if mgr is None:
+        mgr = ocp.CheckpointManager(ckpt_dir)
+        _managers[ckpt_dir] = mgr
+    else:
+        mgr.reload()  # pick up steps written by other processes
+    return mgr
+
+
+def save_meta(ckpt_dir: str, model_cfg=None, **extra):
+    """Write meta.json: the TransducerConfig (asdict) + extra metadata."""
     ckpt_dir = os.path.abspath(ckpt_dir)
-    with ocp.CheckpointManager(ckpt_dir) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(state_tree))
-        mgr.wait_until_finished()
+    os.makedirs(ckpt_dir, exist_ok=True)
+    meta = dict(extra)
+    if model_cfg is not None:
+        meta["model_config"] = dataclasses.asdict(model_cfg)
+    with open(os.path.join(ckpt_dir, META_FILE), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+
+def load_meta(ckpt_dir: str) -> dict | None:
+    """Read meta.json if present; returns the raw dict (or None)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), META_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_model_config(ckpt_dir: str):
+    """Reconstruct the TransducerConfig saved with the checkpoint (or None)."""
+    meta = load_meta(ckpt_dir)
+    if not meta or "model_config" not in meta:
+        return None
+    from rnn_transducer_tpu.models.config import TransducerConfig
+    return TransducerConfig(**meta["model_config"])
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state_tree: Any,
+                    model_cfg=None, **extra_meta):
+    """Save a pytree (params/opt_state/step) under ckpt_dir/step.
+
+    Pass `model_cfg` (TransducerConfig) to make the checkpoint
+    self-describing; extra keyword metadata (e.g. tokenizer=...) is stored
+    alongside it in meta.json.
+    """
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    mgr = _manager(ckpt_dir)
+    mgr.save(step, args=ocp.args.StandardSave(state_tree))
+    mgr.wait_until_finished()
+    if model_cfg is not None or extra_meta:
+        save_meta(ckpt_dir, model_cfg, **extra_meta)
 
 
 def restore_checkpoint(ckpt_dir: str, target_tree: Any, step: int | None = None):
@@ -25,16 +86,16 @@ def restore_checkpoint(ckpt_dir: str, target_tree: Any, step: int | None = None)
     TrainState's pytree). Returns (restored_tree, step).
     """
     ckpt_dir = os.path.abspath(ckpt_dir)
-    with ocp.CheckpointManager(ckpt_dir) as mgr:
-        step = step if step is not None else mgr.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-            if hasattr(x, "dtype") else x,
-            target_tree,
-        )
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+        if hasattr(x, "dtype") else x,
+        target_tree,
+    )
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     return restored, step
 
 
@@ -42,5 +103,4 @@ def latest_step(ckpt_dir: str) -> int | None:
     ckpt_dir = os.path.abspath(ckpt_dir)
     if not os.path.isdir(ckpt_dir):
         return None
-    with ocp.CheckpointManager(ckpt_dir) as mgr:
-        return mgr.latest_step()
+    return _manager(ckpt_dir).latest_step()

@@ -96,7 +96,19 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
     return jnp.mean(per_utt), per_utt
 
 
-def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None):
+def ctc_loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
+                label_lens):
+    """Batch-mean CTC loss on the auxiliary encoder head (pretraining)."""
+    from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
+    logits = m.ctc_logits(params, cfg, enc_out)
+    per_utt = ctc_loss_from_logits(logits, labels, enc_lens, label_lens,
+                                   cfg.blank)
+    return jnp.mean(per_utt), per_utt
+
+
+def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
+                    loss_kind: str = "rnnt"):
     """Build the jitted update step.
 
     With a mesh the step runs under `shard_map` over the "data" axis:
@@ -107,11 +119,16 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None):
     device runs the kernel on its local shard, which is exactly DP.
     """
     tx = make_optimizer(tcfg)
+    if loss_kind == "ctc":
+        batch_loss = functools.partial(ctc_loss_fn, cfg=cfg)
+    else:
+        batch_loss = functools.partial(loss_fn, cfg=cfg,
+                                       loss_impl=tcfg.loss_impl)
 
     def grads_and_metrics(params, feats, feat_lens, labels, label_lens):
         (loss, per_utt), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, feats, feat_lens, labels, label_lens,
-                              tcfg.loss_impl),
+            lambda p: batch_loss(p, feats=feats, feat_lens=feat_lens,
+                                 labels=labels, label_lens=label_lens),
             has_aux=True,
         )(params)
         return loss, grads

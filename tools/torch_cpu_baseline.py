@@ -68,7 +68,7 @@ def torch_rnnt_loss(logits, labels, blank=0):
     return -(alpha[:, -1] + lp_blank[:, -1, -1])
 
 
-def measure(batch=32, T=400, U=40, vocab=1024, steps=2, out_path=None):
+def measure(batch=32, T=400, U=40, vocab=1024, steps=5, out_path=None):
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 1)
     model = TorchTransducer(vocab=vocab)

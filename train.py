@@ -47,6 +47,16 @@ def parse_args(argv=None):
                    choices=["auto", "fused", "pallas", "xla"])
     p.add_argument("--spec-augment", action="store_true",
                    help="apply SpecAugment time/freq masking on features")
+    p.add_argument("--dev-manifest", default=None,
+                   help="JSONL manifest for dev-set eval; with manifest "
+                        "training data and no --dev-manifest, the first "
+                        "batch of examples is held out instead")
+    p.add_argument("--log-file", default=None,
+                   help="append structured JSONL metrics records here "
+                        "(mirrored to stderr)")
+    p.add_argument("--ctc-pretrain-steps", type=int, default=0,
+                   help="warm up the encoder with CTC loss for N steps "
+                        "before switching to the RNN-T loss")
     return p.parse_args(argv)
 
 
@@ -75,12 +85,17 @@ def main(argv=None):
     from rnn_transducer_tpu.train.loop import (TrainState, init_train_state,
                                                make_train_step)
 
+    from rnn_transducer_tpu.utils.logging import MetricsLogger
+
     cfg = get_model_config(args.config)
+    if args.ctc_pretrain_steps > 0 and not cfg.ctc_head:
+        cfg = dataclasses.replace(cfg, ctc_head=True)
     tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                        warmup_steps=args.warmup_steps,
                        total_steps=max(args.steps, args.warmup_steps + 1),
                        grad_clip_norm=args.grad_clip, seed=args.seed,
                        loss_impl=args.loss_impl)
+    mlog = MetricsLogger(args.log_file)
 
     n_dev = args.data_parallel or len(jax.devices())
     mesh = make_mesh(n_dev) if n_dev > 1 else None
@@ -90,6 +105,11 @@ def main(argv=None):
     state = init_train_state(jax.random.PRNGKey(args.seed), cfg, tcfg)
     start_step = 0
     if args.resume and args.ckpt_dir and ckpt.latest_step(args.ckpt_dir) is not None:
+        saved_cfg = ckpt.load_model_config(args.ckpt_dir)
+        if saved_cfg is not None and saved_cfg != cfg:
+            raise SystemExit(
+                f"--config {args.config} does not match the config saved in "
+                f"{args.ckpt_dir}/meta.json: {saved_cfg}")
         tree, start_step = ckpt.restore_checkpoint(
             args.ckpt_dir, dataclasses.asdict(state))
         state = TrainState(**tree)
@@ -99,11 +119,30 @@ def main(argv=None):
                            opt_state=replicate(mesh, state.opt_state),
                            step=replicate(mesh, state.step))
     step_fn = make_train_step(cfg, tcfg, mesh=mesh)
+    # CTC encoder pretraining (SURVEY.md §B): same TrainState/optimizer,
+    # the first N steps optimize CTC on the auxiliary encoder head.
+    ctc_step_fn = (make_train_step(cfg, tcfg, mesh=mesh, loss_kind="ctc")
+                   if args.ctc_pretrain_steps > 0 else None)
 
+    dev_batch = None
+    skip_first = 0
     if args.data.startswith("manifest:"):
-        from rnn_transducer_tpu.data.manifest import manifest_batches
-        batches = manifest_batches(args.data.split(":", 1)[1], cfg, tcfg)
+        from rnn_transducer_tpu.data.manifest import (manifest_batches,
+                                                      manifest_dev_batch)
+        train_path = args.data.split(":", 1)[1]
+        if args.dev_manifest:
+            dev_batch = manifest_dev_batch(args.dev_manifest, cfg, tcfg)
+        else:
+            # Hold the first batch_size examples out of every epoch as the
+            # fixed dev batch, so dev metrics reflect the training corpus.
+            dev_batch = manifest_dev_batch(train_path, cfg, tcfg)
+            skip_first = tcfg.batch_size if dev_batch is not None else 0
+        batches = manifest_batches(train_path, cfg, tcfg,
+                                   skip_first=skip_first)
     else:
+        if args.dev_manifest:
+            from rnn_transducer_tpu.data.manifest import manifest_dev_batch
+            dev_batch = manifest_dev_batch(args.dev_manifest, cfg, tcfg)
         def synthetic_batches():
             rng = np.random.default_rng(args.seed)
             n_labels = min(args.max_labels, 20)
@@ -122,22 +161,26 @@ def main(argv=None):
     from rnn_transducer_tpu.decode.metrics import error_rate, tokens_to_lists
     from rnn_transducer_tpu.train.loop import make_eval_step
 
-    eval_rng = np.random.default_rng(args.seed + 12345)
-    dev_batch = learnable_batch(eval_rng, min(tcfg.batch_size, 8),
-                                n_labels=min(args.max_labels, 20),
-                                input_dim=cfg.input_dim,
-                                vocab=cfg.vocab_size, frames_per_label=4)
+    if dev_batch is None:
+        eval_rng = np.random.default_rng(args.seed + 12345)
+        dev_batch = learnable_batch(eval_rng, min(tcfg.batch_size, 8),
+                                    n_labels=min(args.max_labels, 20),
+                                    input_dim=cfg.input_dim,
+                                    vocab=cfg.vocab_size,
+                                    frames_per_label=4) + (
+                                        min(tcfg.batch_size, 8),)
     eval_fn = make_eval_step(cfg)
     decode_fn = jax.jit(lambda p, f, l: recognize_greedy(
         p, cfg, f, l, max_symbols=max(args.max_labels * 2, 8)))
 
     def run_eval(params):
-        f, flen, lab, lablen = (jnp.asarray(x) for x in dev_batch)
-        dev_loss, _ = eval_fn(params, f, flen, lab, lablen)
+        f, flen, lab, lablen = (jnp.asarray(x) for x in dev_batch[:4])
+        nv = dev_batch[4]
+        _, per_utt = eval_fn(params, f, flen, lab, lablen)
         toks, lens = decode_fn(params, f, flen)
-        per = error_rate(tokens_to_lists(lab, lablen),
-                         tokens_to_lists(toks, lens))
-        return float(dev_loss), per
+        per = error_rate(tokens_to_lists(lab[:nv], lablen[:nv]),
+                         tokens_to_lists(toks[:nv], lens[:nv]))
+        return float(jnp.mean(per_utt[:nv])), per
 
     t_start = time.perf_counter()
     utts = 0
@@ -156,30 +199,32 @@ def main(argv=None):
             batch = (aug_fn(k, batch[0], batch[1]),) + batch[1:]
         if mesh is not None:
             batch = shard_batch(mesh, batch)
-        state, info = step_fn(state, *batch)
+        phase_ctc = (ctc_step_fn is not None
+                     and start_step + i < args.ctc_pretrain_steps)
+        state, info = (ctc_step_fn if phase_ctc else step_fn)(state, *batch)
         utts += feats.shape[0]
         step_no = start_step + i + 1
         if step_no % args.log_every == 0:
             dt = time.perf_counter() - t_start
-            print(json.dumps({
-                "step": step_no,
-                "loss": round(float(info["loss"]), 4),
-                "grad_norm": round(float(info["grad_norm"]), 4),
-                "utt_per_sec": round(utts / dt, 2),
-            }), file=sys.stderr)
+            mlog.log(step=step_no,
+                     phase="ctc" if phase_ctc else "rnnt",
+                     loss=round(float(info["loss"]), 4),
+                     grad_norm=round(float(info["grad_norm"]), 4),
+                     utt_per_sec=round(utts / dt, 2))
         if args.eval_every and step_no % args.eval_every == 0:
             eval_params = state.params
             dev_loss, per = run_eval(eval_params)
-            print(json.dumps({"step": step_no,
-                              "dev_loss": round(dev_loss, 4),
-                              "dev_per": round(per, 4)}), file=sys.stderr)
+            mlog.log(step=step_no, dev_loss=round(dev_loss, 4),
+                     dev_per=round(per, 4))
         if args.ckpt_dir and step_no % args.ckpt_every == 0:
             ckpt.save_checkpoint(args.ckpt_dir, step_no,
-                                 dataclasses.asdict(state))
+                                 dataclasses.asdict(state), model_cfg=cfg)
     if args.ckpt_dir:
-        ckpt.save_checkpoint(args.ckpt_dir, step_no, dataclasses.asdict(state))
+        ckpt.save_checkpoint(args.ckpt_dir, step_no, dataclasses.asdict(state),
+                             model_cfg=cfg)
         print(f"saved final checkpoint at step {step_no} to {args.ckpt_dir}",
               file=sys.stderr)
+    mlog.close()
     print(json.dumps({"final_loss": round(float(info["loss"]), 4),
                       "steps": step_no}))
     return state
