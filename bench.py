@@ -117,12 +117,14 @@ def main(argv=None):
         log(f"torch-CPU baseline: {cpu['utterances_per_sec']:.3f} utt/s -> "
             f"{out['vs_baseline']:.1f}x")
 
-    # secondary: configs[4] (LibriSpeech 960h shapes, 6x1024 char)
+    # secondary: configs[4] (LibriSpeech 960h shapes, 6x1024 char).
+    # configs[4] pins no batch size; B=32 engages the BT=32 batch tile of
+    # the v2 Pallas LSTM kernels (docs/PERFORMANCE.md libri960 table).
     if not args.skip_libri960:
-        dt9, mfu9 = measure_config(config_libri960(), B=16, T=400, U=60)
-        log(f"libri960: {dt9 * 1e3:.1f} ms/step -> {16 / dt9:.1f} utt/s/chip, "
+        dt9, mfu9 = measure_config(config_libri960(), B=32, T=400, U=60)
+        log(f"libri960: {dt9 * 1e3:.1f} ms/step -> {32 / dt9:.1f} utt/s/chip, "
             f"MFU {mfu9:.1%}")
-        out["libri960_utt_per_sec"] = round(16 / dt9, 2)
+        out["libri960_utt_per_sec"] = round(32 / dt9, 2)
         out["libri960_mfu"] = round(mfu9, 4)
 
     print(json.dumps(out))

@@ -259,7 +259,17 @@ def _lstm_core_bwd(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
 # batch passes are sequential, so doubling BT halves the critical path.
 
 def _tile_bt_v2(B: int, H: int) -> tuple[int, int]:
-    """(BT, TILE_T): widest batch tile that fits VMEM next to W_hh."""
+    """(BT, TILE_T): widest batch tile that fits VMEM next to W_hh.
+
+    The per-step recurrent matmul (BT, H) x (H, 4H) streams the same
+    H/128 * 4H/128 weight tiles through the MXU for any BT <= 128 rows,
+    so its wall time is ~BT-independent — doubling BT halves the number
+    of sequential batch passes (nB = B/BT) for free. TILE_T shrinks as
+    BT grows to keep the double-buffered (TILE_T, BT, 4H) slabs inside
+    VMEM next to the resident bf16 W_hh (8 MB at H=1024).
+    """
+    if B % 64 == 0 and H <= 1024:
+        return 64, 1
     if B % 32 == 0 and H <= 1024:
         return 32, 2
     if B % 16 == 0 and H <= 1024:

@@ -93,6 +93,34 @@ def test_v2_large_h_matches_scan():
         g_got, g_want)
 
 
+def test_v2_bt64_tile_matches_scan():
+    """B % 64 == 0 engages the widest (BT=64, TILE_T=1) batch tile."""
+    from rnn_transducer_tpu.ops.lstm_pallas import _tile_bt_v2
+
+    assert _tile_bt_v2(64, 1024) == (64, 1)
+    assert _tile_bt_v2(32, 1024) == (32, 2)
+    B, T, I, H = 64, 3, 8, 640  # H > 512 -> v2 dispatch; small T for speed
+    params = _params(I, H, seed=7)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(B, T, I)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
+    want, (hT_w, cT_w) = lstm_layer(params, x, compute_dtype=jnp.float32)
+    got, (hT, cT) = lstm_layer_pallas(params, x, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(cT_w), atol=1e-5)
+
+    def loss(fn):
+        return lambda p: jnp.sum(fn(p, x, compute_dtype=jnp.float32)[0] * ct)
+
+    g_want = jax.grad(loss(lstm_layer))(params)
+    g_got = jax.grad(loss(lstm_layer_pallas))(params)
+    jax.tree.map(
+        lambda a, e: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-5),
+        g_got, g_want)
+
+
 def test_jit_composition():
     B, T, I, H = 8, 16, 32, 128
     params = _params(I, H, seed=3)
