@@ -478,6 +478,14 @@ def _core_bwd(cdtype, res, cot):
 _lstm_core.defvjp(_core_fwd, _core_bwd)
 
 
+def _w_hh_fits_vmem(H: int, cdtype) -> bool:
+    """The kernels keep W_hh VMEM-resident; it must leave room for the
+    double-buffered activation slabs under the ~16 MB scoped-VMEM limit.
+    bf16 H=1024 is 8 MB (fits); fp32 H=1024 is 16 MB (cannot — e.g. the
+    fp32-compute parity-test path), so those shapes take the scan layer."""
+    return 4 * H * H * jnp.dtype(cdtype).itemsize <= 12 * 1024 * 1024
+
+
 def lstm_layer_pallas(params, x, h0=None, c0=None, *,
                       compute_dtype=jnp.bfloat16):
     """Drop-in replacement for ops.lstm.lstm_layer on aligned shapes.
@@ -486,6 +494,10 @@ def lstm_layer_pallas(params, x, h0=None, c0=None, *,
     """
     B, T, _ = x.shape
     H = params["w_hh"].shape[0]
+    if not _interpret() and not _w_hh_fits_vmem(H, compute_dtype):
+        from rnn_transducer_tpu.ops.lstm import lstm_layer
+        return lstm_layer(params, x, h0, c0, compute_dtype=compute_dtype,
+                          impl="scan")
     x_proj = (
         jnp.dot(x.astype(compute_dtype),
                 params["w_ih"].astype(compute_dtype),
