@@ -40,6 +40,10 @@ def _interpret() -> bool:
 def _tile_b(B: int, H: int) -> int:
     # Keep the working set (x slab + 4-5 H-sized tiles + resident W_hh)
     # under VMEM with double buffering; large layers tile the batch.
+    # BT=32 at H=512 does NOT fit this batch-major layout (the backward's
+    # working set lands 428 KB over the 16 MB scoped limit, and TILE_T
+    # cannot shrink below the 8-sublane minimum here) — wide-batch H=512
+    # shapes dispatch to the time-major v2 kernels instead (_use_v2).
     if H <= 256:
         return B
     if H <= 512:
@@ -52,13 +56,20 @@ def supported(B: int, H: int) -> bool:
     return H % LANE == 0 and H <= 2048 and B % 8 == 0
 
 
-def _use_v2(H: int) -> bool:
-    """H > 512: W_hh alone is >=8 MB bf16, so the unrolled inner loop's
-    live intermediates blow VMEM. The v2 kernels use time-major tiles
-    (1, TILE_T, BT, H*) — the loop index lands on an untiled leading dim,
-    which makes lax.fori_loop indexing legal and keeps only one step's
-    intermediates live."""
-    return H > 512
+def _use_v2(B: int, H: int) -> bool:
+    """Time-major (v2) kernel dispatch.
+
+    H > 512: W_hh alone is >=8 MB bf16, so the batch-major (v1) unrolled
+    inner loop's live intermediates blow VMEM. The v2 kernels use
+    time-major tiles (1, TILE_T, BT, H*) — the loop index lands on an
+    untiled leading dim, which makes lax.fori_loop indexing legal and
+    keeps only one step's intermediates live.
+
+    H == 512 with B % 32 == 0: v1 is capped at BT=16 by the same VMEM
+    wall (its TILE_T cannot shrink below 8 sublanes), so wide batches
+    take v2, whose free tile_t lets BT=32/64 fit — halving the number of
+    sequential batch passes on the critical path."""
+    return H > 512 or (H == 512 and B % 32 == 0)
 
 
 def _split4(gates, H):
@@ -447,7 +458,7 @@ def _lstm_core_bwd_v2(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
 # ------------------------------ public op --------------------------------
 
 def _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype):
-    if _use_v2(w_hh.shape[0]):
+    if _use_v2(x_proj.shape[0], w_hh.shape[0]):
         return _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype)
     return _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype)
 
@@ -469,7 +480,8 @@ def _core_fwd(x_proj, w_hh, h0, c0, cdtype):
 def _core_bwd(cdtype, res, cot):
     x_proj, w_hh, h0, c0, hs, cs = res
     dhs, dhT, dcT = cot
-    bwd = (_lstm_core_bwd_v2 if _use_v2(w_hh.shape[0]) else _lstm_core_bwd)
+    bwd = (_lstm_core_bwd_v2 if _use_v2(x_proj.shape[0], w_hh.shape[0])
+           else _lstm_core_bwd)
     dx, dw_hh, dh0, dc0 = bwd(
         x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype)
     return dx, dw_hh.astype(w_hh.dtype), dh0, dc0

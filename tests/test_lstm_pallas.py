@@ -93,6 +93,24 @@ def test_v2_large_h_matches_scan():
         g_got, g_want)
 
 
+def test_wide_batch_h512_dispatches_to_v2():
+    """H=512 with B%32==0 exceeds the v1 VMEM budget at BT=32, so it
+    routes to the time-major kernels; narrow batches keep v1."""
+    from rnn_transducer_tpu.ops.lstm_pallas import _use_v2
+
+    assert _use_v2(32, 512) and _use_v2(64, 512)
+    assert not _use_v2(16, 512) and not _use_v2(8, 512)
+    assert _use_v2(8, 1024)
+    B, T, I, H = 32, 5, 16, 512
+    params = _params(I, H, seed=9)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(B, T, I)), jnp.float32)
+    want, _ = lstm_layer(params, x, compute_dtype=jnp.float32, impl="scan")
+    got, _ = lstm_layer_pallas(params, x, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_v2_bt64_tile_matches_scan():
     """B % 64 == 0 engages the widest (BT=64, TILE_T=1) batch tile."""
     from rnn_transducer_tpu.ops.lstm_pallas import _tile_bt_v2
