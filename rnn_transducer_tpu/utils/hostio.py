@@ -27,9 +27,10 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO)
-                < os.path.getmtime(os.path.join(_CPP, "hostio.cpp"))):
+        srcs = (os.path.join(_CPP, "hostio.cpp"),
+                os.path.join(_CPP, "loader.cpp"))
+        if not os.path.exists(_SO) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(s) for s in srcs):
             subprocess.run(["make", "-C", _CPP], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(_SO)

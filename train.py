@@ -54,6 +54,11 @@ def parse_args(argv=None):
     p.add_argument("--log-file", default=None,
                    help="append structured JSONL metrics records here "
                         "(mirrored to stderr)")
+    p.add_argument("--loader", default="python",
+                   choices=["python", "native"],
+                   help="manifest input pipeline: 'native' = C++ prefetch "
+                        "threads (cpp/loader.cpp); decode/FBANK/padding "
+                        "overlap device compute")
     p.add_argument("--ctc-pretrain-steps", type=int, default=0,
                    help="warm up the encoder with CTC loss for N steps "
                         "before switching to the RNN-T loss")
@@ -137,8 +142,16 @@ def main(argv=None):
             # fixed dev batch, so dev metrics reflect the training corpus.
             dev_batch = manifest_dev_batch(train_path, cfg, tcfg)
             skip_first = tcfg.batch_size if dev_batch is not None else 0
-        batches = manifest_batches(train_path, cfg, tcfg,
-                                   skip_first=skip_first)
+        if args.loader == "native":
+            from rnn_transducer_tpu.data.native_loader import NativeLoader
+            loader = NativeLoader(train_path, cfg, tcfg.buckets,
+                                  tcfg.batch_size, loop=True,
+                                  seed=args.seed, n_threads=2,
+                                  skip_first=skip_first)
+            batches = (b[:4] for b in loader)
+        else:
+            batches = manifest_batches(train_path, cfg, tcfg,
+                                       skip_first=skip_first)
     else:
         if args.dev_manifest:
             from rnn_transducer_tpu.data.manifest import manifest_dev_batch
