@@ -57,6 +57,12 @@ class TrainConfig:
     grad_clip_norm: float = 5.0
     warmup_steps: int = 500
     total_steps: int = 100_000
+    # "warmup_cosine" | "noam" (inverse-sqrt after warmup, transducer
+    # staple) | "step_decay" (xN decay every decay_every steps, newbob
+    # style) | "constant" (after linear warmup)
+    lr_schedule: str = "warmup_cosine"
+    decay_rate: float = 0.5
+    decay_every: int = 10_000
     seed: int = 0
     # accumulate gradients over k microbatches before each optimizer update
     grad_accum: int = 1

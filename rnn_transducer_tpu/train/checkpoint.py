@@ -104,3 +104,11 @@ def latest_step(ckpt_dir: str) -> int | None:
     if not os.path.isdir(ckpt_dir):
         return None
     return _manager(ckpt_dir).latest_step()
+
+
+def all_steps(ckpt_dir: str) -> list[int]:
+    """Every saved step under ckpt_dir (empty list if none)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return []
+    return sorted(_manager(ckpt_dir).all_steps())

@@ -43,17 +43,41 @@ class TrainState:
     step: jax.Array
 
 
+def make_lr_schedule(tcfg: TrainConfig) -> optax.Schedule:
+    """LR schedule per TrainConfig.lr_schedule (all warm up linearly).
+
+    "noam" is the inverse-sqrt transducer/transformer staple:
+    peak * min(step/warmup, sqrt(warmup/step)); "step_decay" multiplies
+    by decay_rate every decay_every steps (newbob-style fixed variant —
+    loss-reactive decay does not fit a jitted update)."""
+    peak, warm = tcfg.learning_rate, max(tcfg.warmup_steps, 1)
+    if tcfg.lr_schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=peak, warmup_steps=tcfg.warmup_steps,
+            decay_steps=max(tcfg.total_steps, tcfg.warmup_steps + 1),
+            end_value=peak * 0.05)
+    if tcfg.lr_schedule == "noam":
+        def noam(step):
+            s = jnp.maximum(step.astype(jnp.float32), 1.0)
+            return peak * jnp.minimum(s / warm, jnp.sqrt(warm / s))
+        return noam
+    if tcfg.lr_schedule == "step_decay":
+        def step_decay(step):
+            s = step.astype(jnp.float32)
+            warmup = jnp.minimum(s / warm, 1.0)
+            k = jnp.floor(s / tcfg.decay_every)
+            return peak * warmup * jnp.power(tcfg.decay_rate, k)
+        return step_decay
+    if tcfg.lr_schedule == "constant":
+        return lambda step: peak * jnp.minimum(
+            step.astype(jnp.float32) / warm, 1.0)
+    raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")
+
+
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0,
-        peak_value=tcfg.learning_rate,
-        warmup_steps=tcfg.warmup_steps,
-        decay_steps=max(tcfg.total_steps, tcfg.warmup_steps + 1),
-        end_value=tcfg.learning_rate * 0.05,
-    )
     tx = optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip_norm),
-        optax.adamw(schedule, weight_decay=tcfg.weight_decay),
+        optax.adamw(make_lr_schedule(tcfg), weight_decay=tcfg.weight_decay),
     )
     if tcfg.grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=tcfg.grad_accum)

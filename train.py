@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr-schedule", default="warmup_cosine",
+                   choices=["warmup_cosine", "noam", "step_decay",
+                            "constant"])
     p.add_argument("--warmup-steps", type=int, default=100)
     p.add_argument("--grad-clip", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=0)
@@ -99,7 +102,8 @@ def main(argv=None):
                        warmup_steps=args.warmup_steps,
                        total_steps=max(args.steps, args.warmup_steps + 1),
                        grad_clip_norm=args.grad_clip, seed=args.seed,
-                       loss_impl=args.loss_impl)
+                       loss_impl=args.loss_impl,
+                       lr_schedule=args.lr_schedule)
     mlog = MetricsLogger(args.log_file)
 
     n_dev = args.data_parallel or len(jax.devices())
@@ -231,10 +235,12 @@ def main(argv=None):
                      dev_per=round(per, 4))
         if args.ckpt_dir and step_no % args.ckpt_every == 0:
             ckpt.save_checkpoint(args.ckpt_dir, step_no,
-                                 dataclasses.asdict(state), model_cfg=cfg)
+                                 dataclasses.asdict(state), model_cfg=cfg,
+                                 train_config=dataclasses.asdict(tcfg))
     if args.ckpt_dir:
         ckpt.save_checkpoint(args.ckpt_dir, step_no, dataclasses.asdict(state),
-                             model_cfg=cfg)
+                             model_cfg=cfg,
+                             train_config=dataclasses.asdict(tcfg))
         print(f"saved final checkpoint at step {step_no} to {args.ckpt_dir}",
               file=sys.stderr)
     mlog.close()
