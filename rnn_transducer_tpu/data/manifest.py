@@ -56,23 +56,61 @@ def load_example(rec, input_dim: int):
     return feats, labels
 
 
-def manifest_examples(path, cfg):
-    for rec in read_manifest(path):
+def manifest_examples(path, cfg, order=None):
+    recs = read_manifest(path)
+    if order is not None:
+        recs = list(recs)
+        recs = [recs[i] for i in order]
+    for rec in recs:
         yield load_example(rec, cfg.input_dim)
 
 
-def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0):
+def example_length(rec) -> int:
+    """Frame count of a manifest record without loading its payload.
+
+    .npy lengths come from the header via mmap; raw-f32 audio from the
+    file size (FBANK frame count at the default 10 ms hop).
+    """
+    if "feats" in rec:
+        return int(np.load(rec["feats"], mmap_mode="r").shape[0])
+    path = rec["audio"]
+    if path.endswith(".npy"):
+        n = int(np.load(path, mmap_mode="r").shape[0])
+    else:
+        import os
+        n = os.path.getsize(path) // 4
+    from rnn_transducer_tpu.utils import hostio
+    if hostio.available():
+        return hostio._load().hostio_num_frames(n, 400, 160)
+    return max(0, 1 + (n - 400) // 160)
+
+
+def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0,
+                     sortagrad: bool = False):
     """Infinite (by default) stream of bucketed, padded training batches.
 
     skip_first: exclude the first N manifest examples from every epoch
     (used to hold them out as a dev batch — see `manifest_dev_batch`).
+    sortagrad: process the FIRST epoch shortest-utterance-first (warmup
+    on easy alignments, the DeepSpeech/ASR-recipe curriculum); later
+    epochs keep manifest order.
     """
+    epoch = 0
     while True:
-        ex = manifest_examples(path, cfg)
-        if skip_first:
-            ex = itertools.islice(ex, skip_first, None)
+        order = None
+        if sortagrad and epoch == 0:
+            lens = [example_length(r) for r in read_manifest(path)]
+            lens = lens[skip_first:]
+            order = [skip_first + i for i in
+                     sorted(range(len(lens)), key=lens.__getitem__)]
+            ex = manifest_examples(path, cfg, order=order)
+        else:
+            ex = manifest_examples(path, cfg)
+            if skip_first:
+                ex = itertools.islice(ex, skip_first, None)
         yield from bucket_stream(ex, tcfg.buckets, tcfg.batch_size,
                                  blank=cfg.blank)
+        epoch += 1
         if not loop:
             return
 

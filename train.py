@@ -50,6 +50,9 @@ def parse_args(argv=None):
                    choices=["auto", "fused", "pallas", "xla"])
     p.add_argument("--spec-augment", action="store_true",
                    help="apply SpecAugment time/freq masking on features")
+    p.add_argument("--sortagrad", action="store_true",
+                   help="first epoch shortest-first (manifest data, "
+                        "python loader)")
     p.add_argument("--dev-manifest", default=None,
                    help="JSONL manifest for dev-set eval; with manifest "
                         "training data and no --dev-manifest, the first "
@@ -155,7 +158,8 @@ def main(argv=None):
             batches = (b[:4] for b in loader)
         else:
             batches = manifest_batches(train_path, cfg, tcfg,
-                                       skip_first=skip_first)
+                                       skip_first=skip_first,
+                                       sortagrad=args.sortagrad)
     else:
         if args.dev_manifest:
             from rnn_transducer_tpu.data.manifest import manifest_dev_batch
