@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("--max-symbols", type=int, default=100)
     p.add_argument("--chunk-frames", type=int, default=32)
     p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--loader", default="python",
+                   choices=["python", "native"],
+                   help="manifest input pipeline ('native' = C++ prefetch "
+                        "threads, cpp/loader.cpp)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frame-hop-s", type=float, default=0.01,
                    help="seconds of audio per encoder input frame (for RTF)")
@@ -105,13 +109,22 @@ def main(argv=None):
             max_symbols=args.max_symbols)
 
     if args.data.startswith("manifest:"):
-        from rnn_transducer_tpu.data.bucketing import bucket_stream
-        from rnn_transducer_tpu.data.manifest import manifest_examples
-        def batches():
-            yield from bucket_stream(
-                manifest_examples(args.data.split(":", 1)[1], cfg),
-                TrainConfig().buckets, args.batch_size, blank=cfg.blank,
-                with_valid=True)
+        man_path = args.data.split(":", 1)[1]
+        if args.loader == "native":
+            from rnn_transducer_tpu.data.native_loader import NativeLoader
+            def batches():
+                with NativeLoader(man_path, cfg, TrainConfig().buckets,
+                                  args.batch_size, loop=False,
+                                  seed=None, n_threads=2) as ld:
+                    yield from ld
+        else:
+            from rnn_transducer_tpu.data.bucketing import bucket_stream
+            from rnn_transducer_tpu.data.manifest import manifest_examples
+            def batches():
+                yield from bucket_stream(
+                    manifest_examples(man_path, cfg),
+                    TrainConfig().buckets, args.batch_size, blank=cfg.blank,
+                    with_valid=True)
     else:
         def batches():
             rng = np.random.default_rng(args.seed + 1)

@@ -136,6 +136,29 @@ def test_train_cli_with_native_loader(tmp_path, capsys):
     assert res["steps"] == 3
 
 
+def test_recognize_cli_with_native_loader(tmp_path, capsys):
+    import json as _json
+
+    import recognize
+
+    rng = np.random.default_rng(1)
+    recs = []
+    for i in range(6):
+        t = int(rng.integers(20, 40))
+        feats = rng.normal(size=(t, 80)).astype(np.float32)
+        p = tmp_path / f"r{i}.npy"
+        np.save(p, feats)
+        recs.append({"feats": str(p),
+                     "labels": rng.integers(1, 30, size=3).tolist()})
+    man = tmp_path / "eval.jsonl"
+    man.write_text("\n".join(_json.dumps(r) for r in recs))
+    recognize.main(["--config", "smoke", "--mode", "greedy",
+                    "--data", f"manifest:{man}", "--loader", "native",
+                    "--batch-size", "4", "--max-symbols", "8"])
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["wer"] >= 0 and res["rtf"] > 0
+
+
 def test_loop_mode_reshuffles_and_keeps_feeding(tmp_path):
     mpath, _ = _write_manifest(str(tmp_path), n=16, seed=5)
     with native_loader.NativeLoader(mpath, CFG, BUCKETS, 4, loop=True,
