@@ -108,8 +108,19 @@ def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0,
             ex = manifest_examples(path, cfg)
             if skip_first:
                 ex = itertools.islice(ex, skip_first, None)
-        yield from bucket_stream(ex, tcfg.buckets, tcfg.batch_size,
-                                 blank=cfg.blank)
+        yielded = False
+        for batch in bucket_stream(ex, tcfg.buckets, tcfg.batch_size,
+                                   blank=cfg.blank):
+            yielded = True
+            yield batch
+        if not yielded:
+            # Otherwise an infinite `loop` would silently spin re-reading
+            # the manifest forever (e.g. skip_first consumed every example,
+            # or nothing fits the buckets).
+            raise ValueError(
+                f"manifest {path!r} produced no training batches "
+                f"(skip_first={skip_first}, buckets={tcfg.buckets}) — "
+                "every example was held out, dropped, or the file is empty")
         epoch += 1
         if not loop:
             return

@@ -49,6 +49,30 @@ def test_prepare_paired_and_train(tmp_path, capsys):
     assert np.isfinite(json.loads(out_line)["final_loss"])
 
 
+def test_manifest_batches_raise_instead_of_spinning(tmp_path):
+    """A holdout that consumes every example must raise, not loop forever
+    re-reading the manifest (regression: train.py dev holdout on a corpus
+    with <= batch_size utterances)."""
+    import pytest
+
+    from rnn_transducer_tpu.data.manifest import manifest_batches
+    from rnn_transducer_tpu.models.config import TrainConfig, TransducerConfig
+
+    man = tmp_path / "m.jsonl"
+    feats = tmp_path / "f.npy"
+    np.save(feats, np.zeros((12, 8), np.float32))
+    man.write_text("\n".join(
+        json.dumps({"feats": str(feats), "labels": [1, 2]})
+        for _ in range(3)))
+    cfg = TransducerConfig(input_dim=8)
+    tcfg = TrainConfig(batch_size=4, buckets=((16, 4),))
+    with pytest.raises(ValueError, match="no training batches"):
+        next(manifest_batches(str(man), cfg, tcfg, skip_first=3))
+    # sanity: without the holdout the same manifest yields a drained batch
+    batch = next(manifest_batches(str(man), cfg, tcfg))
+    assert batch[0].shape == (4, 16, 8)
+
+
 def test_prepare_timit_layout_with_sphere(tmp_path, capsys):
     d = tmp_path / "timit" / "dr1" / "fcjf0"
     d.mkdir(parents=True)

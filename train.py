@@ -146,9 +146,16 @@ def main(argv=None):
             dev_batch = manifest_dev_batch(args.dev_manifest, cfg, tcfg)
         else:
             # Hold the first batch_size examples out of every epoch as the
-            # fixed dev batch, so dev metrics reflect the training corpus.
+            # fixed dev batch, so dev metrics reflect the training corpus —
+            # but only when the corpus can afford it: on a tiny manifest
+            # (<= batch_size utterances) the holdout would consume every
+            # training example, so dev overlaps the training data instead.
+            from rnn_transducer_tpu.data.manifest import read_manifest
             dev_batch = manifest_dev_batch(train_path, cfg, tcfg)
-            skip_first = tcfg.batch_size if dev_batch is not None else 0
+            n_utts = sum(1 for _ in read_manifest(train_path))
+            skip_first = (tcfg.batch_size
+                          if dev_batch is not None and n_utts > tcfg.batch_size
+                          else 0)
         if args.loader == "native":
             from rnn_transducer_tpu.data.native_loader import NativeLoader
             loader = NativeLoader(train_path, cfg, tcfg.buckets,
