@@ -336,3 +336,35 @@ rnnt_loss.defvjp(_fwd, _bwd)
 def rnnt_loss_mean(logits, labels, frame_lens, label_lens, blank=0):
     """Batch-mean RNN-T loss (training objective)."""
     return jnp.mean(rnnt_loss(logits, labels, frame_lens, label_lens, blank))
+
+
+@jax.custom_vjp
+def rnnt_loss_from_lp(lp_blank, lp_y, frame_lens, label_lens):
+    """Per-utterance RNN-T loss from pre-extracted blank/label log-probs.
+
+    Differentiable entry point for callers that build lp_blank/lp_y
+    (B, T, U1) themselves — e.g. the vocab-parallel (TP) and
+    frame-parallel (SP) joint+loss paths in parallel/tp.py, where the
+    O(T·U·V) score extraction is sharded over the model axis and only
+    these tiny score tensors reach the (replicated) lattice recursion.
+    The backward is the occupancy gradient (no differentiation through
+    the alpha scan): d(-logZ)/d lp_blank = -g_blank, d/d lp_y = -g_y.
+    """
+    return forward_from_lp(lp_blank, lp_y, frame_lens, label_lens)
+
+
+def _from_lp_fwd(lp_blank, lp_y, frame_lens, label_lens):
+    loss, alpha = forward_from_lp_with_alpha(lp_blank, lp_y, frame_lens,
+                                             label_lens)
+    return loss, (lp_blank, lp_y, frame_lens, label_lens, alpha)
+
+
+def _from_lp_bwd(res, g):
+    lp_blank, lp_y, frame_lens, label_lens, alpha = res
+    g_blank, g_y = occupancies_from_lp(lp_blank, lp_y, frame_lens,
+                                       label_lens, alpha=alpha)
+    scale = g[:, None, None]
+    return -g_blank * scale, -g_y * scale, None, None
+
+
+rnnt_loss_from_lp.defvjp(_from_lp_fwd, _from_lp_bwd)

@@ -1,0 +1,253 @@
+"""Pipeline-parallel encoder execution (GPipe schedule) over the model axis.
+
+Third model-axis strategy next to tp/sp (parallel/tp.py): the encoder's
+layer stack is split into `pp` contiguous stages, one per model-axis
+device; the local batch is split into `M` microbatches that flow through
+the stages in the classic GPipe schedule (M + pp - 1 steps, bubble
+fraction (pp-1)/(M+pp-1)). Design notes:
+
+  * the schedule is one `lax.scan`; stage handoffs are `ppermute` shifts
+    over ICI. Because the whole pipeline is a differentiable function,
+    `jax.grad` through the scan yields the reverse (backward) schedule
+    automatically — ppermute transposes to the inverse shift.
+  * the SPMD program must be identical on every stage, so every stage's
+    first layer has its input projection rows zero-padded to
+    Dmax = max(input_dim, enc_out_dim) and the inter-stage activation
+    buffer is (Bm, T, Dmax); zero rows contribute nothing to the matmul
+    and receive zero gradient.
+  * invalid (bubble) steps compute garbage that is never written to the
+    output accumulator nor consumed by a valid slot downstream.
+  * predictor / joint / loss run replicated over the model axis on the
+    psum-assembled encoder output; gradient combine rules are the same
+    as tensor parallel (parallel/tp.py): replicated leaves pmean over
+    "model", stage-owned leaves divide by pp.
+
+Restrictions: time_reduction == 1 (frame stacking changes the activation
+shape mid-stack, breaking the uniform inter-stage buffer — apply frame
+stacking in the frontend for PP models), enc_layers % pp == 0, and the
+per-data-shard batch divisible by the microbatch count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rnn_transducer_tpu.models import transducer as m
+from rnn_transducer_tpu.models.config import TrainConfig, TransducerConfig
+from rnn_transducer_tpu.ops.lstm import mask_padding, reverse_padded
+from rnn_transducer_tpu.ops.rnnt_loss import rnnt_loss
+from rnn_transducer_tpu.parallel.tp import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    TPParams,
+    TrainState,
+    _combine_model_grads,
+    _tp_global_norm,
+    _tp_expand,
+    _tp_squeeze,
+    make_optimizer_noclip,
+    tp_specs,
+)
+
+
+def _pad_rows(w, rows: int):
+    return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
+
+
+def _pad_first_layer(layer, dmax: int, bidirectional: bool):
+    def pad(p):
+        return {**p, "w_ih": _pad_rows(p["w_ih"], dmax)}
+
+    if bidirectional:
+        return {"fwd": pad(layer["fwd"]), "bwd": pad(layer["bwd"])}
+    return pad(layer)
+
+
+def _unpad_first_layer(layer, in_dim: int, bidirectional: bool):
+    def unpad(p):
+        return {**p, "w_ih": p["w_ih"][:in_dim]}
+
+    if bidirectional:
+        return {"fwd": unpad(layer["fwd"]), "bwd": unpad(layer["bwd"])}
+    return unpad(layer)
+
+
+def _stage_in_dim(cfg: TransducerConfig, layer_idx: int) -> int:
+    return cfg.input_dim if layer_idx == 0 else cfg.enc_out_dim
+
+
+def split_params_pp(params, cfg: TransducerConfig, pp: int) -> TPParams:
+    """Full params -> TPParams: encoder layers grouped into pp stages and
+    stacked over a leading pp axis (stage s owns layers [s*lps, (s+1)*lps));
+    everything else replicated."""
+    assert cfg.time_reduction == 1, "PP requires time_reduction == 1"
+    assert cfg.enc_layers % pp == 0, (
+        f"enc_layers {cfg.enc_layers} not divisible by pipeline depth {pp}")
+    lps = cfg.enc_layers // pp
+    dmax = max(cfg.input_dim, cfg.enc_out_dim)
+    stage_layers = []
+    for j in range(lps):
+        per_stage = []
+        for s in range(pp):
+            layer = params["encoder"][s * lps + j]
+            if j == 0:  # stage entry layer: uniform padded input rows
+                layer = _pad_first_layer(layer, dmax, cfg.bidirectional)
+            per_stage.append(layer)
+        stage_layers.append(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *per_stage))
+    rep = {k: v for k, v in params.items() if k != "encoder"}
+    return TPParams(rep=rep, shd={"encoder": stage_layers})
+
+
+def merge_params_pp(tpp: TPParams, cfg: TransducerConfig) -> dict:
+    lps = len(tpp.shd["encoder"])
+    pp = jax.tree.leaves(tpp.shd["encoder"][0])[0].shape[0]
+    encoder = []
+    for s in range(pp):
+        for j in range(lps):
+            layer = jax.tree.map(lambda x: x[s], tpp.shd["encoder"][j])
+            if j == 0:
+                layer = _unpad_first_layer(
+                    layer, _stage_in_dim(cfg, s * lps), cfg.bidirectional)
+            encoder.append(layer)
+    return {"encoder": encoder, **tpp.rep}
+
+
+def _run_stage(stage_layers, cfg: TransducerConfig, x, lens):
+    """Apply this stage's layers to one microbatch activation.
+
+    x: (Bm, T, Dmax) zero-padded beyond the true input dim; the padded
+    rows of the first layer's w_ih make the extra channels inert.
+    """
+    from rnn_transducer_tpu.ops.lstm import bilstm_layer, lstm_layer
+
+    x = mask_padding(x, lens)  # matches encode()'s input masking
+    for j, layer in enumerate(stage_layers):
+        if j > 0:  # inner layers consume the true feature width
+            x = x[..., : cfg.enc_out_dim]
+        if cfg.bidirectional:
+            x = bilstm_layer(layer["fwd"], layer["bwd"], x, lens,
+                             compute_dtype=cfg.cdtype)
+        else:
+            x = lstm_layer(layer, x, impl="scan",
+                           compute_dtype=cfg.cdtype)[0]
+        x = mask_padding(x, lens)
+    return x  # (Bm, T, enc_out_dim)
+
+
+def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
+              pp: int, microbatches: int, axis=MODEL_AXIS):
+    """GPipe-scheduled encoder: feats (Bl, T, F) -> enc_out (Bl, T, De).
+
+    Runs inside shard_map over a (data, model) mesh; stage_layers is this
+    device's stage (leading stage axis already squeezed)."""
+    s = jax.lax.axis_index(axis)
+    Bl, T, F = feats.shape
+    M = microbatches
+    assert Bl % M == 0, f"local batch {Bl} not divisible by microbatches {M}"
+    Bm = Bl // M
+    De = cfg.enc_out_dim
+    dmax = max(cfg.input_dim, De)
+    mb = jnp.pad(feats, ((0, 0), (0, 0), (0, dmax - F))).reshape(
+        M, Bm, T, dmax)
+    mb_lens = feat_lens.reshape(M, Bm)
+    K = M + pp - 1
+    perm = [(i, i + 1) for i in range(pp - 1)]
+
+    def step(carry, k):
+        recv, acc = carry
+        my_idx = jnp.clip(k - s, 0, M - 1)
+        x0 = jax.lax.dynamic_index_in_dim(mb, my_idx, 0, keepdims=False)
+        x_in = jnp.where(s == 0, x0, recv)
+        lens = jax.lax.dynamic_index_in_dim(mb_lens, my_idx, 0,
+                                            keepdims=False)
+        y = _run_stage(stage_layers, cfg, x_in, lens)  # (Bm, T, De)
+        recv_new = jax.lax.ppermute(
+            jnp.pad(y, ((0, 0), (0, 0), (0, dmax - De))), axis, perm)
+        out_idx = jnp.clip(k - (pp - 1), 0, M - 1)
+        write = (s == pp - 1) & (k - (pp - 1) >= 0)
+        old = jax.lax.dynamic_index_in_dim(acc, out_idx, 0, keepdims=False)
+        acc = jax.lax.dynamic_update_index_in_dim(
+            acc, jnp.where(write, y, old), out_idx, 0)
+        return (recv_new, acc), None
+
+    recv0 = jnp.zeros((Bm, T, dmax), jnp.float32)
+    acc0 = jnp.zeros((M, Bm, T, De), jnp.float32)
+    (_, acc), _ = jax.lax.scan(step, (recv0, acc0), jnp.arange(K))
+    # Only the last stage wrote real values; assemble on every stage.
+    enc_out = jax.lax.psum(acc, axis).reshape(Bl, T, De)
+    return enc_out, feat_lens  # time_reduction == 1: lengths unchanged
+
+
+def pp_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
+               labels, label_lens, *, pp: int, microbatches: int):
+    enc_out, enc_lens = pp_encode(local.shd["encoder"], cfg, feats,
+                                  feat_lens, pp=pp,
+                                  microbatches=microbatches)
+    rep = local.rep
+    pred_out, _ = m.predict(rep, cfg, labels)
+    logits = m.joint(rep, cfg, enc_out, pred_out)
+    per_utt = rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank)
+    return jnp.mean(per_utt), per_utt
+
+
+def init_pp_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
+                        pp: int) -> TrainState:
+    params = split_params_pp(m.init_params(key, cfg), cfg, pp)
+    tx = make_optimizer_noclip(tcfg)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
+                       microbatches: int | None = None):
+    """Jitted update step: pipeline-parallel encoder over "model", data
+    parallel over "data". Mirrors tp.make_tp_train_step's semantics."""
+    pp = mesh.shape[MODEL_AXIS]
+    M = microbatches if microbatches is not None else 2 * pp
+    tx = make_optimizer_noclip(tcfg)
+
+    def shard_fn(state, feats, feat_lens, labels, label_lens):
+        local = _tp_squeeze(state)
+
+        def batch_loss(p):
+            return pp_loss_fn(p, cfg, feats, feat_lens, labels, label_lens,
+                              pp=pp, microbatches=M)
+
+        (loss, _), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+            local.params)
+        grads = _combine_model_grads(grads, pp)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
+        gnorm = _tp_global_norm(grads, True)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        scale = jnp.where(ok, jnp.minimum(1.0, tcfg.grad_clip_norm
+                                          / jnp.maximum(gnorm, 1e-12)), 0.0)
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, local.opt_state, local.params)
+        params = optax.apply_updates(local.params, updates)
+        params = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                              params, local.params)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "ndim")
+            else new, opt_state, local.opt_state)
+        new_state = _tp_expand(TrainState(params=params, opt_state=opt_state,
+                                          step=local.step + 1))
+        return new_state, {"loss": loss, "grad_norm": gnorm,
+                           "skipped_nonfinite": (~ok).astype(jnp.int32)}
+
+    state_ex = jax.eval_shape(
+        lambda: init_pp_train_state(jax.random.PRNGKey(0), cfg, tcfg, pp))
+    state_spec = tp_specs(state_ex)
+    batch_spec = P(DATA_AXIS)
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, batch_spec, batch_spec, batch_spec),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -1,0 +1,556 @@
+"""Tensor- and sequence-parallel model execution over a (data, model) mesh.
+
+The reference is a single-device script (SURVEY.md §B); model parallelism is
+native to this rebuild. Two model-axis strategies, composable with data
+parallelism on a 2-D mesh:
+
+  * **Tensor parallel ("tp")** — Megatron-style weight sharding:
+      - every LSTM layer's gate/hidden dimension is column-sharded
+        gate-wise: shard k owns rows [k·H/mp, (k+1)·H/mp) of h and the
+        matching columns of each of the 4 gate blocks of W_ih/W_hh/b.
+        The recurrence needs the full h(t) each step, so the scan body
+        all-gathers the (B, H/mp) local hidden over the model axis — a
+        tiny ICI transfer next to the (B, H) x (H, 4H/mp) matmul it feeds;
+      - the joint output projection is vocab-column-sharded with a
+        vocab-parallel log-softmax (pmax/psum for the denominator, a
+        masked gather + psum for the blank/label scores), so the O(T·U·V)
+        lattice work — the dominant cost — splits over the model axis and
+        the full (B,T,U+1,V) logits never exist on any one chip;
+      - the tiny (B,T,U+1) score tensors feed the replicated lattice
+        recursion through ops.rnnt_loss.rnnt_loss_from_lp (custom VJP).
+
+  * **Sequence parallel ("sp")** — weights replicated, the encoder-frame
+    axis of the joint+loss lattice sharded: each shard builds logits and
+    extracts blank/label scores for its T/mp frames only (full vocab
+    locally), then the (B,T,U+1) scores are all-gathered for the
+    replicated recursion. Shards the dominant lattice cost with zero
+    weight-layout changes; the encoder itself runs replicated.
+
+Gradient combine rules over the model axis (each shard computes the same
+replicated loss, so autodiff's per-shard grads are mp x the true partials):
+replicated leaves -> pmean over "model"; sharded leaves -> divide by mp.
+Data-parallel combine is the usual pmean over "data" afterwards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.tree_util import GetAttrKey
+
+from rnn_transducer_tpu.models import transducer as m
+from rnn_transducer_tpu.models.config import TrainConfig, TransducerConfig
+from rnn_transducer_tpu.ops.lstm import mask_padding, reverse_padded
+from rnn_transducer_tpu.ops.rnnt_loss import (
+    NEG_INF,
+    _gather_label_logprobs,
+    rnnt_loss_from_lp,
+)
+from rnn_transducer_tpu.train.loop import TrainState, make_lr_schedule
+
+MODEL_AXIS = "model"
+DATA_AXIS = "data"
+_PAD_BIAS = -1.0e9  # bias for padded vocab columns: exp() underflows to 0
+
+
+def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_model),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+# --------------------------------------------------------------------------
+# Parameter layout: TPParams = replicated subtree + stacked sharded subtree
+# --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("rep", "shd"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class TPParams:
+    """rep: replicated leaves; shd: leaves stacked with a leading mp axis
+    (sharded over the model axis by shard_map, so each device sees its
+    slice with leading dim 1)."""
+
+    rep: Any
+    shd: Any
+
+
+def _stack_gate_cols(w, mp: int):
+    """(I, 4H) gate-major (i,f,g,o) -> (mp, I, 4*(H/mp)): shard k holds,
+    for each gate, columns [k*H/mp, (k+1)*H/mp)."""
+    I, four_h = w.shape
+    H = four_h // 4
+    assert H % mp == 0, f"hidden {H} not divisible by model parallel {mp}"
+    Hl = H // mp
+    w4 = w.reshape(I, 4, mp, Hl)
+    return jnp.moveaxis(w4, 2, 0).reshape(mp, I, 4 * Hl)
+
+
+def _merge_gate_cols(ws):
+    """(mp, I, 4Hl) -> (I, 4H), inverse of _stack_gate_cols."""
+    mp, I, four_hl = ws.shape
+    Hl = four_hl // 4
+    w = jnp.moveaxis(ws.reshape(mp, I, 4, Hl), 0, 2)  # (I, 4, mp, Hl)
+    return w.reshape(I, 4 * mp * Hl)
+
+
+def _shard_lstm(p, mp: int):
+    return {
+        "w_ih": _stack_gate_cols(p["w_ih"], mp),
+        "w_hh": _stack_gate_cols(p["w_hh"], mp),
+        "b": _stack_gate_cols(p["b"][None, :], mp)[:, 0, :],
+    }
+
+
+def _merge_lstm(p):
+    return {
+        "w_ih": _merge_gate_cols(p["w_ih"]),
+        "w_hh": _merge_gate_cols(p["w_hh"]),
+        "b": _merge_gate_cols(p["b"][:, None, :])[0],
+    }
+
+
+def _shard_vocab_out(out, mp: int, vocab: int):
+    """Joint out projection (J, V) column-sharded over vocab, padded so
+    V is divisible by mp; padded bias columns get _PAD_BIAS so the
+    vocab-parallel softmax ignores them."""
+    w, b = out["w"], out["b"]
+    J, V = w.shape
+    Vp = -(-V // mp) * mp
+    if Vp != V:
+        w = jnp.pad(w, ((0, 0), (0, Vp - V)))
+        b = jnp.pad(b, (0, Vp - V), constant_values=_PAD_BIAS)
+    Vl = Vp // mp
+    return {
+        "w": jnp.moveaxis(w.reshape(J, mp, Vl), 1, 0),  # (mp, J, Vl)
+        "b": b.reshape(mp, Vl),
+    }
+
+
+def _merge_vocab_out(out, vocab: int):
+    w, b = out["w"], out["b"]  # (mp, J, Vl), (mp, Vl)
+    mp, J, Vl = w.shape
+    w = jnp.moveaxis(w, 0, 1).reshape(J, mp * Vl)[:, :vocab]
+    return {"w": w, "b": b.reshape(mp * Vl)[:vocab]}
+
+
+def split_params_tp(params, cfg: TransducerConfig, mp: int) -> TPParams:
+    """Full parameter pytree -> TPParams with stacked model shards."""
+
+    def shard_enc_layer(layer):
+        if cfg.bidirectional:
+            return {"fwd": _shard_lstm(layer["fwd"], mp),
+                    "bwd": _shard_lstm(layer["bwd"], mp)}
+        return _shard_lstm(layer, mp)
+
+    shd = {
+        "encoder": [shard_enc_layer(l) for l in params["encoder"]],
+        "predictor": [_shard_lstm(l, mp) for l in params["predictor"]],
+        "joint_out": _shard_vocab_out(params["joint"]["out"], mp,
+                                      cfg.vocab_size),
+    }
+    rep = {
+        "embed": params["embed"],
+        "joint": {"enc_proj": params["joint"]["enc_proj"],
+                  "pred_proj": params["joint"]["pred_proj"]},
+    }
+    if "ctc_head" in params:
+        rep["ctc_head"] = params["ctc_head"]
+    return TPParams(rep=rep, shd=shd)
+
+
+def merge_params_tp(tp: TPParams, cfg: TransducerConfig) -> dict:
+    """TPParams -> full parameter pytree (for eval/decode/checkpoints)."""
+
+    def merge_enc_layer(layer):
+        if cfg.bidirectional:
+            return {"fwd": _merge_lstm(layer["fwd"]),
+                    "bwd": _merge_lstm(layer["bwd"])}
+        return _merge_lstm(layer)
+
+    params = {
+        "encoder": [merge_enc_layer(l) for l in tp.shd["encoder"]],
+        "embed": tp.rep["embed"],
+        "predictor": [_merge_lstm(l) for l in tp.shd["predictor"]],
+        "joint": {
+            "enc_proj": tp.rep["joint"]["enc_proj"],
+            "pred_proj": tp.rep["joint"]["pred_proj"],
+            "out": _merge_vocab_out(tp.shd["joint_out"], cfg.vocab_size),
+        },
+    }
+    if "ctc_head" in tp.rep:
+        params["ctc_head"] = tp.rep["ctc_head"]
+    return params
+
+
+def _path_has_shd(path) -> bool:
+    return any(isinstance(e, GetAttrKey) and e.name == "shd" for e in path)
+
+
+def tp_specs(tree):
+    """PartitionSpec pytree: leaves under a TPParams.shd field are stacked
+    over the model axis; everything else is replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: P(MODEL_AXIS) if _path_has_shd(path) else P(), tree)
+
+
+def _tp_squeeze(tree):
+    """Drop the local leading shard dim (1, ...) -> (...) on shd leaves."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: x[0] if _path_has_shd(path) else x, tree)
+
+
+def _tp_expand(tree):
+    """Re-add the local leading shard dim on shd leaves."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: x[None] if _path_has_shd(path) else x, tree)
+
+
+def _local_view(tp_local: TPParams) -> dict:
+    """Per-shard parameter dict in the regular `params` layout (sharded
+    leaves hold this shard's slice)."""
+    params = {
+        "encoder": tp_local.shd["encoder"],
+        "embed": tp_local.rep["embed"],
+        "predictor": tp_local.shd["predictor"],
+        "joint": {
+            "enc_proj": tp_local.rep["joint"]["enc_proj"],
+            "pred_proj": tp_local.rep["joint"]["pred_proj"],
+            "out": tp_local.shd["joint_out"],
+        },
+    }
+    if "ctc_head" in tp_local.rep:
+        params["ctc_head"] = tp_local.rep["ctc_head"]
+    return params
+
+
+# --------------------------------------------------------------------------
+# Tensor-parallel model functions (run inside shard_map)
+# --------------------------------------------------------------------------
+
+def tp_lstm_layer(p_local, x, h0=None, c0=None, *, axis=MODEL_AXIS,
+                  compute_dtype=jnp.bfloat16):
+    """Gate-sharded LSTM layer: x (B, T, I) replicated -> y (B, T, H) full.
+
+    Each step all-gathers the (B, H/mp) local hidden so the recurrent
+    matmul contracts over the full H; gates/cell state stay sharded.
+    """
+    B, T, _ = x.shape
+    Hl = p_local["w_hh"].shape[1] // 4
+    x_proj = (
+        jnp.dot(x.astype(compute_dtype), p_local["w_ih"].astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+        + p_local["b"].astype(jnp.float32)
+    )  # (B, T, 4Hl)
+    if h0 is None:
+        h0 = jnp.zeros((B, Hl), jnp.float32)
+    if c0 is None:
+        c0 = jnp.zeros((B, Hl), jnp.float32)
+
+    def step(carry, xp_t):
+        h_l, c_l = carry
+        h = jax.lax.all_gather(h_l, axis, axis=1, tiled=True)  # (B, H)
+        gates = xp_t + jnp.dot(
+            h.astype(compute_dtype), p_local["w_hh"].astype(compute_dtype),
+            preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), jnp.moveaxis(x_proj, 1, 0))
+    y_local = jnp.moveaxis(ys, 0, 1)  # (B, T, Hl)
+    y = jax.lax.all_gather(y_local, axis, axis=2, tiled=True)  # (B, T, H)
+    return y, (h_t, c_t)
+
+
+def tp_bilstm_layer(p_fwd, p_bwd, x, lens, *, axis=MODEL_AXIS,
+                    compute_dtype=jnp.bfloat16):
+    y_f, _ = tp_lstm_layer(p_fwd, x, axis=axis, compute_dtype=compute_dtype)
+    x_r = reverse_padded(x, lens)
+    y_b, _ = tp_lstm_layer(p_bwd, x_r, axis=axis, compute_dtype=compute_dtype)
+    return jnp.concatenate([y_f, reverse_padded(y_b, lens)], axis=-1)
+
+
+def tp_encode(params_local, cfg: TransducerConfig, feats, feat_lens, *,
+              axis=MODEL_AXIS):
+    """Mirror of models.transducer.encode with gate-sharded layers."""
+    x = mask_padding(feats.astype(jnp.float32), feat_lens)
+    lens = feat_lens
+    cd = cfg.cdtype
+    for i, layer in enumerate(params_local["encoder"]):
+        if cfg.bidirectional:
+            x = tp_bilstm_layer(layer["fwd"], layer["bwd"], x, lens,
+                                axis=axis, compute_dtype=cd)
+        else:
+            x = tp_lstm_layer(layer, x, axis=axis, compute_dtype=cd)[0]
+        x = mask_padding(x, lens)
+        if i == 0 and cfg.time_reduction > 1:
+            x, lens = m._time_reduce(x, lens, cfg.time_reduction)
+    return x, lens
+
+
+def tp_predict(params_local, cfg: TransducerConfig, labels, *,
+               axis=MODEL_AXIS):
+    B, U = labels.shape
+    bos = jnp.full((B, 1), cfg.blank, labels.dtype)
+    x = params_local["embed"][jnp.concatenate([bos, labels], axis=1)]
+    for layer in params_local["predictor"]:
+        x, _ = tp_lstm_layer(layer, x, axis=axis, compute_dtype=cfg.cdtype)
+    return x
+
+
+def _joint_z(params_local, cfg: TransducerConfig, enc_out, pred_out):
+    """Replicated joint pre-activation z = tanh(f + g): (B, T, U1, J) fp32."""
+    jp = params_local["joint"]
+    cd = cfg.cdtype
+    f = (jnp.dot(enc_out.astype(cd), jp["enc_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["enc_proj"]["b"].astype(jnp.float32))
+    g = (jnp.dot(pred_out.astype(cd), jp["pred_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["pred_proj"]["b"].astype(jnp.float32))
+    return jnp.tanh(f[:, :, None, :] + g[:, None, :, :])
+
+
+def tp_joint_loss(params_local, cfg: TransducerConfig, enc_out, enc_lens,
+                  pred_out, labels, label_lens, *, axis=MODEL_AXIS):
+    """Vocab-parallel joint + RNN-T loss.
+
+    The out projection is V-column-sharded: each shard builds its
+    (B, T, U1, V/mp) logits slice, the log-softmax denominator is a
+    pmax/psum reduction, and the blank/label scores are masked gathers
+    psum-ed across shards. Only (B, T, U1) score tensors are exchanged.
+    """
+    z = _joint_z(params_local, cfg, enc_out, pred_out)
+    out = params_local["joint"]["out"]
+    cd = cfg.cdtype
+    logits_l = (jnp.dot(z.astype(cd), out["w"].astype(cd),
+                        preferred_element_type=jnp.float32)
+                + out["b"].astype(jnp.float32))  # (B, T, U1, Vl)
+    B, T, U1, Vl = logits_l.shape
+    # stop_gradient BEFORE pmax: pmax has no differentiation rule, and the
+    # shift cancels analytically in the softmax gradient anyway.
+    mx = jax.lax.pmax(
+        jax.lax.stop_gradient(jnp.max(logits_l, axis=-1)), axis)  # (B,T,U1)
+    den = mx + jnp.log(jax.lax.psum(
+        jnp.sum(jnp.exp(logits_l - mx[..., None]), axis=-1), axis))
+
+    v0 = jax.lax.axis_index(axis) * Vl
+
+    def pick(ids):
+        """logit value at global vocab id (exactly one shard owns each id)."""
+        loc = ids.astype(jnp.int32) - v0
+        ok = (loc >= 0) & (loc < Vl)
+        val = jnp.take_along_axis(
+            logits_l, jnp.clip(loc, 0, Vl - 1)[..., None], axis=-1)[..., 0]
+        return jax.lax.psum(jnp.where(ok, val, 0.0), axis)
+
+    lp_blank = pick(jnp.full((B, T, U1), cfg.blank, jnp.int32)) - den
+    lab = jnp.concatenate(
+        [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1)
+    lp_y = pick(jnp.broadcast_to(lab[:, None, :], (B, T, U1))) - den
+    lp_y = lp_y.at[:, :, U1 - 1].set(NEG_INF)  # u = U has no label
+    return rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens)
+
+
+def tp_loss_fn(params_local, cfg: TransducerConfig, feats, feat_lens,
+               labels, label_lens, *, axis=MODEL_AXIS):
+    enc_out, enc_lens = tp_encode(params_local, cfg, feats, feat_lens,
+                                  axis=axis)
+    pred_out = tp_predict(params_local, cfg, labels, axis=axis)
+    per_utt = tp_joint_loss(params_local, cfg, enc_out, enc_lens, pred_out,
+                            labels, label_lens, axis=axis)
+    return jnp.mean(per_utt), per_utt
+
+
+# --------------------------------------------------------------------------
+# Sequence-parallel joint + loss (weights replicated, frames sharded)
+# --------------------------------------------------------------------------
+
+def sp_joint_loss(params, cfg: TransducerConfig, enc_out, enc_lens,
+                  pred_out, labels, label_lens, *, axis=MODEL_AXIS):
+    """Frame-sharded joint + RNN-T loss.
+
+    enc_out is padded to a multiple of the model-axis size and each shard
+    builds logits + extracts blank/label scores for its own frame slice
+    (full vocab locally); the (B, T, U1) scores are all-gathered for the
+    replicated lattice recursion. Padded frames land beyond enc_lens so
+    the loss masking already ignores them.
+    """
+    sp = jax.lax.axis_size(axis)
+    B, T, _ = enc_out.shape
+    Tp = -(-T // sp) * sp
+    if Tp != T:
+        enc_out = jnp.pad(enc_out, ((0, 0), (0, Tp - T), (0, 0)))
+    Tl = Tp // sp
+    t0 = jax.lax.axis_index(axis) * Tl
+    enc_l = jax.lax.dynamic_slice_in_dim(enc_out, t0, Tl, axis=1)
+    z = _joint_z(params, cfg, enc_l, pred_out)  # (B, Tl, U1, J)
+    out = params["joint"]["out"]
+    cd = cfg.cdtype
+    logits_l = (jnp.dot(z.astype(cd), out["w"].astype(cd),
+                        preferred_element_type=jnp.float32)
+                + out["b"].astype(jnp.float32))  # (B, Tl, U1, V)
+    lp = jax.nn.log_softmax(logits_l, axis=-1)
+    lp_blank = jax.lax.all_gather(lp[..., cfg.blank], axis, axis=1,
+                                  tiled=True)[:, :T]
+    lp_y = jax.lax.all_gather(
+        _gather_label_logprobs(lp, labels), axis, axis=1, tiled=True)[:, :T]
+    return rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens)
+
+
+def sp_loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
+               label_lens, *, axis=MODEL_AXIS):
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
+    pred_out, _ = m.predict(params, cfg, labels)
+    per_utt = sp_joint_loss(params, cfg, enc_out, enc_lens, pred_out,
+                            labels, label_lens, axis=axis)
+    return jnp.mean(per_utt), per_utt
+
+
+# --------------------------------------------------------------------------
+# Training step over the 2-D mesh
+# --------------------------------------------------------------------------
+
+def _combine_model_grads(grads, mp: int):
+    """Model-axis grad combine: each shard computed the same replicated
+    loss, so autodiff grads are mp x the true partials. Replicated leaves
+    additionally need the cross-shard partial sum (pmean = psum / mp);
+    sharded leaves are owned by one shard (divide by mp only)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, g: g / mp if _path_has_shd(path)
+        else jax.lax.pmean(g, MODEL_AXIS), grads)
+
+
+def _tp_global_norm(grads, is_tp: bool):
+    """Global grad norm with sharded leaves psum-ed over the model axis."""
+    if not is_tp:
+        return optax.global_norm(grads)
+    sq = jax.tree_util.tree_map_with_path(
+        lambda path, g: (jax.lax.psum(jnp.sum(g * g), MODEL_AXIS)
+                         if _path_has_shd(path) else jnp.sum(g * g)), grads)
+    return jnp.sqrt(sum(jax.tree.leaves(sq)))
+
+
+def make_optimizer_noclip(tcfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW without the global-norm clip (applied manually in the TP step,
+    where the norm needs a model-axis psum optax cannot express)."""
+    return optax.adamw(make_lr_schedule(tcfg), weight_decay=tcfg.weight_decay)
+
+
+def init_tp_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
+                        mp: int) -> TrainState:
+    params = split_params_tp(m.init_params(key, cfg), cfg, mp)
+    tx = make_optimizer_noclip(tcfg)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def init_sp_train_state(key, cfg: TransducerConfig,
+                        tcfg: TrainConfig) -> TrainState:
+    """Replicated-params state for mode="sp" (noclip optimizer layout)."""
+    params = m.init_params(key, cfg)
+    tx = make_optimizer_noclip(tcfg)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
+                       mode: str = "tp"):
+    """Jitted update step over a (data, model) mesh.
+
+    mode="tp": TPParams state (gate-sharded LSTMs + vocab-parallel loss).
+    mode="sp": plain replicated params, frame-sharded joint+loss.
+    Batches are sharded over "data" and replicated over "model".
+    """
+    assert mode in ("tp", "sp"), mode
+    mp = mesh.shape[MODEL_AXIS]
+    tx = make_optimizer_noclip(tcfg)
+    is_tp = mode == "tp"
+
+    def shard_fn(state, feats, feat_lens, labels, label_lens):
+        local = _tp_squeeze(state) if is_tp else state
+        if is_tp:
+            def batch_loss(p):
+                return tp_loss_fn(_local_view(p), cfg, feats, feat_lens,
+                                  labels, label_lens)
+        else:
+            def batch_loss(p):
+                return sp_loss_fn(p, cfg, feats, feat_lens, labels,
+                                  label_lens)
+        (loss, _), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+            local.params)
+        if is_tp:
+            grads = _combine_model_grads(grads, mp)
+        else:
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, MODEL_AXIS),
+                                 grads)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
+        # Manual global-norm clip + non-finite step guard (mirrors
+        # train.loop.make_train_step's semantics).
+        gnorm = _tp_global_norm(grads, is_tp)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        scale = jnp.where(ok, jnp.minimum(1.0, tcfg.grad_clip_norm
+                                          / jnp.maximum(gnorm, 1e-12)), 0.0)
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, local.opt_state, local.params)
+        params = optax.apply_updates(local.params, updates)
+        params = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                              params, local.params)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "ndim")
+            else new, opt_state, local.opt_state)
+        new_local = TrainState(params=params, opt_state=opt_state,
+                               step=local.step + 1)
+        new_state = _tp_expand(new_local) if is_tp else new_local
+        return new_state, {"loss": loss, "grad_norm": gnorm,
+                           "skipped_nonfinite": (~ok).astype(jnp.int32)}
+
+    if is_tp:
+        state_ex = jax.eval_shape(
+            lambda: init_tp_train_state(jax.random.PRNGKey(0), cfg, tcfg, mp))
+        state_spec = tp_specs(state_ex)
+    else:
+        state_spec = TrainState(params=P(), opt_state=P(), step=P())
+    batch_spec = P(DATA_AXIS)
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, batch_spec, batch_spec, batch_spec),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def shard_tp_state(mesh: Mesh, state: TrainState) -> TrainState:
+    """Place a TPParams TrainState on the mesh (stacked leaves over the
+    model axis, everything else replicated)."""
+    specs = tp_specs(state)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+
+
+def replicate_state(mesh: Mesh, state: TrainState) -> TrainState:
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), state)
+
+
+def shard_batch_2d(mesh: Mesh, batch):
+    """Batch: leading dim sharded over "data", replicated over "model"."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
