@@ -86,14 +86,18 @@ def example_length(rec) -> int:
 
 
 def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0,
-                     sortagrad: bool = False):
+                     sortagrad: bool = False,
+                     shuffle_seed: int | None = None):
     """Infinite (by default) stream of bucketed, padded training batches.
 
     skip_first: exclude the first N manifest examples from every epoch
     (used to hold them out as a dev batch — see `manifest_dev_batch`).
     sortagrad: process the FIRST epoch shortest-utterance-first (warmup
     on easy alignments, the DeepSpeech/ASR-recipe curriculum); later
-    epochs keep manifest order.
+    epochs follow shuffle_seed (or manifest order).
+    shuffle_seed: reshuffle the (non-held-out) examples every epoch with
+    rng(seed + epoch) — same contract as the native C++ loader
+    (cpp/loader.cpp); None keeps manifest order (deterministic tests).
     """
     epoch = 0
     while True:
@@ -103,6 +107,12 @@ def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0,
             lens = lens[skip_first:]
             order = [skip_first + i for i in
                      sorted(range(len(lens)), key=lens.__getitem__)]
+            ex = manifest_examples(path, cfg, order=order)
+        elif shuffle_seed is not None:
+            n = sum(1 for _ in read_manifest(path))
+            rng = np.random.default_rng(shuffle_seed + epoch)
+            order = [skip_first + int(i)
+                     for i in rng.permutation(max(0, n - skip_first))]
             ex = manifest_examples(path, cfg, order=order)
         else:
             ex = manifest_examples(path, cfg)

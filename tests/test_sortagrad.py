@@ -48,3 +48,29 @@ def test_first_epoch_is_shortest_first(tmp_path):
     seen2 = [int(l) for _, fl, _, _ in epoch2 for l in fl]
     assert seen1 == sorted(lengths)
     assert seen2 == lengths
+
+
+def test_epoch_shuffle(tmp_path):
+    """shuffle_seed: each epoch is a fresh permutation covering every
+    example exactly once (same contract as the native C++ loader)."""
+    lengths = [9, 3, 12, 6, 10, 4, 8, 5]
+    m = _manifest(tmp_path, lengths)
+    tcfg = TrainConfig(batch_size=2, buckets=((16, 4),))
+    it = manifest_batches(m, CFG, tcfg, loop=True, shuffle_seed=0)
+    n_batches = len(lengths) // 2
+    seen1 = [int(l) for b in (next(it) for _ in range(n_batches))
+             for l in b[1]]
+    seen2 = [int(l) for b in (next(it) for _ in range(n_batches))
+             for l in b[1]]
+    assert sorted(seen1) == sorted(lengths)  # full coverage per epoch
+    assert sorted(seen2) == sorted(lengths)
+    assert seen1 != seen2 or seen1 != lengths  # actually permuted
+    # SortaGrad composes: epoch 0 sorted, later epochs shuffled
+    it = manifest_batches(m, CFG, tcfg, loop=True, sortagrad=True,
+                          shuffle_seed=0)
+    seen1 = [int(l) for b in (next(it) for _ in range(n_batches))
+             for l in b[1]]
+    seen2 = [int(l) for b in (next(it) for _ in range(n_batches))
+             for l in b[1]]
+    assert seen1 == sorted(lengths)
+    assert sorted(seen2) == sorted(lengths) and seen2 != lengths

@@ -166,7 +166,8 @@ def main(argv=None):
         else:
             batches = manifest_batches(train_path, cfg, tcfg,
                                        skip_first=skip_first,
-                                       sortagrad=args.sortagrad)
+                                       sortagrad=args.sortagrad,
+                                       shuffle_seed=args.seed)
     else:
         if args.dev_manifest:
             from rnn_transducer_tpu.data.manifest import manifest_dev_batch
