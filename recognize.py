@@ -72,13 +72,38 @@ def main(argv=None):
                 f"{args.ckpt_dir}/meta.json: {saved_cfg}")
     else:
         cfg = saved_cfg if saved_cfg is not None else get_model_config("smoke")
-    state = init_train_state(jax.random.PRNGKey(args.seed), cfg, TrainConfig())
-    if args.ckpt_dir:
-        tree, step = ckpt.restore_checkpoint(args.ckpt_dir,
-                                             dataclasses.asdict(state))
-        state = TrainState(**tree)
-        print(f"loaded checkpoint step {step}", file=sys.stderr)
-    params = state.params
+    meta = ckpt.load_meta(args.ckpt_dir) if args.ckpt_dir else None
+    par = (meta or {}).get("parallel")
+    if args.ckpt_dir and par and par.get("mp", 1) > 1:
+        # Checkpoint written by a model-parallel run (train.py
+        # --model-parallel): rebuild its state layout, restore the live
+        # pytree, and merge the weight shards into plain params.
+        from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
+        mode, mp_n = par["mode"], int(par["mp"])
+        key = jax.random.PRNGKey(args.seed)
+        if mode == "tp":
+            state0 = tpx.init_tp_train_state(key, cfg, TrainConfig(), mp_n)
+        elif mode == "pp":
+            state0 = ppx.init_pp_train_state(key, cfg, TrainConfig(), mp_n)
+        else:
+            state0 = tpx.init_sp_train_state(key, cfg, TrainConfig())
+        state, step = ckpt.restore_checkpoint(args.ckpt_dir, state0)
+        if mode == "tp":
+            params = tpx.merge_params_tp(state.params, cfg)
+        elif mode == "pp":
+            params = ppx.merge_params_pp(state.params, cfg)
+        else:
+            params = state.params
+        print(f"loaded {mode}{mp_n} checkpoint step {step}", file=sys.stderr)
+    else:
+        state = init_train_state(jax.random.PRNGKey(args.seed), cfg,
+                                 TrainConfig())
+        if args.ckpt_dir:
+            tree, step = ckpt.restore_checkpoint(args.ckpt_dir,
+                                                 dataclasses.asdict(state))
+            state = TrainState(**tree)
+            print(f"loaded checkpoint step {step}", file=sys.stderr)
+        params = state.params
 
     # NOTE: params is always a traced jit argument — capturing it in the
     # closure would inline the weights into the compiled program.

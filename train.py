@@ -43,6 +43,17 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="mesh size; 0 = all local devices")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="model-axis size of a 2-D (data, model) mesh; "
+                        "> 1 enables --parallel-mode (docs/PARALLELISM.md)")
+    p.add_argument("--parallel-mode", default="tp",
+                   choices=["tp", "sp", "pp"],
+                   help="model-axis strategy: tensor parallel (gate-sharded "
+                        "LSTMs + vocab-parallel loss), sequence parallel "
+                        "(frame-sharded lattice), or pipeline parallel "
+                        "(GPipe encoder stages)")
+    p.add_argument("--microbatches", type=int, default=0,
+                   help="pp only: microbatches per step (0 = 2x stages)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--max-frames", type=int, default=200)
     p.add_argument("--max-labels", type=int, default=20)
@@ -109,32 +120,95 @@ def main(argv=None):
                        lr_schedule=args.lr_schedule)
     mlog = MetricsLogger(args.log_file)
 
-    n_dev = args.data_parallel or len(jax.devices())
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
-    print(f"devices={jax.devices()} mesh={'dp%d' % n_dev if mesh else 'single'}",
-          file=sys.stderr)
-
-    state = init_train_state(jax.random.PRNGKey(args.seed), cfg, tcfg)
+    mp = args.model_parallel
+    par_mode = args.parallel_mode if mp > 1 else None
+    key = jax.random.PRNGKey(args.seed)
     start_step = 0
-    if args.resume and args.ckpt_dir and ckpt.latest_step(args.ckpt_dir) is not None:
+
+    def check_saved_cfg():
         saved_cfg = ckpt.load_model_config(args.ckpt_dir)
         if saved_cfg is not None and saved_cfg != cfg:
             raise SystemExit(
                 f"--config {args.config} does not match the config saved in "
                 f"{args.ckpt_dir}/meta.json: {saved_cfg}")
-        tree, start_step = ckpt.restore_checkpoint(
-            args.ckpt_dir, dataclasses.asdict(state))
-        state = TrainState(**tree)
-        print(f"resumed from step {start_step}", file=sys.stderr)
-    if mesh is not None:
-        state = TrainState(params=replicate(mesh, state.params),
-                           opt_state=replicate(mesh, state.opt_state),
-                           step=replicate(mesh, state.step))
-    step_fn = make_train_step(cfg, tcfg, mesh=mesh)
-    # CTC encoder pretraining (SURVEY.md §B): same TrainState/optimizer,
-    # the first N steps optimize CTC on the auxiliary encoder head.
-    ctc_step_fn = (make_train_step(cfg, tcfg, mesh=mesh, loss_kind="ctc")
-                   if args.ctc_pretrain_steps > 0 else None)
+
+    resuming = (args.resume and args.ckpt_dir
+                and ckpt.latest_step(args.ckpt_dir) is not None)
+
+    if par_mode is not None:
+        # 2-D (data, model) mesh: tp / sp / pp (docs/PARALLELISM.md).
+        if args.ctc_pretrain_steps > 0:
+            raise SystemExit("--ctc-pretrain-steps is not supported with "
+                             "--model-parallel")
+        from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
+        n_data = args.data_parallel or max(1, len(jax.devices()) // mp)
+        mesh = tpx.make_mesh_2d(n_data, mp)
+        print(f"devices={jax.devices()} mesh=dp{n_data}x{par_mode}{mp}",
+              file=sys.stderr)
+        if par_mode == "tp":
+            state = tpx.init_tp_train_state(key, cfg, tcfg, mp)
+        elif par_mode == "pp":
+            state = ppx.init_pp_train_state(key, cfg, tcfg, mp)
+        else:
+            state = tpx.init_sp_train_state(key, cfg, tcfg)
+        if resuming:
+            check_saved_cfg()
+            meta = ckpt.load_meta(args.ckpt_dir) or {}
+            saved_par = meta.get("parallel", {})
+            if (saved_par.get("mode"), saved_par.get("mp")) != (par_mode, mp):
+                raise SystemExit(
+                    f"checkpoint topology {saved_par} does not match "
+                    f"--parallel-mode {par_mode} --model-parallel {mp}")
+            # Parallel states are saved/restored as the live pytree (the
+            # TPParams dataclass nodes survive the orbax roundtrip).
+            state, start_step = ckpt.restore_checkpoint(args.ckpt_dir, state)
+            print(f"resumed from step {start_step}", file=sys.stderr)
+        if par_mode == "sp":
+            state = tpx.replicate_state(mesh, state)
+            step_fn = tpx.make_tp_train_step(cfg, tcfg, mesh, "sp")
+        else:
+            state = tpx.shard_tp_state(mesh, state)
+            step_fn = (tpx.make_tp_train_step(cfg, tcfg, mesh, "tp")
+                       if par_mode == "tp" else
+                       ppx.make_pp_train_step(cfg, tcfg, mesh,
+                                              args.microbatches or None))
+        shard_train_batch = lambda b: tpx.shard_batch_2d(mesh, b)
+
+        def plain_params(st):
+            """Gather + merge to the regular params pytree (eval/decode)."""
+            p = jax.device_get(st.params)
+            if par_mode == "tp":
+                return tpx.merge_params_tp(p, cfg)
+            if par_mode == "pp":
+                return ppx.merge_params_pp(p, cfg)
+            return p
+        ctc_step_fn = None
+    else:
+        n_dev = args.data_parallel or len(jax.devices())
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        print(f"devices={jax.devices()} "
+              f"mesh={'dp%d' % n_dev if mesh else 'single'}", file=sys.stderr)
+
+        state = init_train_state(key, cfg, tcfg)
+        if resuming:
+            check_saved_cfg()
+            tree, start_step = ckpt.restore_checkpoint(
+                args.ckpt_dir, dataclasses.asdict(state))
+            state = TrainState(**tree)
+            print(f"resumed from step {start_step}", file=sys.stderr)
+        if mesh is not None:
+            state = TrainState(params=replicate(mesh, state.params),
+                               opt_state=replicate(mesh, state.opt_state),
+                               step=replicate(mesh, state.step))
+        step_fn = make_train_step(cfg, tcfg, mesh=mesh)
+        shard_train_batch = (
+            (lambda b: shard_batch(mesh, b)) if mesh is not None
+            else (lambda b: b))
+        plain_params = lambda st: st.params
+        # CTC encoder pretraining (SURVEY.md §B): same TrainState/optimizer,
+        # the first N steps optimize CTC on the auxiliary encoder head.
+        ctc_step_fn = (make_train_step(cfg, tcfg, mesh=mesh, loss_kind="ctc")
+                       if args.ctc_pretrain_steps > 0 else None)
 
     dev_batch = None
     skip_first = 0
@@ -211,6 +285,19 @@ def main(argv=None):
                          tokens_to_lists(toks[:nv], lens[:nv]))
         return float(jnp.mean(per_utt[:nv])), per
 
+    def save_state(step_no, st):
+        extra = {"train_config": dataclasses.asdict(tcfg)}
+        if par_mode is not None:
+            # Parallel states keep their live pytree (TPParams nodes);
+            # meta.json records the topology for resume/recognize.
+            extra["parallel"] = {"mode": par_mode, "mp": mp}
+            ckpt.save_checkpoint(args.ckpt_dir, step_no, st,
+                                 model_cfg=cfg, **extra)
+        else:
+            ckpt.save_checkpoint(args.ckpt_dir, step_no,
+                                 dataclasses.asdict(st),
+                                 model_cfg=cfg, **extra)
+
     t_start = time.perf_counter()
     utts = 0
     step_no = start_step
@@ -226,8 +313,7 @@ def main(argv=None):
         if args.spec_augment:
             aug_key, k = jax.random.split(aug_key)
             batch = (aug_fn(k, batch[0], batch[1]),) + batch[1:]
-        if mesh is not None:
-            batch = shard_batch(mesh, batch)
+        batch = shard_train_batch(batch)
         phase_ctc = (ctc_step_fn is not None
                      and start_step + i < args.ctc_pretrain_steps)
         state, info = (ctc_step_fn if phase_ctc else step_fn)(state, *batch)
@@ -241,18 +327,13 @@ def main(argv=None):
                      grad_norm=round(float(info["grad_norm"]), 4),
                      utt_per_sec=round(utts / dt, 2))
         if args.eval_every and step_no % args.eval_every == 0:
-            eval_params = state.params
-            dev_loss, per = run_eval(eval_params)
+            dev_loss, per = run_eval(plain_params(state))
             mlog.log(step=step_no, dev_loss=round(dev_loss, 4),
                      dev_per=round(per, 4))
         if args.ckpt_dir and step_no % args.ckpt_every == 0:
-            ckpt.save_checkpoint(args.ckpt_dir, step_no,
-                                 dataclasses.asdict(state), model_cfg=cfg,
-                                 train_config=dataclasses.asdict(tcfg))
+            save_state(step_no, state)
     if args.ckpt_dir:
-        ckpt.save_checkpoint(args.ckpt_dir, step_no, dataclasses.asdict(state),
-                             model_cfg=cfg,
-                             train_config=dataclasses.asdict(tcfg))
+        save_state(step_no, state)
         print(f"saved final checkpoint at step {step_no} to {args.ckpt_dir}",
               file=sys.stderr)
     mlog.close()
