@@ -41,6 +41,13 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frame-hop-s", type=float, default=0.01,
                    help="seconds of audio per encoder input frame (for RTF)")
+    p.add_argument("--tokenizer", default=None,
+                   help="tokenizer spec (char | phone | bpe:<model.json>) "
+                        "for text output + word-level WER; defaults to the "
+                        "tokenizer stored in --ckpt-dir's meta.json")
+    p.add_argument("--hyps-file", default=None,
+                   help="write per-utterance {ref, hyp} JSONL here "
+                        "(text when a tokenizer is available, else ids)")
     return p.parse_args(argv)
 
 
@@ -185,6 +192,32 @@ def main(argv=None):
         k: round(v, 5) for k, v in meter.summary().items()}}
     if args.mode == "beam":
         out["beam"] = args.beam
+
+    # Text output + word-level WER when a tokenizer is known (CLI spec or
+    # the one stored in the checkpoint's meta.json).
+    from rnn_transducer_tpu.data.tokenizer import (decode_to_text,
+                                                   tokenizer_from_meta,
+                                                   tokenizer_from_spec)
+    tok = None
+    if args.tokenizer:
+        tok = tokenizer_from_spec(args.tokenizer)
+    elif meta and meta.get("tokenizer"):
+        tok = tokenizer_from_meta(meta["tokenizer"])
+    ref_texts = hyp_texts = None
+    if tok is not None:
+        ref_texts = [decode_to_text(tok, r) for r in refs]
+        hyp_texts = [decode_to_text(tok, h) for h in hyps]
+        words: dict[str, int] = {}
+        wids = lambda t: [words.setdefault(w, len(words)) for w in t.split()]
+        out["word_wer"] = round(error_rate([wids(t) for t in ref_texts],
+                                           [wids(t) for t in hyp_texts]), 4)
+    if args.hyps_file:
+        with open(args.hyps_file, "w") as f:
+            for i in range(len(hyps)):
+                rec = ({"ref": ref_texts[i], "hyp": hyp_texts[i]}
+                       if tok is not None
+                       else {"ref": refs[i], "hyp": hyps[i]})
+                f.write(json.dumps(rec) + "\n")
     print(json.dumps(out))
 
 

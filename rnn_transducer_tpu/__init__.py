@@ -16,6 +16,11 @@ decode surface):
     )
 """
 
+from rnn_transducer_tpu.data.tokenizer import (
+    BpeTokenizer,
+    CharTokenizer,
+    PhonemeTokenizer,
+)
 from rnn_transducer_tpu.decode.beam import beam_search, recognize_beam
 from rnn_transducer_tpu.decode.greedy import greedy_decode, recognize_greedy
 from rnn_transducer_tpu.decode.metrics import error_rate
@@ -39,7 +44,7 @@ from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
 from rnn_transducer_tpu.ops.logmel import log_mel
 from rnn_transducer_tpu.ops.rnnt_loss import rnnt_loss, rnnt_loss_mean
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "NAMED_CONFIGS", "TrainConfig", "TransducerConfig",
@@ -47,4 +52,5 @@ __all__ = [
     "rnnt_loss", "rnnt_loss_mean", "ctc_loss_from_logits", "log_mel",
     "greedy_decode", "recognize_greedy", "beam_search", "recognize_beam",
     "stream_transcribe", "stream_transcribe_beam", "error_rate",
+    "CharTokenizer", "PhonemeTokenizer", "BpeTokenizer",
 ]

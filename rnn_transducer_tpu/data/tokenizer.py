@@ -1,4 +1,5 @@
-"""Tokenizers: char vocab (LibriSpeech configs) and TIMIT phoneme set.
+"""Tokenizers: char vocab (LibriSpeech configs), TIMIT phoneme set, and a
+trainable subword BPE (data/bpe.py) for the 1024-entry configs[2] vocab.
 
 The reference family maps transcripts to ids with a simple char map or the
 kaldi TIMIT phone list; blank is id 0 everywhere in this framework.
@@ -7,6 +8,8 @@ kaldi TIMIT phone list; blank is id 0 everywhere in this framework.
 from __future__ import annotations
 
 import json
+
+from rnn_transducer_tpu.data.bpe import BpeTokenizer  # noqa: F401 (re-export)
 
 
 class CharTokenizer:
@@ -70,3 +73,49 @@ class PhonemeTokenizer:
     def decode(self, ids) -> list[str]:
         return [self.id_to_phone[int(i)] for i in ids
                 if int(i) in self.id_to_phone]
+
+
+# --- spec strings and checkpoint metadata --------------------------------
+#
+# A tokenizer is named on the CLI by a spec: "char", "phone"/"timit", or
+# "bpe:<model.json>". Checkpoints store the full tokenizer inline in
+# meta.json (to_meta/from_meta) so recognize.py can emit text from
+# --ckpt-dir alone.
+
+def tokenizer_from_spec(spec: str):
+    if spec == "char":
+        return CharTokenizer()
+    if spec in ("phone", "timit"):
+        return PhonemeTokenizer()
+    if spec.startswith("bpe:"):
+        return BpeTokenizer.load(spec.split(":", 1)[1])
+    raise ValueError(f"unknown tokenizer spec {spec!r} "
+                     "(char | phone | bpe:<model.json>)")
+
+
+def tokenizer_to_meta(tok) -> dict:
+    if isinstance(tok, CharTokenizer):
+        return {"kind": "char", "alphabet": tok.alphabet}
+    if isinstance(tok, PhonemeTokenizer):
+        return {"kind": "phone", "phones": tok.phones}
+    if isinstance(tok, BpeTokenizer):
+        return {"kind": "bpe", "symbols": tok.symbols,
+                "merges": [list(m) for m in tok.merges]}
+    raise TypeError(f"not a tokenizer: {tok!r}")
+
+
+def tokenizer_from_meta(d: dict):
+    kind = d.get("kind")
+    if kind == "char":
+        return CharTokenizer(d["alphabet"])
+    if kind == "phone":
+        return PhonemeTokenizer(d["phones"])
+    if kind == "bpe":
+        return BpeTokenizer(d["symbols"], d["merges"])
+    raise ValueError(f"unknown tokenizer kind {kind!r}")
+
+
+def decode_to_text(tok, ids) -> str:
+    """Token ids -> display text (phones join with spaces)."""
+    out = tok.decode(ids)
+    return " ".join(out) if isinstance(out, list) else out

@@ -143,27 +143,57 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--layout", default="paired",
                    choices=["paired", "librispeech", "timit"])
-    p.add_argument("--tokenizer", default="char", choices=["char", "phone"])
+    p.add_argument("--tokenizer", default="char",
+                   choices=["char", "phone", "bpe"])
+    p.add_argument("--vocab-size", type=int, default=1024,
+                   help="bpe only: target vocabulary size incl. blank "
+                        "(configs[2] pins 1024)")
+    p.add_argument("--bpe-model", default=None,
+                   help="bpe only: model JSON path. Exists -> load it "
+                        "(reuse the train-set model for eval sets); "
+                        "else train on this corpus and save there "
+                        "(default <out-dir>/bpe.json)")
     p.add_argument("--n-mels", type=int, default=80)
     p.add_argument("--max-utts", type=int, default=0)
     args = p.parse_args(argv)
 
-    from rnn_transducer_tpu.data.tokenizer import (CharTokenizer,
+    from rnn_transducer_tpu.data.tokenizer import (BpeTokenizer,
+                                                   CharTokenizer,
                                                    PhonemeTokenizer)
-    tok = CharTokenizer() if args.tokenizer == "char" else PhonemeTokenizer()
     feats_dir = os.path.join(args.out_dir, "feats")
     os.makedirs(feats_dir, exist_ok=True)
     layouts = {"paired": iter_paired, "librispeech": iter_librispeech,
                "timit": iter_timit}
     it = layouts[args.layout](args.in_dir)
+
+    bpe_path = None
+    if args.tokenizer == "char":
+        tok = CharTokenizer()
+    elif args.tokenizer == "phone":
+        tok = PhonemeTokenizer()
+    else:  # bpe needs the transcripts up front to train on
+        it = list(it)
+        if args.max_utts:
+            it = it[:args.max_utts]
+        bpe_path = args.bpe_model or os.path.join(args.out_dir, "bpe.json")
+        if os.path.exists(bpe_path):
+            tok = BpeTokenizer.load(bpe_path)
+            print(f"loaded BPE model {bpe_path} "
+                  f"(vocab {tok.vocab_size})", file=sys.stderr)
+        else:
+            tok = BpeTokenizer.train((t for _, t in it), args.vocab_size)
+            tok.save(bpe_path)
+            print(f"trained BPE model -> {bpe_path} "
+                  f"(vocab {tok.vocab_size})", file=sys.stderr)
+
     n = 0
     skipped = 0
     with open(os.path.join(args.out_dir, "manifest.jsonl"), "w") as out:
         for audio_path, text in it:
             if args.max_utts and n >= args.max_utts:
                 break
-            labels = (tok.encode(text) if args.tokenizer == "char"
-                      else tok.encode(text.split()))
+            labels = (tok.encode(text.split()) if args.tokenizer == "phone"
+                      else tok.encode(text))
             audio, sr = read_audio(audio_path)
             if sr != 16000:
                 print(f"skip {audio_path}: sr={sr} != 16000",
@@ -179,10 +209,12 @@ def main(argv=None):
             out.write(json.dumps({"feats": fp, "labels": labels,
                                   "text": text}) + "\n")
             n += 1
-    print(json.dumps({"utts": n, "skipped": skipped,
-                      "vocab_size": tok.vocab_size,
-                      "manifest": os.path.join(args.out_dir,
-                                               "manifest.jsonl")}))
+    summary = {"utts": n, "skipped": skipped,
+               "vocab_size": tok.vocab_size,
+               "manifest": os.path.join(args.out_dir, "manifest.jsonl")}
+    if bpe_path is not None:
+        summary["bpe_model"] = bpe_path
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -76,6 +76,10 @@ def parse_args(argv=None):
                    help="manifest input pipeline: 'native' = C++ prefetch "
                         "threads (cpp/loader.cpp); decode/FBANK/padding "
                         "overlap device compute")
+    p.add_argument("--tokenizer", default=None,
+                   help="tokenizer spec (char | phone | bpe:<model.json>); "
+                        "stored inline in the checkpoint's meta.json so "
+                        "recognize.py can emit text transcripts")
     p.add_argument("--ctc-pretrain-steps", type=int, default=0,
                    help="warm up the encoder with CTC loss for N steps "
                         "before switching to the RNN-T loss")
@@ -285,8 +289,21 @@ def main(argv=None):
                          tokens_to_lists(toks[:nv], lens[:nv]))
         return float(jnp.mean(per_utt[:nv])), per
 
+    tok_meta = None
+    if args.tokenizer:
+        from rnn_transducer_tpu.data.tokenizer import (tokenizer_from_spec,
+                                                       tokenizer_to_meta)
+        tok = tokenizer_from_spec(args.tokenizer)
+        if tok.vocab_size > cfg.vocab_size:
+            raise SystemExit(
+                f"--tokenizer {args.tokenizer} needs vocab {tok.vocab_size} "
+                f"> model vocab_size {cfg.vocab_size}")
+        tok_meta = tokenizer_to_meta(tok)
+
     def save_state(step_no, st):
         extra = {"train_config": dataclasses.asdict(tcfg)}
+        if tok_meta is not None:
+            extra["tokenizer"] = tok_meta
         if par_mode is not None:
             # Parallel states keep their live pytree (TPParams nodes);
             # meta.json records the topology for resume/recognize.
