@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frame-hop-s", type=float, default=0.01,
                    help="seconds of audio per encoder input frame (for RTF)")
+    p.add_argument("--lm-ckpt", default=None,
+                   help="LM checkpoint dir (tools/train_lm.py) for shallow "
+                        "fusion in beam / streaming_beam modes")
+    p.add_argument("--lm-weight", type=float, default=0.3,
+                   help="shallow-fusion weight on log P_lm per emission")
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer spec (char | phone | bpe:<model.json>) "
                         "for text output + word-level WER; defaults to the "
@@ -112,19 +117,34 @@ def main(argv=None):
             print(f"loaded checkpoint step {step}", file=sys.stderr)
         params = state.params
 
-    # NOTE: params is always a traced jit argument — capturing it in the
-    # closure would inline the weights into the compiled program.
+    lm_params = lm_cfg = None
+    if args.lm_ckpt:
+        if args.mode not in ("beam", "streaming_beam"):
+            raise SystemExit("--lm-ckpt requires --mode beam|streaming_beam")
+        from rnn_transducer_tpu.models.lm import load_lm
+        lm_params, lm_cfg = load_lm(args.lm_ckpt)
+        if lm_cfg.vocab_size != cfg.vocab_size:
+            raise SystemExit(
+                f"LM vocab {lm_cfg.vocab_size} != model vocab "
+                f"{cfg.vocab_size}")
+        print(f"shallow fusion: {args.lm_ckpt} weight={args.lm_weight}",
+              file=sys.stderr)
+
+    # NOTE: params (and lm params) are always traced jit arguments —
+    # capturing them in the closure would inline the weights into the
+    # compiled program.
     if args.mode == "greedy":
         greedy_jit = jax.jit(lambda p, f, l: recognize_greedy(
             p, cfg, f, l, max_symbols=args.max_symbols))
         decode = lambda f, l: greedy_jit(params, f, l)
     elif args.mode == "beam":
-        beam_jit = jax.jit(lambda p, f, l: recognize_beam(
+        beam_jit = jax.jit(lambda p, lmp, f, l: recognize_beam(
             p, cfg, f, l, beam=args.beam,
-            max_symbols=args.max_symbols, expansions=args.expansions))
+            max_symbols=args.max_symbols, expansions=args.expansions,
+            lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight)))
 
         def decode(f, l):
-            toks, lens, _ = beam_jit(params, f, l)
+            toks, lens, _ = beam_jit(params, lm_params, f, l)
             return toks[:, 0], lens[:, 0]
     elif args.mode == "streaming_beam":
         from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam
@@ -133,7 +153,9 @@ def main(argv=None):
             toks, lens, _ = stream_transcribe_beam(
                 params, cfg, f, l, chunk_frames=args.chunk_frames,
                 beam=args.beam, max_symbols=args.max_symbols,
-                expansions=args.expansions)
+                expansions=args.expansions,
+                lm=None if lm_params is None else
+                (lm_params, lm_cfg, args.lm_weight))
             return toks[:, 0], lens[:, 0]
     else:
         decode = lambda f, l: stream_transcribe(

@@ -40,6 +40,13 @@ from rnn_transducer_tpu.models.transducer import (
     joint,
     predict,
 )
+from rnn_transducer_tpu.models.lm import (
+    LMConfig,
+    init_lm_params,
+    lm_loss,
+    lm_step,
+    load_lm,
+)
 from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
 from rnn_transducer_tpu.ops.logmel import log_mel
 from rnn_transducer_tpu.ops.rnnt_loss import rnnt_loss, rnnt_loss_mean
@@ -53,4 +60,5 @@ __all__ = [
     "greedy_decode", "recognize_greedy", "beam_search", "recognize_beam",
     "stream_transcribe", "stream_transcribe_beam", "error_rate",
     "CharTokenizer", "PhonemeTokenizer", "BpeTokenizer",
+    "LMConfig", "init_lm_params", "lm_step", "lm_loss", "load_lm",
 ]

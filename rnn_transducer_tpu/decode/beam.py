@@ -27,6 +27,13 @@ With `expansions` >= the true max symbols per frame this matches the
 sequential merged beam search exactly (verified against a literal host
 implementation in tests); small caps trade a tiny amount of search
 accuracy for a fixed iteration count, as in latency-controlled RNN-T.
+
+Optional external-LM shallow fusion (`lm=(params, LMConfig, weight)`,
+models/lm.py): label emissions add weight * log P_lm(label | prefix); the
+LM's next-token log-probs and LSTM state ride in the beam carry exactly
+like the prediction network's, so fusion is exact under prefix merging
+(the LM state is a function of the prefix alone) and carries across
+streaming chunks.
 """
 
 from __future__ import annotations
@@ -52,10 +59,11 @@ def _hash_append(h, lab):
 
 
 def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
-                    beam: int = 8, max_symbols: int = 200):
+                    beam: int = 8, max_symbols: int = 200, lm=None):
     """Initial beam carry: beam 0 = empty prefix, others dead. The same
     structure is threaded across frames — and across chunks for streaming
-    beam decoding (decode/streaming.py)."""
+    beam decoding (decode/streaming.py). `lm` (see beam_search) adds the
+    fusion LM's per-beam next-token log-probs + LSTM state to the carry."""
     B, K, U = batch, beam, max_symbols
     tokens0 = jnp.full((B, K, U), cfg.blank, jnp.int32)
     lens0 = jnp.zeros((B, K), jnp.int32)
@@ -64,15 +72,23 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
     pred0, states0 = m.predict_step(
         params, cfg, jnp.full((B * K,), cfg.blank, jnp.int32),
         m.init_pred_state(cfg, B * K))
-    pred0 = pred0.reshape(B, K, -1)
-    states0 = jax.tree.map(lambda x: x.reshape((B, K) + x.shape[1:]),
-                           states0)
-    return (tokens0, lens0, scores0, hash0, pred0, states0)
+    unflat = lambda x: x.reshape((B, K) + x.shape[1:])
+    outs = {"pred": unflat(pred0)}
+    states = {"pred": jax.tree.map(unflat, states0)}
+    if lm is not None:
+        from rnn_transducer_tpu.models.lm import init_lm_state, lm_step
+        lm_params, lm_cfg, _ = lm
+        lm_lp0, lm_st0 = lm_step(lm_params, lm_cfg,
+                                 jnp.full((B * K,), cfg.blank, jnp.int32),
+                                 init_lm_state(lm_cfg, B * K))
+        outs["lm_lp"] = unflat(lm_lp0)
+        states["lm"] = jax.tree.map(unflat, lm_st0)
+    return (tokens0, lens0, scores0, hash0, outs, states)
 
 
 def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
                 beam: int = 8, max_symbols: int = 200, expansions: int = 3,
-                beam_state=None):
+                beam_state=None, lm=None):
     """Beam-search decode a batch of encoded utterances.
 
     Args:
@@ -81,17 +97,25 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
       expansions: max label emissions per frame before a forced blank.
       beam_state: carried beams from a previous chunk (streaming); None
         starts fresh utterances.
+      lm: optional shallow fusion — (lm_params, LMConfig, weight). Each
+        label emission adds weight * log P_lm(label | prefix) to the beam
+        score; blank transitions are acoustic-only. The LM's per-beam
+        next-token log-probs + LSTM state ride in the beam carry, so
+        fusion also works across streaming chunks.
 
     Returns:
       tokens: (B, K, max_symbols) int32 blank-padded, best beam first.
       lengths: (B, K) int32.
-      scores: (B, K) f32 merged log-probabilities.
+      scores: (B, K) f32 merged (fused) log-probabilities.
       beam_state: carry for the next chunk (unsorted).
     """
     B, T, De = enc_out.shape
     K, U = beam, max_symbols
     enc_lens = enc_lens.astype(jnp.int32)
     P = (expansions + 1) * K  # candidate pool per utterance per frame
+    if lm is not None:
+        from rnn_transducer_tpu.models.lm import lm_step
+        lm_params, lm_cfg, lm_w = lm
 
     def flat(x):  # (B, K, ...) -> (B*K, ...)
         return x.reshape((B * K,) + x.shape[2:])
@@ -100,11 +124,12 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
         return x.reshape((B, K) + x.shape[1:])
 
     if beam_state is None:
-        beam_state = init_beam_state(params, cfg, B, beam=K, max_symbols=U)
-    tokens0, lens0, scores0, hash0, pred0, states0 = beam_state
+        beam_state = init_beam_state(params, cfg, B, beam=K, max_symbols=U,
+                                     lm=lm)
+    tokens0, lens0, scores0, hash0, outs0, states0 = beam_state
 
     def frame_step(t, carry):
-        tokens, lens, scores, hashes, pred_out, states = carry
+        tokens, lens, scores, hashes, outs, states = carry
         enc_t = jnp.take_along_axis(
             enc_out, jnp.minimum(t, enc_lens - 1)[:, None, None], axis=1
         )[:, 0]  # (B, De)
@@ -115,12 +140,13 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
         pool_lens = jnp.zeros((B, P), jnp.int32)
         pool_scores = jnp.full((B, P), NEG_INF, jnp.float32)
         pool_hash = jnp.zeros((B, P, 2), jnp.uint32)
-        pool_pred = jnp.zeros((B, P) + pred_out.shape[2:], pred_out.dtype)
+        pool_outs = jax.tree.map(
+            lambda s: jnp.zeros((B, P) + s.shape[2:], s.dtype), outs)
         pool_states = jax.tree.map(
             lambda s: jnp.zeros((B, P) + s.shape[2:], s.dtype), states)
 
-        live = (tokens, lens, scores, hashes, pred_out, states)
-        pool = (pool_tokens, pool_lens, pool_scores, pool_hash, pool_pred,
+        live = (tokens, lens, scores, hashes, outs, states)
+        pool = (pool_tokens, pool_lens, pool_scores, pool_hash, pool_outs,
                 pool_states)
 
         def deposit(pool, live, e, live_scores_as):
@@ -132,13 +158,13 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
             p_len = p_len.at[:, sl].set(l_len)
             p_sc = p_sc.at[:, sl].set(live_scores_as)
             p_h = p_h.at[:, sl].set(l_h)
-            p_pr = p_pr.at[:, sl].set(l_pr)
+            p_pr = jax.tree.map(lambda p, l: p.at[:, sl].set(l), p_pr, l_pr)
             p_st = jax.tree.map(lambda p, l: p.at[:, sl].set(l), p_st, l_st)
             return (p_tok, p_len, p_sc, p_h, p_pr, p_st)
 
         for e in range(expansions + 1):
-            tokens, lens, scores, hashes, pred_out, states = live
-            logits = m.joint_step(params, cfg, enc_tk, flat(pred_out))
+            tokens, lens, scores, hashes, outs, states = live
+            logits = m.joint_step(params, cfg, enc_tk, flat(outs["pred"]))
             lp = jax.nn.log_softmax(logits, axis=-1)  # (B*K, V)
             lp = unflat(lp)  # (B, K, V)
             blank_sc = scores + lp[:, :, cfg.blank]
@@ -148,6 +174,8 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
             # --- label extensions, one top-k over K*V per utterance -------
             V = lp.shape[-1]
             ext = scores[:, :, None] + lp  # (B, K, V)
+            if lm is not None:  # shallow fusion on label emissions
+                ext = ext + lm_w * outs["lm_lp"]
             ext = ext.at[:, :, cfg.blank].set(NEG_INF)
             ext = jnp.where((lens >= U)[:, :, None], NEG_INF, ext)
             top_sc, top_idx = jax.lax.top_k(ext.reshape(B, K * V), K)
@@ -160,14 +188,21 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
             write = jax.nn.one_hot(g_len, U, dtype=jnp.bool_)  # (B, K, U)
             g_tok = jnp.where(write, lab[:, :, None], g_tok)
             g_hash = _hash_append(g_hash, lab)
-            g_states = jax.tree.map(
-                lambda s: jnp.take_along_axis(
-                    s, src.reshape(src.shape + (1,) * (s.ndim - 2)), axis=1),
-                states)
-            new_pred, new_states = m.predict_step(
-                params, cfg, flat(lab), jax.tree.map(flat, g_states))
+            gather_src = lambda s: jnp.take_along_axis(
+                s, src.reshape(src.shape + (1,) * (s.ndim - 2)), axis=1)
+            g_states = jax.tree.map(gather_src, states)
+            new_pred, new_pred_states = m.predict_step(
+                params, cfg, flat(lab), jax.tree.map(flat, g_states["pred"]))
+            new_outs = {"pred": unflat(new_pred)}
+            new_states = {"pred": jax.tree.map(unflat, new_pred_states)}
+            if lm is not None:
+                new_lm_lp, new_lm_st = lm_step(
+                    lm_params, lm_cfg, flat(lab),
+                    jax.tree.map(flat, g_states["lm"]))
+                new_outs["lm_lp"] = unflat(new_lm_lp)
+                new_states["lm"] = jax.tree.map(unflat, new_lm_st)
             live = (g_tok, jnp.minimum(g_len + 1, U), top_sc, g_hash,
-                    unflat(new_pred), jax.tree.map(unflat, new_states))
+                    new_outs, new_states)
 
         # --- prefix merge over the pool --------------------------------
         # Equality via the carried rolling hash: O(P^2) compares instead of
@@ -194,23 +229,21 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
         n_tok = jnp.take_along_axis(p_tok, top_i[:, :, None], axis=1)
         n_len = jnp.take_along_axis(p_len, top_i, axis=1)
         n_h = jnp.take_along_axis(p_h, top_i[:, :, None], axis=1)
-        n_pr = jnp.take_along_axis(
-            p_pr, top_i.reshape(top_i.shape + (1,) * (p_pr.ndim - 2)), axis=1)
-        n_st = jax.tree.map(
-            lambda s: jnp.take_along_axis(
-                s, top_i.reshape(top_i.shape + (1,) * (s.ndim - 2)), axis=1),
-            p_st)
+        gather_top = lambda s: jnp.take_along_axis(
+            s, top_i.reshape(top_i.shape + (1,) * (s.ndim - 2)), axis=1)
+        n_pr = jax.tree.map(gather_top, p_pr)
+        n_st = jax.tree.map(gather_top, p_st)
 
         # frames past enc_len leave the carry untouched
         active = (t < enc_lens).reshape((B,) + (1,) * 1)
         pick = lambda new, old: jnp.where(
             active.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
-        (tokens, lens, scores, hashes, pred_out, states) = carry
+        (tokens, lens, scores, hashes, outs, states) = carry
         return (pick(n_tok, tokens), pick(n_len, lens), pick(top_sc, scores),
-                pick(n_h, hashes), pick(n_pr, pred_out),
+                pick(n_h, hashes), jax.tree.map(pick, n_pr, outs),
                 jax.tree.map(pick, n_st, states))
 
-    carry = (tokens0, lens0, scores0, hash0, pred0, states0)
+    carry = (tokens0, lens0, scores0, hash0, outs0, states0)
     carry = jax.lax.fori_loop(0, T, frame_step, carry)
     tokens, lens, scores = carry[0], carry[1], carry[2]
     # sort beams by score descending
@@ -223,10 +256,10 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
 
 def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
                    beam: int = 8, max_symbols: int = 200,
-                   expansions: int = 3):
+                   expansions: int = 3, lm=None):
     """Features -> N-best label sequences (reference `beam_search` API)."""
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
     tokens, lens, scores, _ = beam_search(
         params, cfg, enc_out, enc_lens, beam=beam,
-        max_symbols=max_symbols, expansions=expansions)
+        max_symbols=max_symbols, expansions=expansions, lm=lm)
     return tokens, lens, scores

@@ -66,17 +66,18 @@ def stream_chunk(params, cfg: TransducerConfig, state: StreamState,
 
 
 def init_stream_beam(params, cfg: TransducerConfig, batch: int, *,
-                     beam: int = 8, max_symbols: int = 200) -> StreamState:
+                     beam: int = 8, max_symbols: int = 200,
+                     lm=None) -> StreamState:
     from rnn_transducer_tpu.decode.beam import init_beam_state
     return StreamState(
         enc_state=m.init_enc_state(cfg, batch),
         decode_state=init_beam_state(params, cfg, batch, beam=beam,
-                                     max_symbols=max_symbols))
+                                     max_symbols=max_symbols, lm=lm))
 
 
 def stream_chunk_beam(params, cfg: TransducerConfig, state: StreamState,
                       feats_chunk, chunk_lens, *, beam: int = 8,
-                      max_symbols: int = 200, expansions: int = 3):
+                      max_symbols: int = 200, expansions: int = 3, lm=None):
     """Streaming beam search: beams (with prefix merging) carry across
     chunks. Returns (state', tokens (B,K,U), lens (B,K), scores (B,K))."""
     from rnn_transducer_tpu.decode.beam import beam_search
@@ -85,14 +86,15 @@ def stream_chunk_beam(params, cfg: TransducerConfig, state: StreamState,
     tokens, lens, scores, beam_state = beam_search(
         params, cfg, enc_out, enc_lens, beam=beam,
         max_symbols=max_symbols, expansions=expansions,
-        beam_state=state.decode_state)
+        beam_state=state.decode_state, lm=lm)
     return (StreamState(enc_state=enc_state, decode_state=beam_state),
             tokens, lens, scores)
 
 
 def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
                            chunk_frames: int, *, beam: int = 8,
-                           max_symbols: int = 200, expansions: int = 3):
+                           max_symbols: int = 200, expansions: int = 3,
+                           lm=None):
     """Whole padded batch through the streaming beam path (cf.
     stream_transcribe). Returns (tokens (B,K,U), lens, scores)."""
     B, T, F = feats.shape
@@ -101,16 +103,25 @@ def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
     if pad:
         feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
     state = init_stream_beam(params, cfg, B, beam=beam,
-                             max_symbols=max_symbols)
-    step = jax.jit(lambda p, s, x, l: stream_chunk_beam(
-        p, cfg, s, x, l, beam=beam, max_symbols=max_symbols,
-        expansions=expansions))
+                             max_symbols=max_symbols, lm=lm)
+    # LM params must be a traced jit argument, not a closure capture
+    # (captured weights get inlined into the compiled program).
+    if lm is None:
+        step = jax.jit(lambda p, lmp, s, x, l: stream_chunk_beam(
+            p, cfg, s, x, l, beam=beam, max_symbols=max_symbols,
+            expansions=expansions, lm=None))
+        lm_params = None
+    else:
+        lm_params, lm_cfg, lm_w = lm
+        step = jax.jit(lambda p, lmp, s, x, l: stream_chunk_beam(
+            p, cfg, s, x, l, beam=beam, max_symbols=max_symbols,
+            expansions=expansions, lm=(lmp, lm_cfg, lm_w)))
     tokens = lens = scores = None
     for i in range(n_chunks):
         sl = feats[:, i * chunk_frames: (i + 1) * chunk_frames]
         cl = jnp.clip(feat_lens.astype(jnp.int32) - i * chunk_frames, 0,
                       chunk_frames)
-        state, tokens, lens, scores = step(params, state, sl, cl)
+        state, tokens, lens, scores = step(params, lm_params, state, sl, cl)
     return tokens, lens, scores
 
 

@@ -1,0 +1,127 @@
+"""LSTM language model over the output token vocabulary, for shallow
+fusion with beam-search decoding.
+
+The reference family decodes acoustics-only; external-LM shallow fusion
+(score = log P_rnnt + lambda * log P_lm on label emissions) is the standard
+accuracy lever on top of transducer beam search (PAPERS.md: "Pushing the
+Limits of Beam Search Decoding"). Same pure-pytree style as the transducer:
+embedding -> stacked LSTM -> vocab logits. BOS is the blank id (blank never
+appears inside label sequences).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from rnn_transducer_tpu.ops.lstm import init_lstm_params, lstm_cell, lstm_layer
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    vocab_size: int = 32
+    embed_dim: int = 128
+    hidden: int = 256
+    layers: int = 1
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def init_lm_params(key, cfg: LMConfig) -> Params:
+    ke, kl, kw, kb = jax.random.split(key, 4)
+    layers = []
+    in_dim = cfg.embed_dim
+    for k in jax.random.split(kl, cfg.layers):
+        layers.append(init_lstm_params(k, in_dim, cfg.hidden))
+        in_dim = cfg.hidden
+    s = 1.0 / math.sqrt(cfg.hidden)
+    return {
+        "embed": jax.random.normal(ke, (cfg.vocab_size, cfg.embed_dim)),
+        "lstm": layers,
+        "out": {
+            "w": jax.random.uniform(kw, (cfg.hidden, cfg.vocab_size),
+                                    jnp.float32, -s, s),
+            "b": jax.random.uniform(kb, (cfg.vocab_size,),
+                                    jnp.float32, -s, s),
+        },
+    }
+
+
+def init_lm_state(cfg: LMConfig, batch: int):
+    return [(jnp.zeros((batch, cfg.hidden), jnp.float32),
+             jnp.zeros((batch, cfg.hidden), jnp.float32))
+            for _ in range(cfg.layers)]
+
+
+def _out_logits(params: Params, cfg: LMConfig, x):
+    return (jnp.dot(x.astype(cfg.cdtype),
+                    params["out"]["w"].astype(cfg.cdtype),
+                    preferred_element_type=jnp.float32)
+            + params["out"]["b"].astype(jnp.float32))
+
+
+def lm_forward(params: Params, cfg: LMConfig, labels):
+    """Next-token logits over blank-prefixed labels.
+
+    labels: (B, U) -> logits (B, U, V): position u predicts labels[:, u]
+    from the prefix labels[:, :u] (u=0 conditions on BOS only).
+    """
+    B, U = labels.shape
+    bos = jnp.full((B, 1), 0, labels.dtype)
+    x = params["embed"][jnp.concatenate([bos, labels[:, :-1]], axis=1)]
+    for layer in params["lstm"]:
+        x, _ = lstm_layer(layer, x, compute_dtype=cfg.cdtype)
+    return _out_logits(params, cfg, x)
+
+
+def lm_step(params: Params, cfg: LMConfig, token, states):
+    """One decode step: token (B,) int32 -> (next-token log-probs (B, V),
+    new states). Feed the blank id as BOS for the first step."""
+    x = params["embed"][token]
+    new_states = []
+    for layer, (h, c) in zip(params["lstm"], states):
+        x_proj = (jnp.dot(x.astype(cfg.cdtype),
+                          layer["w_ih"].astype(cfg.cdtype),
+                          preferred_element_type=jnp.float32)
+                  + layer["b"].astype(jnp.float32))
+        h, c = lstm_cell(layer, x_proj, h, c, cfg.cdtype)
+        new_states.append((h, c))
+        x = h
+    return jax.nn.log_softmax(_out_logits(params, cfg, x), axis=-1), new_states
+
+
+def load_lm(ckpt_dir: str):
+    """Restore (lm_params, LMConfig) from a tools/train_lm.py checkpoint."""
+    import jax.random as jrandom
+
+    from rnn_transducer_tpu.train import checkpoint as ckpt
+
+    meta = ckpt.load_meta(ckpt_dir) or {}
+    if "lm_config" not in meta:
+        raise ValueError(f"{ckpt_dir}/meta.json has no lm_config — not an "
+                         "LM checkpoint (tools/train_lm.py writes one)")
+    cfg = LMConfig(**meta["lm_config"])
+    target = {"params": init_lm_params(jrandom.PRNGKey(0), cfg)}
+    tree, _ = ckpt.restore_checkpoint(ckpt_dir, target)
+    return tree["params"], cfg
+
+
+def lm_loss(params: Params, cfg: LMConfig, labels, label_lens):
+    """Mean next-token NLL over valid positions (the LM training loss)."""
+    logits = lm_forward(params, cfg, labels)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(lp, labels[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]  # (B, U)
+    U = labels.shape[1]
+    valid = (jnp.arange(U)[None, :] < label_lens[:, None])
+    return -jnp.sum(jnp.where(valid, tok_lp, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
