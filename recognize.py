@@ -97,6 +97,8 @@ def main(argv=None):
             state0 = tpx.init_tp_train_state(key, cfg, TrainConfig(), mp_n)
         elif mode == "pp":
             state0 = ppx.init_pp_train_state(key, cfg, TrainConfig(), mp_n)
+        elif mode == "ep":
+            state0 = tpx.init_ep_train_state(key, cfg, TrainConfig(), mp_n)
         else:
             state0 = tpx.init_sp_train_state(key, cfg, TrainConfig())
         state, step = ckpt.restore_checkpoint(args.ckpt_dir, state0)
@@ -104,6 +106,8 @@ def main(argv=None):
             params = tpx.merge_params_tp(state.params, cfg)
         elif mode == "pp":
             params = ppx.merge_params_pp(state.params, cfg)
+        elif mode == "ep":
+            params = tpx.merge_params_ep(state.params, cfg)
         else:
             params = state.params
         print(f"loaded {mode}{mp_n} checkpoint step {step}", file=sys.stderr)

@@ -39,6 +39,17 @@ class TransducerConfig:
     # auxiliary CTC head on the encoder output (family staple: encoder
     # pretraining with CTC before switching to the RNN-T loss)
     ctc_head: bool = False
+    # Mixture-of-Experts joint (ops/moe.py): > 0 inserts a residual top-1
+    # routed expert FFN on the joint activation. The expert axis is the
+    # framework's expert-parallelism dimension (parallel "ep" mode).
+    joint_experts: int = 0
+    joint_expert_hidden: int = 0  # 0 -> 2 * joint_dim
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01  # load-balance loss coefficient
+
+    @property
+    def moe_hidden(self) -> int:
+        return self.joint_expert_hidden or 2 * self.joint_dim
 
     @property
     def enc_out_dim(self) -> int:

@@ -80,6 +80,10 @@ def init_params(key, cfg: TransducerConfig) -> Params:
         # Auxiliary CTC projection for encoder pretraining (SURVEY.md §B).
         params["ctc_head"] = _init_linear(keys[6], cfg.enc_out_dim,
                                           cfg.vocab_size)
+    if cfg.joint_experts > 0:
+        from rnn_transducer_tpu.ops.moe import init_moe_params
+        params["moe"] = init_moe_params(keys[7], cfg.joint_experts,
+                                        cfg.joint_dim, cfg.moe_hidden)
     return params
 
 
@@ -199,13 +203,34 @@ def init_pred_state(cfg: TransducerConfig, batch: int):
     ]
 
 
-def joint(params: Params, cfg: TransducerConfig, enc_out, pred_out):
+def _moe_residual(params: Params, cfg: TransducerConfig, z,
+                  dense: bool = False):
+    """Residual top-1 MoE on joint activations z (..., J). Returns
+    (z', aux). The lattice (training) path routes through the static
+    capacity buffer; decode steps (tiny token counts) use the dense
+    formulation, which never drops a token."""
+    from rnn_transducer_tpu.ops.moe import moe_dense, moe_top1
+    shape = z.shape
+    flat = z.reshape(-1, shape[-1])
+    if dense:
+        y, aux = moe_dense(params["moe"], flat, compute_dtype=cfg.cdtype)
+    else:
+        y, aux = moe_top1(params["moe"], flat,
+                          capacity_factor=cfg.moe_capacity_factor,
+                          compute_dtype=cfg.cdtype)
+    return z + y.reshape(shape), aux
+
+
+def joint(params: Params, cfg: TransducerConfig, enc_out, pred_out,
+          with_aux: bool = False):
     """Joint network: broadcast-add over the (T, U+1) lattice -> fp32 logits.
 
     enc_out: (B, T, De), pred_out: (B, U+1, Dp) -> logits (B, T, U+1, V).
     The two input projections are computed once per side (O(T)+O(U) matmuls);
     only the cheap broadcast add + tanh + output matmul runs on the full
-    lattice. fp32 logits for parity.
+    lattice. fp32 logits for parity. With cfg.joint_experts > 0 a residual
+    top-1 MoE FFN (ops/moe.py) runs on the lattice activations;
+    `with_aux=True` also returns its load-balance loss.
     """
     jp = params["joint"]
     cd = cfg.cdtype
@@ -216,10 +241,13 @@ def joint(params: Params, cfg: TransducerConfig, enc_out, pred_out):
                  preferred_element_type=jnp.float32)
          + jp["pred_proj"]["b"].astype(jnp.float32))  # (B, U1, J)
     z = jnp.tanh(f[:, :, None, :] + g[:, None, :, :])  # (B, T, U1, J)
+    aux = jnp.zeros((), jnp.float32)
+    if cfg.joint_experts > 0:
+        z, aux = _moe_residual(params, cfg, z)
     logits = (jnp.dot(z.astype(cd), jp["out"]["w"].astype(cd),
                       preferred_element_type=jnp.float32)
               + jp["out"]["b"].astype(jnp.float32))
-    return logits  # fp32 (B, T, U1, V)
+    return (logits, aux) if with_aux else logits  # fp32 (B, T, U1, V)
 
 
 def joint_step(params: Params, cfg: TransducerConfig, enc_t, pred_u):
@@ -233,6 +261,8 @@ def joint_step(params: Params, cfg: TransducerConfig, enc_t, pred_u):
                  preferred_element_type=jnp.float32)
          + jp["pred_proj"]["b"].astype(jnp.float32))
     z = jnp.tanh(f + g)
+    if cfg.joint_experts > 0:
+        z, _ = _moe_residual(params, cfg, z, dense=True)
     return (jnp.dot(z.astype(cd), jp["out"]["w"].astype(cd),
                     preferred_element_type=jnp.float32)
             + jp["out"]["b"].astype(jnp.float32))
@@ -265,12 +295,14 @@ def ctc_logits(params: Params, cfg: TransducerConfig, enc_out):
             + head["b"].astype(jnp.float32))
 
 
-def forward(params: Params, cfg: TransducerConfig, feats, feat_lens, labels):
+def forward(params: Params, cfg: TransducerConfig, feats, feat_lens, labels,
+            with_aux: bool = False):
     """Full model forward: features + labels -> joint logits over the lattice.
 
     Mirrors the reference `Transducer.forward` API (SURVEY.md §3).
-    Returns (logits (B, T', U+1, V), enc_lens (B,)).
+    Returns (logits (B, T', U+1, V), enc_lens (B,)); with_aux=True returns
+    ((logits, moe_aux), enc_lens) for MoE configs.
     """
     enc_out, enc_lens = encode(params, cfg, feats, feat_lens)
     pred_out, _ = predict(params, cfg, labels)
-    return joint(params, cfg, enc_out, pred_out), enc_lens
+    return joint(params, cfg, enc_out, pred_out, with_aux=with_aux), enc_lens

@@ -422,6 +422,91 @@ def sp_loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
 
 
 # --------------------------------------------------------------------------
+# Expert parallel ("ep"): frame-sharded lattice + expert-sharded MoE joint
+# --------------------------------------------------------------------------
+#
+# For MoE-joint configs (cfg.joint_experts > 0, ops/moe.py). The lattice
+# is frame-sharded exactly like "sp"; the expert FFN weights shard over the
+# model axis and each shard's lattice tokens reach their experts through
+# two all_to_alls (ops.moe.moe_top1_ep). Non-expert weights replicate.
+
+def split_params_ep(params, cfg: TransducerConfig, mp: int) -> TPParams:
+    E = cfg.joint_experts
+    assert E > 0, "ep mode needs cfg.joint_experts > 0"
+    assert E % mp == 0, f"experts {E} not divisible by model parallel {mp}"
+    moe = params["moe"]
+    shd = {"moe": {k: moe[k].reshape((mp, E // mp) + moe[k].shape[1:])
+                   for k in ("w1", "b1", "w2", "b2")}}
+    rep = {k: v for k, v in params.items() if k != "moe"}
+    rep["moe_router"] = moe["router"]  # router replicated (needs all E cols)
+    return TPParams(rep=rep, shd=shd)
+
+
+def merge_params_ep(tpp: TPParams, cfg: TransducerConfig) -> dict:
+    params = {k: v for k, v in tpp.rep.items() if k != "moe_router"}
+    moe = {"router": tpp.rep["moe_router"]}
+    for k, v in tpp.shd["moe"].items():
+        moe[k] = v.reshape((-1,) + v.shape[2:])
+    params["moe"] = moe
+    return params
+
+
+def init_ep_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
+                        mp: int) -> TrainState:
+    params = split_params_ep(m.init_params(key, cfg), cfg, mp)
+    tx = make_optimizer_noclip(tcfg)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def ep_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
+               labels, label_lens, *, axis=MODEL_AXIS):
+    """Frame-sharded joint + loss with the expert-parallel MoE residual.
+
+    Returns (mean loss + aux, per_utt). Capacity semantics under ep: each
+    (source shard, expert) pair gets C = ceil(N_local * cf / E) slots —
+    with an ample capacity factor this routes identically to the
+    single-device moe_top1.
+    """
+    from rnn_transducer_tpu.ops.moe import moe_top1_ep
+
+    rep = {k: v for k, v in local.rep.items() if k != "moe_router"}
+    moe_local = dict(local.shd["moe"])
+    moe_local["router"] = local.rep["moe_router"]
+
+    enc_out, enc_lens = m.encode(rep, cfg, feats, feat_lens)
+    pred_out, _ = m.predict(rep, cfg, labels)
+
+    mp = jax.lax.axis_size(axis)
+    B, T, _ = enc_out.shape
+    Tp = -(-T // mp) * mp
+    if Tp != T:
+        enc_out = jnp.pad(enc_out, ((0, 0), (0, Tp - T), (0, 0)))
+    Tl = Tp // mp
+    t0 = jax.lax.axis_index(axis) * Tl
+    enc_l = jax.lax.dynamic_slice_in_dim(enc_out, t0, Tl, axis=1)
+    z = _joint_z(rep, cfg, enc_l, pred_out)  # (B, Tl, U1, J)
+    y, aux = moe_top1_ep(moe_local, z.reshape(-1, z.shape[-1]), axis=axis,
+                         n_shards=mp,
+                         capacity_factor=cfg.moe_capacity_factor,
+                         compute_dtype=cfg.cdtype,
+                         stats_axes=(axis, DATA_AXIS))
+    z = z + y.reshape(z.shape)
+    out = rep["joint"]["out"]
+    cd = cfg.cdtype
+    logits_l = (jnp.dot(z.astype(cd), out["w"].astype(cd),
+                        preferred_element_type=jnp.float32)
+                + out["b"].astype(jnp.float32))  # (B, Tl, U1, V)
+    lp = jax.nn.log_softmax(logits_l, axis=-1)
+    lp_blank = jax.lax.all_gather(lp[..., cfg.blank], axis, axis=1,
+                                  tiled=True)[:, :T]
+    lp_y = jax.lax.all_gather(
+        _gather_label_logprobs(lp, labels), axis, axis=1, tiled=True)[:, :T]
+    per_utt = rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens)
+    return jnp.mean(per_utt) + cfg.moe_aux_weight * aux, per_utt
+
+
+# --------------------------------------------------------------------------
 # Training step over the 2-D mesh
 # --------------------------------------------------------------------------
 
@@ -474,19 +559,25 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
 
     mode="tp": TPParams state (gate-sharded LSTMs + vocab-parallel loss).
     mode="sp": plain replicated params, frame-sharded joint+loss.
+    mode="ep": TPParams state (expert-sharded MoE joint, frame-sharded
+    lattice; cfg.joint_experts > 0).
     Batches are sharded over "data" and replicated over "model".
     """
-    assert mode in ("tp", "sp"), mode
+    assert mode in ("tp", "sp", "ep"), mode
     mp = mesh.shape[MODEL_AXIS]
     tx = make_optimizer_noclip(tcfg)
-    is_tp = mode == "tp"
+    is_tp = mode in ("tp", "ep")  # TPParams state layout + shd grad rules
 
     def shard_fn(state, feats, feat_lens, labels, label_lens):
         local = _tp_squeeze(state) if is_tp else state
-        if is_tp:
+        if mode == "tp":
             def batch_loss(p):
                 return tp_loss_fn(_local_view(p), cfg, feats, feat_lens,
                                   labels, label_lens)
+        elif mode == "ep":
+            def batch_loss(p):
+                return ep_loss_fn(p, cfg, feats, feat_lens, labels,
+                                  label_lens)
         else:
             def batch_loss(p):
                 return sp_loss_fn(p, cfg, feats, feat_lens, labels,
@@ -521,8 +612,9 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
                            "skipped_nonfinite": (~ok).astype(jnp.int32)}
 
     if is_tp:
+        init = init_tp_train_state if mode == "tp" else init_ep_train_state
         state_ex = jax.eval_shape(
-            lambda: init_tp_train_state(jax.random.PRNGKey(0), cfg, tcfg, mp))
+            lambda: init(jax.random.PRNGKey(0), cfg, tcfg, mp))
         state_spec = tp_specs(state_ex)
     else:
         state_spec = TrainState(params=P(), opt_state=P(), step=P())

@@ -98,6 +98,16 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
     "fused" (default on TPU) never materializes the (B,T,U+1,V) logits:
     joint + loss run as one Pallas op (ops/rnnt_joint_fused.py).
     """
+    if cfg.joint_experts > 0:
+        # MoE joint: the logits must materialize through the routed joint
+        # (the fused joint+loss kernel computes dense logits on-chip), and
+        # the router's load-balance aux loss joins the objective.
+        (logits, aux), enc_lens = m.forward(params, cfg, feats, feat_lens,
+                                            labels, with_aux=True)
+        per_utt = select_rnnt_loss(
+            "xla" if loss_impl in ("auto", "fused") else loss_impl)(
+            logits, labels, enc_lens, label_lens, cfg.blank)
+        return jnp.mean(per_utt) + cfg.moe_aux_weight * aux, per_utt
     if loss_impl == "auto":
         if jax.default_backend() == "tpu":
             from rnn_transducer_tpu.ops.rnnt_joint_fused import fused_supported

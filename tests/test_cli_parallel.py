@@ -24,13 +24,22 @@ def _last_json(capsys):
 
 
 @needs8
-@pytest.mark.parametrize("mode,mp", [("tp", 4), ("sp", 4), ("pp", 2)])
+@pytest.mark.parametrize("mode,mp", [("tp", 4), ("sp", 4), ("pp", 2),
+                                     ("ep", 4)])
 def test_train_cli_model_parallel(mode, mp, tmp_path, capsys):
     cfg = "smoke"
     if mode == "pp":  # pp needs enc_layers % stages == 0; smoke has 1 layer
         c = TransducerConfig(enc_layers=2, enc_hidden=64, pred_layers=1,
                              pred_hidden=64, embed_dim=32, joint_dim=64,
                              vocab_size=32, input_dim=80)
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps(dataclasses.asdict(c)))
+        cfg = str(cfg_path)
+    elif mode == "ep":  # ep needs an MoE joint
+        c = TransducerConfig(enc_layers=1, enc_hidden=64, pred_layers=1,
+                             pred_hidden=64, embed_dim=32, joint_dim=64,
+                             vocab_size=32, input_dim=80, joint_experts=4,
+                             joint_expert_hidden=64)
         cfg_path = tmp_path / "cfg.json"
         cfg_path.write_text(json.dumps(dataclasses.asdict(c)))
         cfg = str(cfg_path)

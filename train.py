@@ -47,11 +47,12 @@ def parse_args(argv=None):
                    help="model-axis size of a 2-D (data, model) mesh; "
                         "> 1 enables --parallel-mode (docs/PARALLELISM.md)")
     p.add_argument("--parallel-mode", default="tp",
-                   choices=["tp", "sp", "pp"],
+                   choices=["tp", "sp", "pp", "ep"],
                    help="model-axis strategy: tensor parallel (gate-sharded "
                         "LSTMs + vocab-parallel loss), sequence parallel "
-                        "(frame-sharded lattice), or pipeline parallel "
-                        "(GPipe encoder stages)")
+                        "(frame-sharded lattice), pipeline parallel "
+                        "(GPipe encoder stages), or expert parallel "
+                        "(sharded MoE joint; needs joint_experts > 0)")
     p.add_argument("--microbatches", type=int, default=0,
                    help="pp only: microbatches per step (0 = 2x stages)")
     p.add_argument("--log-every", type=int, default=10)
@@ -153,6 +154,8 @@ def main(argv=None):
             state = tpx.init_tp_train_state(key, cfg, tcfg, mp)
         elif par_mode == "pp":
             state = ppx.init_pp_train_state(key, cfg, tcfg, mp)
+        elif par_mode == "ep":
+            state = tpx.init_ep_train_state(key, cfg, tcfg, mp)
         else:
             state = tpx.init_sp_train_state(key, cfg, tcfg)
         if resuming:
@@ -172,10 +175,10 @@ def main(argv=None):
             step_fn = tpx.make_tp_train_step(cfg, tcfg, mesh, "sp")
         else:
             state = tpx.shard_tp_state(mesh, state)
-            step_fn = (tpx.make_tp_train_step(cfg, tcfg, mesh, "tp")
-                       if par_mode == "tp" else
-                       ppx.make_pp_train_step(cfg, tcfg, mesh,
-                                              args.microbatches or None))
+            step_fn = (ppx.make_pp_train_step(cfg, tcfg, mesh,
+                                              args.microbatches or None)
+                       if par_mode == "pp" else
+                       tpx.make_tp_train_step(cfg, tcfg, mesh, par_mode))
         shard_train_batch = lambda b: tpx.shard_batch_2d(mesh, b)
 
         def plain_params(st):
@@ -185,6 +188,8 @@ def main(argv=None):
                 return tpx.merge_params_tp(p, cfg)
             if par_mode == "pp":
                 return ppx.merge_params_pp(p, cfg)
+            if par_mode == "ep":
+                return tpx.merge_params_ep(p, cfg)
             return p
         ctc_step_fn = None
     else:
