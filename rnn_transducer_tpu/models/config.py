@@ -75,6 +75,10 @@ class TrainConfig:
     decay_rate: float = 0.5
     decay_every: int = 10_000
     seed: int = 0
+    # Graves-style weight noise (std of gaussian added to the weights for
+    # the gradient computation only — the classic RNN-T regularizer for
+    # small-corpus training, e.g. TIMIT)
+    weight_noise_std: float = 0.0
     # accumulate gradients over k microbatches before each optimizer update
     grad_accum: int = 1
     # RNN-T loss kernel: "auto" (Pallas on TPU, XLA elsewhere), "pallas", "xla"

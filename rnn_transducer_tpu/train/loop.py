@@ -159,7 +159,21 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
         batch_loss = functools.partial(loss_fn, cfg=cfg,
                                        loss_impl=tcfg.loss_impl)
 
-    def grads_and_metrics(params, feats, feat_lens, labels, label_lens):
+    def grads_and_metrics(params, step, feats, feat_lens, labels,
+                          label_lens):
+        if tcfg.weight_noise_std > 0.0:
+            # Graves weight noise: gradients are taken at params + eps,
+            # eps ~ N(0, std); the update applies to the clean params.
+            # The key folds in the step counter, so DP shards (replicated
+            # step) draw identical noise and stay in lockstep.
+            key = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed ^ 0x5EED),
+                                     step)
+            leaves, treedef = jax.tree.flatten(params)
+            keys = jax.random.split(key, len(leaves))
+            noisy = [l + tcfg.weight_noise_std
+                     * jax.random.normal(k, l.shape, l.dtype)
+                     for l, k in zip(leaves, keys)]
+            params = jax.tree.unflatten(treedef, noisy)
         (loss, per_utt), grads = jax.value_and_grad(
             lambda p: batch_loss(p, feats=feats, feat_lens=feat_lens,
                                  labels=labels, label_lens=label_lens),
@@ -188,8 +202,8 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
 
     if mesh is None:
         def step_fn(state, feats, feat_lens, labels, label_lens):
-            loss, grads = grads_and_metrics(state.params, feats, feat_lens,
-                                            labels, label_lens)
+            loss, grads = grads_and_metrics(state.params, state.step, feats,
+                                            feat_lens, labels, label_lens)
             return apply(state, loss, grads)
 
         return jax.jit(step_fn, donate_argnums=(0,))
@@ -197,8 +211,8 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
     from jax.sharding import PartitionSpec as P
 
     def shard_fn(state, feats, feat_lens, labels, label_lens):
-        loss, grads = grads_and_metrics(state.params, feats, feat_lens,
-                                        labels, label_lens)
+        loss, grads = grads_and_metrics(state.params, state.step, feats,
+                                        feat_lens, labels, label_lens)
         # batch-mean over all shards: each shard's mean weighted equally
         loss = jax.lax.pmean(loss, "data")
         grads = jax.lax.pmean(grads, "data")

@@ -1,0 +1,92 @@
+"""Graves weight noise (TrainConfig.weight_noise_std): zero-std identity,
+determinism, training, and DP equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnn_transducer_tpu.models.config import TrainConfig, TransducerConfig
+from rnn_transducer_tpu.train.loop import init_train_state, make_train_step
+
+CFG = TransducerConfig(enc_layers=1, enc_hidden=32, pred_layers=1,
+                       pred_hidden=32, embed_dim=16, joint_dim=32,
+                       vocab_size=16, input_dim=8, compute_dtype="float32")
+
+
+def _batch(B=4, T=10, U=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32),
+            jnp.full((B,), T, jnp.int32),
+            jnp.asarray(rng.integers(1, 16, size=(B, U)), jnp.int32),
+            jnp.full((B,), U, jnp.int32))
+
+
+def _tcfg(std, B=4):
+    return TrainConfig(batch_size=B, warmup_steps=2, total_steps=50,
+                       loss_impl="xla", weight_noise_std=std)
+
+
+def _run(std, steps=1, B=4, mesh=None):
+    from rnn_transducer_tpu.parallel.mesh import replicate, shard_batch
+    from rnn_transducer_tpu.train.loop import TrainState
+
+    tcfg = _tcfg(std, B)
+    state = init_train_state(jax.random.PRNGKey(0), CFG, tcfg)
+    if mesh is not None:
+        state = TrainState(params=replicate(mesh, state.params),
+                           opt_state=replicate(mesh, state.opt_state),
+                           step=replicate(mesh, state.step))
+    step = make_train_step(CFG, tcfg, mesh=mesh)
+    batch = _batch(B=B)
+    if mesh is not None:
+        batch = shard_batch(mesh, batch)
+    for _ in range(steps):
+        state, info = step(state, *batch)
+    return jax.device_get(state.params), float(info["loss"])
+
+
+def test_zero_std_is_identity():
+    p0, l0 = _run(0.0)
+    p1, l1 = _run(0.0)
+    assert l0 == l1
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p0, p1)
+
+
+def test_noise_changes_grads_deterministically():
+    # several steps: Adam's first update is ~sign(g), which small noise
+    # rarely flips — magnitude effects appear from step 2 on
+    p0, l0 = _run(0.0, steps=4)
+    pa, la = _run(0.05, steps=4)
+    pb, lb = _run(0.05, steps=4)
+    # loss is evaluated at the noisy params -> differs from clean run
+    assert la != l0
+    assert la == lb  # same seed/step -> same noise
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), pa, pb)
+    # params updated differently than the clean run
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), p0, pa))
+    assert max(diffs) > 0
+
+
+def test_trains_with_noise():
+    tcfg = _tcfg(0.01)
+    state = init_train_state(jax.random.PRNGKey(0), CFG, tcfg)
+    step = make_train_step(CFG, tcfg)
+    batch = _batch()
+    first = None
+    for _ in range(40):
+        state, info = step(state, *batch)
+        first = float(info["loss"]) if first is None else first
+    assert float(info["loss"]) < first
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_dp_noise_matches_single_device():
+    from rnn_transducer_tpu.parallel.mesh import make_mesh
+
+    p1, l1 = _run(0.05, B=8)
+    p2, l2 = _run(0.05, B=8, mesh=make_mesh(4))
+    np.testing.assert_allclose(l2, l1, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), p1, p2)

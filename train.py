@@ -77,6 +77,9 @@ def parse_args(argv=None):
                    help="manifest input pipeline: 'native' = C++ prefetch "
                         "threads (cpp/loader.cpp); decode/FBANK/padding "
                         "overlap device compute")
+    p.add_argument("--weight-noise", type=float, default=0.0,
+                   help="Graves weight noise std (gradient computed at "
+                        "params + N(0, std); classic TIMIT regularizer)")
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer spec (char | phone | bpe:<model.json>); "
                         "stored inline in the checkpoint's meta.json so "
@@ -122,7 +125,8 @@ def main(argv=None):
                        total_steps=max(args.steps, args.warmup_steps + 1),
                        grad_clip_norm=args.grad_clip, seed=args.seed,
                        loss_impl=args.loss_impl,
-                       lr_schedule=args.lr_schedule)
+                       lr_schedule=args.lr_schedule,
+                       weight_noise_std=args.weight_noise)
     mlog = MetricsLogger(args.log_file)
 
     mp = args.model_parallel
