@@ -1,0 +1,436 @@
+"""Serving runtime: dynamic request batching + streaming session slots.
+
+The reference family stops at an eval script; production serving needs the
+device kept busy with *batched* work while callers see single-utterance
+latency. Two engines, both keeping shapes static so everything compiles
+once:
+
+  * `BatchingEngine` — offline recognition. Requests queue on the host; a
+    worker drains up to `max_batch` of them inside a `window_ms` batching
+    window, pads to a fixed (max_batch, bucket_frames) shape, and runs one
+    jitted greedy/beam decode for the whole group. One compile per frame
+    bucket.
+
+  * `StreamingEngine` — continuous batching over fixed session slots. The
+    stream state for ALL slots lives on device as one (S, ...) pytree;
+    each tick feeds whichever sessions have a chunk pending (idle slots
+    run masked — their state is reselected, so they are untouched). This
+    is the static-shape, XLA-friendly version of serving's
+    continuous-batching pattern: admission = taking a free slot, not a
+    recompile.
+
+Transport is pluggable; `http_server` (serve.py CLI) exposes both engines
+over stdlib HTTP with JSON bodies.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+
+import numpy as np
+
+
+class EngineStats:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.batches = 0
+        self.batched_requests = 0
+        self.max_batch = 0
+        self.latency_s = []
+
+    def record(self, batch_size: int, latency: float):
+        with self.lock:
+            self.requests += batch_size
+            self.batches += 1
+            self.batched_requests += batch_size
+            self.max_batch = max(self.max_batch, batch_size)
+            self.latency_s.append(latency)
+
+    def summary(self) -> dict:
+        with self.lock:
+            lat = sorted(self.latency_s)
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "mean_batch": (self.batched_requests / self.batches
+                               if self.batches else 0.0),
+                "max_batch": self.max_batch,
+                "p50_batch_latency_ms": (
+                    round(lat[len(lat) // 2] * 1e3, 3) if lat else None),
+            }
+
+
+class BatchingEngine:
+    """Dynamic batching for offline recognition.
+
+    submit() blocks the calling thread until its utterance's result is
+    ready; concurrent callers landing within the batching window share one
+    device decode.
+    """
+
+    def __init__(self, params, cfg, *, mode: str = "greedy", beam: int = 8,
+                 expansions: int = 3, max_symbols: int = 100,
+                 frame_buckets=(200, 400, 800), max_batch: int = 8,
+                 window_ms: float = 5.0, lm=None):
+        import jax
+
+        from rnn_transducer_tpu.decode.beam import recognize_beam
+        from rnn_transducer_tpu.decode.greedy import recognize_greedy
+
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self.frame_buckets = tuple(sorted(frame_buckets))
+        self.stats = EngineStats()
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+
+        if mode == "greedy":
+            self._decode = jax.jit(lambda p, f, l: recognize_greedy(
+                p, cfg, f, l, max_symbols=max_symbols))
+        elif mode == "beam":
+            def _beam(p, lmp, f, l):
+                t, ln, _ = recognize_beam(
+                    p, cfg, f, l, beam=beam, max_symbols=max_symbols,
+                    expansions=expansions,
+                    lm=None if lmp is None else (lmp, lm[1], lm[2]))
+                return t[:, 0], ln[:, 0]
+            jitted = jax.jit(_beam)
+            lm_params = lm[0] if lm else None
+            self._decode = lambda p, f, l: jitted(p, lm_params, f, l)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def warmup(self):
+        """Compile every bucket shape before serving traffic."""
+        D = self.cfg.input_dim
+        for tb in self.frame_buckets:
+            f = np.zeros((self.max_batch, tb, D), np.float32)
+            l = np.full((self.max_batch,), tb, np.int32)
+            toks, lens = self._decode(self.params, f, l)
+            np.asarray(toks)
+
+    def submit(self, feats: np.ndarray) -> list[int]:
+        """feats: (T, input_dim) float32 -> token id list. Blocking."""
+        T = feats.shape[0]
+        if T > self.frame_buckets[-1]:
+            raise ValueError(
+                f"utterance of {T} frames exceeds the largest serving "
+                f"bucket {self.frame_buckets[-1]}")
+        done = threading.Event()
+        item = {"feats": feats, "done": done, "result": None, "error": None}
+        self._q.put(item)
+        done.wait()
+        if item["error"]:
+            raise RuntimeError(item["error"])
+        return item["result"]
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+
+    # -- worker ------------------------------------------------------------
+
+    def _bucket_for(self, T: int) -> int:
+        for tb in self.frame_buckets:
+            if T <= tb:
+                return tb
+        return self.frame_buckets[-1]
+
+    def _run(self):
+        while not self._closed:
+            item = self._q.get()
+            if item is None:
+                continue
+            batch = [item]
+            deadline = time.perf_counter() + self.window_s
+            while len(batch) < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                batch.append(nxt)
+            try:
+                self._process(batch)
+            except Exception as e:  # deliver the failure to every waiter
+                for it in batch:
+                    it["error"] = repr(e)
+                    it["done"].set()
+
+    def _process(self, batch):
+        D = self.cfg.input_dim
+        tb = max(self._bucket_for(it["feats"].shape[0]) for it in batch)
+        feats = np.zeros((self.max_batch, tb, D), np.float32)
+        lens = np.zeros((self.max_batch,), np.int32)
+        for i, it in enumerate(batch):
+            f = it["feats"]
+            feats[i, : f.shape[0]] = f
+            lens[i] = f.shape[0]
+        t0 = time.perf_counter()
+        toks, tlens = self._decode(self.params, feats, lens)
+        toks, tlens = np.asarray(toks), np.asarray(tlens)
+        self.stats.record(len(batch), time.perf_counter() - t0)
+        for i, it in enumerate(batch):
+            it["result"] = toks[i, : tlens[i]].tolist()
+            it["done"].set()
+
+
+class StreamingEngine:
+    """Continuous batching over fixed streaming-session slots.
+
+    All S slots' stream state is one device-resident pytree; a tick runs
+    the jitted chunk step for every slot with a per-slot active mask, so
+    idle slots' state is carried through unchanged. Chunks shorter than
+    `chunk_frames` are zero-padded with their true length.
+    """
+
+    def __init__(self, params, cfg, *, slots: int = 8,
+                 chunk_frames: int = 32, max_symbols: int = 200,
+                 window_ms: float = 5.0):
+        import jax
+        import jax.numpy as jnp
+
+        from rnn_transducer_tpu.decode.streaming import (init_stream,
+                                                         stream_chunk)
+
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.chunk_frames = chunk_frames
+        self.max_symbols = max_symbols
+        self.window_s = window_ms / 1e3
+        self.stats = EngineStats()
+        self._lock = threading.Lock()
+        self._free = set(range(slots))
+        self._live: dict[str, int] = {}  # sid -> slot
+        self._last: dict[int, list[int]] = {}  # slot -> tokens so far
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+
+        self._init_state = init_stream(params, cfg, slots, max_symbols)
+        self.state = self._init_state
+        self._state_lock = threading.Lock()  # ticks vs slot resets
+
+        S = slots
+
+        def gstep(p, state, chunks, lens, active):
+            new_state, toks, tok_lens = stream_chunk(
+                p, cfg, state, chunks, lens, max_symbols=max_symbols)
+            sel = lambda n, o: jnp.where(
+                active.reshape((S,) + (1,) * (n.ndim - 1)), n, o)
+            return jax.tree.map(sel, new_state, state), toks, tok_lens
+
+        def greset(state, fresh, mask):
+            sel = lambda f, o: jnp.where(
+                mask.reshape((S,) + (1,) * (f.ndim - 1)), f, o)
+            return jax.tree.map(sel, fresh, state)
+
+        self._gstep = jax.jit(gstep)
+        self._greset = jax.jit(greset)
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def warmup(self):
+        D = self.cfg.input_dim
+        chunks = np.zeros((self.slots, self.chunk_frames, D), np.float32)
+        lens = np.zeros((self.slots,), np.int32)
+        active = np.zeros((self.slots,), bool)
+        st, toks, _ = self._gstep(self.params, self.state, chunks, lens,
+                                  active)
+        np.asarray(toks)  # force; state unchanged (all-inactive mask)
+
+    def open_session(self) -> str:
+        with self._lock:
+            if not self._free:
+                raise RuntimeError(f"all {self.slots} streaming slots busy")
+            slot = self._free.pop()
+            sid = uuid.uuid4().hex[:12]
+            self._live[sid] = slot
+            self._last[slot] = []
+        return sid
+
+    def feed(self, sid: str, chunk: np.ndarray) -> list[int]:
+        """chunk: (C, input_dim), C <= chunk_frames. Blocks for the tick.
+        Returns the cumulative token ids for this session."""
+        with self._lock:
+            slot = self._live[sid]
+        C = chunk.shape[0]
+        if C > self.chunk_frames:
+            raise ValueError(f"chunk of {C} frames > {self.chunk_frames}")
+        done = threading.Event()
+        item = {"slot": slot, "chunk": chunk, "done": done, "result": None,
+                "error": None}
+        self._q.put(item)
+        done.wait()
+        if item["error"]:
+            raise RuntimeError(item["error"])
+        with self._lock:
+            self._last[slot] = item["result"]
+        return item["result"]
+
+    def close_session(self, sid: str) -> list[int]:
+        import numpy as _np
+
+        with self._lock:
+            slot = self._live.pop(sid)
+            final = self._last.pop(slot, [])
+        mask = _np.zeros((self.slots,), bool)
+        mask[slot] = True
+        with self._state_lock:
+            self.state = self._greset(self.state, self._init_state,
+                                      _np.asarray(mask))
+        with self._lock:
+            self._free.add(slot)
+        return final
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+
+    # -- worker ------------------------------------------------------------
+
+    def _run(self):
+        while not self._closed:
+            item = self._q.get()
+            if item is None:
+                continue
+            batch = {item["slot"]: item}
+            deferred = []
+            deadline = time.perf_counter() + self.window_s
+            while len(batch) < self.slots:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                if nxt["slot"] in batch:  # same session: must serialize
+                    deferred.append(nxt)
+                else:
+                    batch[nxt["slot"]] = nxt
+            try:
+                self._tick(batch)
+            except Exception as e:
+                for it in batch.values():
+                    it["error"] = repr(e)
+                    it["done"].set()
+            for it in deferred:  # re-queue same-session chunks
+                self._q.put(it)
+
+    def _tick(self, batch: dict):
+        D = self.cfg.input_dim
+        chunks = np.zeros((self.slots, self.chunk_frames, D), np.float32)
+        lens = np.zeros((self.slots,), np.int32)
+        active = np.zeros((self.slots,), bool)
+        for slot, it in batch.items():
+            c = it["chunk"]
+            chunks[slot, : c.shape[0]] = c
+            lens[slot] = c.shape[0]
+            active[slot] = True
+        t0 = time.perf_counter()
+        with self._state_lock:
+            self.state, toks, tok_lens = self._gstep(
+                self.params, self.state, chunks, lens, active)
+        toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
+        self.stats.record(len(batch), time.perf_counter() - t0)
+        for slot, it in batch.items():
+            it["result"] = toks[slot, : tok_lens[slot]].tolist()
+            it["done"].set()
+
+
+# --------------------------------------------------------------------------
+# HTTP transport (stdlib)
+# --------------------------------------------------------------------------
+
+def http_server(host: str, port: int, offline: BatchingEngine,
+                streaming: StreamingEngine | None = None, tok=None):
+    """Build (not start) a ThreadingHTTPServer exposing the engines.
+
+    POST /recognize        {"feats": [[...]]}        -> tokens (+ text)
+    POST /session                                    -> {"sid": ...}
+    POST /session/<sid>    {"feats": [[...]]} chunk  -> cumulative tokens
+    DELETE /session/<sid>                            -> final tokens
+    GET  /stats | /healthz
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from rnn_transducer_tpu.data.tokenizer import decode_to_text
+
+    def result(ids):
+        out = {"tokens": ids}
+        if tok is not None:
+            out["text"] = decode_to_text(tok, ids)
+        return out
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n)) if n else {}
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/stats":
+                out = {"offline": offline.stats.summary()}
+                if streaming is not None:
+                    out["streaming"] = streaming.stats.summary()
+                self._json(200, out)
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                if self.path == "/recognize":
+                    feats = np.asarray(self._body()["feats"], np.float32)
+                    self._json(200, result(offline.submit(feats)))
+                elif self.path == "/session" and streaming is not None:
+                    self._json(200, {"sid": streaming.open_session()})
+                elif (self.path.startswith("/session/")
+                      and streaming is not None):
+                    sid = self.path.split("/")[2]
+                    feats = np.asarray(self._body()["feats"], np.float32)
+                    self._json(200, result(streaming.feed(sid, feats)))
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception as e:
+                self._json(400, {"error": repr(e)})
+
+        def do_DELETE(self):
+            try:
+                if self.path.startswith("/session/") and streaming is not None:
+                    sid = self.path.split("/")[2]
+                    self._json(200, result(streaming.close_session(sid)))
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception as e:
+                self._json(400, {"error": repr(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)

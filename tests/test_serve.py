@@ -1,0 +1,147 @@
+"""Serving runtime: dynamic batching correctness + coalescing, streaming
+session slots (== offline greedy), and the HTTP transport."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnn_transducer_tpu.decode.greedy import recognize_greedy
+from rnn_transducer_tpu.models import transducer as m
+from rnn_transducer_tpu.models.config import TransducerConfig
+from rnn_transducer_tpu.serve import BatchingEngine, StreamingEngine, http_server
+
+CFG = TransducerConfig(enc_layers=1, enc_hidden=32, pred_layers=1,
+                       pred_hidden=32, embed_dim=16, joint_dim=32,
+                       vocab_size=16, input_dim=8, compute_dtype="float32")
+PARAMS = m.init_params(jax.random.PRNGKey(0), CFG)
+MAXSYM = 8
+
+
+def _feats(T, seed):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(T, CFG.input_dim)).astype(np.float32)
+
+
+def _direct(feats):
+    toks, lens = recognize_greedy(
+        PARAMS, CFG, jnp.asarray(feats[None]),
+        jnp.asarray([feats.shape[0]], jnp.int32), max_symbols=MAXSYM)
+    return np.asarray(toks)[0, : int(lens[0])].tolist()
+
+
+def test_batching_engine_correct_and_coalesces():
+    eng = BatchingEngine(PARAMS, CFG, max_symbols=MAXSYM,
+                         frame_buckets=(16, 24), max_batch=4,
+                         window_ms=300.0)
+    try:
+        eng.warmup()
+        inputs = [_feats(10 + 2 * i, seed=i) for i in range(4)]
+        want = [_direct(f) for f in inputs]
+        got = [None] * 4
+        barrier = threading.Barrier(4)
+
+        def call(i):
+            barrier.wait()
+            got[i] = eng.submit(inputs[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert got == want
+        s = eng.stats.summary()
+        assert s["requests"] == 4
+        assert s["max_batch"] >= 2, s  # simultaneous submits coalesced
+    finally:
+        eng.close()
+
+
+def test_batching_engine_rejects_oversize():
+    import pytest
+
+    eng = BatchingEngine(PARAMS, CFG, max_symbols=MAXSYM,
+                         frame_buckets=(16,), max_batch=2, window_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="bucket"):
+            eng.submit(_feats(64, 9))
+    finally:
+        eng.close()
+
+
+def test_streaming_engine_sessions_match_offline():
+    eng = StreamingEngine(PARAMS, CFG, slots=4, chunk_frames=8,
+                          max_symbols=MAXSYM, window_ms=50.0)
+    try:
+        eng.warmup()
+        a, b = _feats(16, 20), _feats(16, 21)
+        want_a, want_b = _direct(a), _direct(b)
+        sa = eng.open_session()
+        sb = eng.open_session()
+        # interleave chunks of two concurrent sessions
+        for t0 in range(0, 16, 8):
+            eng.feed(sa, a[t0: t0 + 8])
+            eng.feed(sb, b[t0: t0 + 8])
+        got_a = eng.close_session(sa)
+        got_b = eng.close_session(sb)
+        assert got_a == want_a
+        assert got_b == want_b
+
+        # the freed slot state was reset: a new session starts clean
+        sc = eng.open_session()
+        for t0 in range(0, 16, 8):
+            out = eng.feed(sc, a[t0: t0 + 8])
+        assert out == want_a
+        eng.close_session(sc)
+    finally:
+        eng.close()
+
+
+def test_http_server_end_to_end():
+    from rnn_transducer_tpu.data.tokenizer import CharTokenizer
+
+    offline = BatchingEngine(PARAMS, CFG, max_symbols=MAXSYM,
+                             frame_buckets=(16,), max_batch=2,
+                             window_ms=1.0)
+    streaming = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=8,
+                                max_symbols=MAXSYM, window_ms=1.0)
+    srv = http_server("127.0.0.1", 0, offline, streaming,
+                      tok=CharTokenizer())
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    def req(method, path, payload=None):
+        data = json.dumps(payload).encode() if payload is not None else None
+        r = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                   data=data, method=method)
+        with urllib.request.urlopen(r, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    try:
+        assert req("GET", "/healthz")["ok"]
+        f = _feats(12, 30)
+        out = req("POST", "/recognize", {"feats": f.tolist()})
+        assert out["tokens"] == _direct(f)
+        assert isinstance(out.get("text"), str)
+
+        sid = req("POST", "/session")["sid"]
+        g = _feats(16, 31)
+        for t0 in range(0, 16, 8):
+            out = req("POST", f"/session/{sid}",
+                      {"feats": g[t0: t0 + 8].tolist()})
+        final = req("DELETE", f"/session/{sid}")
+        assert final["tokens"] == _direct(g)
+
+        stats = req("GET", "/stats")
+        assert stats["offline"]["requests"] >= 1
+        assert stats["streaming"]["requests"] >= 2
+    finally:
+        srv.shutdown()
+        offline.close()
+        streaming.close()
