@@ -46,6 +46,9 @@ def parse_args(argv=None):
                         "fusion in beam / streaming_beam modes")
     p.add_argument("--lm-weight", type=float, default=0.3,
                    help="shallow-fusion weight on log P_lm per emission")
+    p.add_argument("--lm-rescore", action="store_true",
+                   help="use --lm-ckpt for one-pass N-best rescoring "
+                        "instead of per-step shallow fusion (beam mode)")
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer spec (char | phone | bpe:<model.json>) "
                         "for text output + word-level WER; defaults to the "
@@ -131,8 +134,8 @@ def main(argv=None):
             raise SystemExit(
                 f"LM vocab {lm_cfg.vocab_size} != model vocab "
                 f"{cfg.vocab_size}")
-        print(f"shallow fusion: {args.lm_ckpt} weight={args.lm_weight}",
-              file=sys.stderr)
+        print(f"{'n-best rescoring' if args.lm_rescore else 'shallow fusion'}"
+              f": {args.lm_ckpt} weight={args.lm_weight}", file=sys.stderr)
 
     # NOTE: params (and lm params) are always traced jit arguments —
     # capturing them in the closure would inline the weights into the
@@ -142,14 +145,25 @@ def main(argv=None):
             p, cfg, f, l, max_symbols=args.max_symbols))
         decode = lambda f, l: greedy_jit(params, f, l)
     elif args.mode == "beam":
+        fuse = None if (lm_params is None or args.lm_rescore) else "fuse"
         beam_jit = jax.jit(lambda p, lmp, f, l: recognize_beam(
             p, cfg, f, l, beam=args.beam,
             max_symbols=args.max_symbols, expansions=args.expansions,
             lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight)))
+        if args.lm_rescore and lm_params is not None:
+            from rnn_transducer_tpu.models.lm import rescore_nbest
+            rescore_jit = jax.jit(lambda lmp, t, ln, s: rescore_nbest(
+                lmp, lm_cfg, t, ln, s, weight=args.lm_weight))
 
-        def decode(f, l):
-            toks, lens, _ = beam_jit(params, lm_params, f, l)
-            return toks[:, 0], lens[:, 0]
+            def decode(f, l):
+                toks, lens, scores = beam_jit(params, None, f, l)
+                toks, lens, _ = rescore_jit(lm_params, toks, lens, scores)
+                return toks[:, 0], lens[:, 0]
+        else:
+            def decode(f, l):
+                toks, lens, _ = beam_jit(params,
+                                         lm_params if fuse else None, f, l)
+                return toks[:, 0], lens[:, 0]
     elif args.mode == "streaming_beam":
         from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam
 

@@ -99,6 +99,35 @@ def lm_step(params: Params, cfg: LMConfig, token, states):
     return jax.nn.log_softmax(_out_logits(params, cfg, x), axis=-1), new_states
 
 
+def lm_sequence_logprob(params: Params, cfg: LMConfig, labels, label_lens):
+    """Total log P_lm of each label sequence: (B, U), (B,) -> (B,)."""
+    logits = lm_forward(params, cfg, labels)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(lp, labels[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]  # (B, U)
+    U = labels.shape[1]
+    valid = jnp.arange(U)[None, :] < label_lens[:, None]
+    return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=-1)
+
+
+def rescore_nbest(lm_params, cfg: LMConfig, tokens, lens, am_scores, *,
+                  weight: float, length_bonus: float = 0.0):
+    """Rerank an N-best list with one batched LM pass.
+
+    The cheap alternative to per-step shallow fusion: tokens (B, K, U),
+    lens (B, K), am_scores (B, K) -> (tokens, lens, scores) reordered by
+    am + weight * log P_lm + length_bonus * len, best first.
+    """
+    B, K, U = tokens.shape
+    lm_lp = lm_sequence_logprob(lm_params, cfg, tokens.reshape(B * K, U),
+                                lens.reshape(B * K)).reshape(B, K)
+    total = am_scores + weight * lm_lp + length_bonus * lens
+    order = jnp.argsort(-total, axis=-1)
+    return (jnp.take_along_axis(tokens, order[:, :, None], axis=1),
+            jnp.take_along_axis(lens, order, axis=1),
+            jnp.take_along_axis(total, order, axis=1))
+
+
 def load_lm(ckpt_dir: str):
     """Restore (lm_params, LMConfig) from a tools/train_lm.py checkpoint."""
     import jax.random as jrandom

@@ -324,6 +324,20 @@ def main(argv=None):
                                  dataclasses.asdict(st),
                                  model_cfg=cfg, **extra)
 
+    # Preemption safety: SIGTERM (the cloud eviction signal) requests a
+    # graceful stop — finish the in-flight step, checkpoint, exit cleanly
+    # so --resume continues from here.
+    stop_signal = {"flag": False}
+    if args.ckpt_dir:
+        import signal
+
+        def _on_term(signum, frame):
+            stop_signal["flag"] = True
+        try:
+            signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not in the main thread (e.g. embedded use): skip
+
     t_start = time.perf_counter()
     utts = 0
     step_no = start_step
@@ -358,6 +372,11 @@ def main(argv=None):
                      dev_per=round(per, 4))
         if args.ckpt_dir and step_no % args.ckpt_every == 0:
             save_state(step_no, state)
+        if stop_signal["flag"]:
+            save_state(step_no, state)
+            print(f"SIGTERM: checkpointed step {step_no} to "
+                  f"{args.ckpt_dir}, stopping", file=sys.stderr)
+            break
     if args.ckpt_dir:
         save_state(step_no, state)
         print(f"saved final checkpoint at step {step_no} to {args.ckpt_dir}",
