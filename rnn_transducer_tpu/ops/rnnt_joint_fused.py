@@ -95,7 +95,7 @@ def _joint_tile(f_ref, g_ref, w_ref, b_ref, cdtype):
 # --------------------------- forward kernel ------------------------------
 
 def _fwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
-                lpb_ref, lpy_ref):
+                lpb_ref, lpy_ref, base_ref):
     _, logits = _joint_tile(f_ref, g_ref, w_ref, b_ref, cdtype)
     m = jnp.max(logits, axis=2, keepdims=True)
     lse = jnp.log(jnp.sum(jnp.exp(logits - m), axis=2, keepdims=True))
@@ -106,10 +106,16 @@ def _fwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
     sel = jnp.sum(jnp.where(onehot, logits, 0.0), axis=2)  # (TILE_T, U1p)
     lpb_ref[0] = logits[:, :, blank] - base
     lpy_ref[0] = jnp.where(lab[None, :] >= 0, sel - base, NEG_INF)
+    base_ref[0] = base  # saved for the backward: probs = exp(logits - base)
 
 
 def joint_lp_fwd(f, g, labels_pad, w, b, blank, cdtype):
-    """-> (lp_blank, lp_y): (B, Tp, U1p) f32. Never materializes logits."""
+    """-> (lp_blank, lp_y, base): (B, Tp, U1p) f32; logits never stored.
+
+    base = log-sum-exp of each cell's logits row — the softmax
+    normalizer, saved so the backward kernel skips the max/sum/divide
+    recomputation (two full 128-lane reductions per tile on the VPU).
+    """
     B, T, J = f.shape
     U1p = g.shape[1]
     Vp = w.shape[1]
@@ -117,7 +123,7 @@ def joint_lp_fwd(f, g, labels_pad, w, b, blank, cdtype):
     out_shape = jax.ShapeDtypeStruct((B, nT * TILE_T_FWD, U1p), jnp.float32)
     out_spec = pl.BlockSpec((1, TILE_T_FWD, U1p), lambda b_, t: (b_, t, 0),
                             memory_space=pltpu.VMEM)
-    lpb, lpy = pl.pallas_call(
+    lpb, lpy, base = pl.pallas_call(
         functools.partial(_fwd_kernel, blank, cdtype),
         grid=(B, nT),
         in_specs=[
@@ -132,24 +138,24 @@ def joint_lp_fwd(f, g, labels_pad, w, b, blank, cdtype):
             pl.BlockSpec((1, Vp), lambda b_, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(out_spec, out_spec),
-        out_shape=(out_shape, out_shape),
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
         interpret=_interpret(),
     )(f, g, labels_pad, w, b)
-    return lpb[:, :T], lpy[:, :T]
+    return lpb[:, :T], lpy[:, :T], base[:, :T]
 
 
 # --------------------------- backward kernel -----------------------------
 
 def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
-                occ_ref, gb_ref, gy_ref,
+                occ_ref, gb_ref, gy_ref, base_ref,
                 df_ref, dg_ref, dw_ref, db_ref):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     z, logits = _joint_tile(f_ref, g_ref, w_ref, b_ref, cdtype)
-    m = jnp.max(logits, axis=2, keepdims=True)
-    e = jnp.exp(logits - m)
-    probs = e / jnp.sum(e, axis=2, keepdims=True)  # (TILE_T, U1p, Vp)
+    # softmax from the forward's saved normalizer: no max/sum reductions
+    # or divide on the (TILE_T, U1p, Vp) tile here
+    probs = jnp.exp(logits - base_ref[0][:, :, None])
     lab = lab_ref[0, 0, :]
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
     dlogits = probs * occ_ref[0][:, :, None]
@@ -192,18 +198,20 @@ def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
     db_ref[0] += jnp.sum(dlogits, axis=(0, 1))
 
 
-def joint_lp_bwd(f, g, labels_pad, w, b, occ, gb, gy, blank, cdtype):
+def joint_lp_bwd(f, g, labels_pad, w, b, occ, gb, gy, base, blank, cdtype):
     """-> (df, dg, dw, db); dW/dg/db accumulate across the sequential grid."""
     B, T, J = f.shape
     U1p = g.shape[1]
     Vp = w.shape[1]
     nT = -(-T // TILE_T)
     if T % TILE_T:
-        # zero-pad time so tail tiles contribute zero occupancy
+        # zero-pad time so tail tiles contribute zero occupancy; pad base
+        # LARGE so exp(logits - base) underflows to exactly 0 there
         f = _pad_axis(f, 1, TILE_T)
         occ = _pad_axis(occ, 1, TILE_T)
         gb = _pad_axis(gb, 1, TILE_T)
         gy = _pad_axis(gy, 1, TILE_T)
+        base = _pad_axis(base, 1, TILE_T, value=1.0e9)
     Tp = f.shape[1]
     occ_spec = pl.BlockSpec((1, TILE_T, U1p), lambda b_, t: (b_, t, 0),
                             memory_space=pltpu.VMEM)
@@ -221,7 +229,7 @@ def joint_lp_bwd(f, g, labels_pad, w, b, occ, gb, gy, blank, cdtype):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp), lambda b_, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            occ_spec, occ_spec, occ_spec,
+            occ_spec, occ_spec, occ_spec, occ_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, TILE_T, J), lambda b_, t: (b_, t, 0),
@@ -240,7 +248,7 @@ def joint_lp_bwd(f, g, labels_pad, w, b, occ, gb, gy, blank, cdtype):
             jax.ShapeDtypeStruct((1, Vp), jnp.float32),
         ),
         interpret=_interpret(),
-    )(f, g, labels_pad, w, b, occ, gb, gy)
+    )(f, g, labels_pad, w, b, occ, gb, gy, base)
     return df[:, :T], dg, dw, db
 
 
@@ -283,7 +291,8 @@ def _fused_fwd(f, g, w, b, labels, frame_lens, label_lens, blank,
     w_p, b_p = _prep_wb(w, b)
     lab = _prep_labels(labels, U1p)
     w_c = w_p.astype(compute_dtype)
-    lpb, lpy = joint_lp_fwd(f32, g_p, lab, w_c, b_p, blank, compute_dtype)
+    lpb, lpy, base = joint_lp_fwd(f32, g_p, lab, w_c, b_p, blank,
+                                  compute_dtype)
     lpb = lpb[:, :, :U1]
     lpy = lpy[:, :, :U1]
     loss, alpha = forward_from_lp_with_alpha(lpb, lpy, frame_lens,
@@ -293,13 +302,13 @@ def _fused_fwd(f, g, w, b, labels, frame_lens, label_lens, blank,
     markers = (jnp.zeros((0,), f.dtype), jnp.zeros((0,), g.dtype),
                jnp.zeros((0,), w.dtype), b)
     residuals = (f32, g_p, w_c, b_p, lab, frame_lens, label_lens, lpb, lpy,
-                 alpha, markers)
+                 base, alpha, markers)
     return loss, residuals
 
 
 def _fused_bwd(blank, compute_dtype, res, gbar):
-    (f32, g_p, w_c, b_p, lab, frame_lens, label_lens, lpb, lpy, alpha,
-     markers) = res
+    (f32, g_p, w_c, b_p, lab, frame_lens, label_lens, lpb, lpy, base,
+     alpha, markers) = res
     f_mk, g_mk, w_mk, b_orig = markers
     f_dt, g_dt, w_dt, b_dt = (f_mk.dtype, g_mk.dtype, w_mk.dtype,
                               b_orig.dtype)
@@ -314,7 +323,7 @@ def _fused_bwd(blank, compute_dtype, res, gbar):
     gb = jnp.pad(g_blank * scale, pad_u)
     gy = jnp.pad(g_y * scale, pad_u)
     df, dg, dw, db = joint_lp_bwd(f32, g_p, lab, w_c, b_p, occ, gb, gy,
-                                  blank, compute_dtype)
+                                  base, blank, compute_dtype)
     return (df.astype(f_dt), dg[:, :U1].astype(g_dt),
             dw[:, :V].astype(w_dt), db[0, :V].astype(b_dt),
             None, None, None)
