@@ -106,7 +106,11 @@ class BpeTokenizer:
                 f"vocab_size {vocab_size} < {len(chars) + 1} (corpus "
                 f"characters + blank)")
         merges = _learn_merges(word_counts, n_merges)
-        return cls(chars + [a + b for a, b in merges], merges)
+        # Distinct merges can yield the same string (e.g. a+'bc' and
+        # 'ab'+c); dedupe so no vocabulary id is wasted on a symbol that
+        # would shadow an earlier identical one.
+        symbols = list(dict.fromkeys(chars + [a + b for a, b in merges]))
+        return cls(symbols, merges)
 
     @property
     def vocab_size(self) -> int:  # including blank

@@ -35,19 +35,21 @@ import numpy as np
 
 
 class EngineStats:
+    LAT_WINDOW = 1024  # bounded latency history (p50 over recent batches)
+
     def __init__(self):
+        import collections
+
         self.lock = threading.Lock()
         self.requests = 0
         self.batches = 0
-        self.batched_requests = 0
         self.max_batch = 0
-        self.latency_s = []
+        self.latency_s = collections.deque(maxlen=self.LAT_WINDOW)
 
     def record(self, batch_size: int, latency: float):
         with self.lock:
             self.requests += batch_size
             self.batches += 1
-            self.batched_requests += batch_size
             self.max_batch = max(self.max_batch, batch_size)
             self.latency_s.append(latency)
 
@@ -57,7 +59,7 @@ class EngineStats:
             return {
                 "requests": self.requests,
                 "batches": self.batches,
-                "mean_batch": (self.batched_requests / self.batches
+                "mean_batch": (self.requests / self.batches
                                if self.batches else 0.0),
                 "max_batch": self.max_batch,
                 "p50_batch_latency_ms": (
@@ -120,12 +122,25 @@ class BatchingEngine:
             np.asarray(toks)
 
     def submit(self, feats: np.ndarray) -> list[int]:
-        """feats: (T, input_dim) float32 -> token id list. Blocking."""
+        """feats: (T, input_dim) float32 -> token id list. Blocking.
+
+        Validation happens HERE, in the caller's thread, so a malformed
+        request fails alone instead of poisoning its co-batched group.
+        """
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2 or feats.shape[1] != self.cfg.input_dim:
+            raise ValueError(
+                f"feats must be (T, {self.cfg.input_dim}); got "
+                f"{feats.shape}")
         T = feats.shape[0]
+        if T < 1:
+            raise ValueError("empty utterance")
         if T > self.frame_buckets[-1]:
             raise ValueError(
                 f"utterance of {T} frames exceeds the largest serving "
                 f"bucket {self.frame_buckets[-1]}")
+        if self._closed:
+            raise RuntimeError("engine closed")
         done = threading.Event()
         item = {"feats": feats, "done": done, "result": None, "error": None}
         self._q.put(item)
@@ -138,6 +153,20 @@ class BatchingEngine:
         self._closed = True
         self._q.put(None)
 
+    def _drain_closed(self, extra=()):
+        """Fail every still-queued waiter on shutdown (never strand)."""
+        items = list(extra)
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if it is not None:
+                items.append(it)
+        for it in items:
+            it["error"] = "engine closed"
+            it["done"].set()
+
     # -- worker ------------------------------------------------------------
 
     def _bucket_for(self, T: int) -> int:
@@ -147,10 +176,11 @@ class BatchingEngine:
         return self.frame_buckets[-1]
 
     def _run(self):
-        while not self._closed:
+        while True:
             item = self._q.get()
-            if item is None:
-                continue
+            if item is None or self._closed:
+                self._drain_closed([item] if item is not None else [])
+                return
             batch = [item]
             deadline = time.perf_counter() + self.window_s
             while len(batch) < self.max_batch:
@@ -162,6 +192,7 @@ class BatchingEngine:
                 except queue.Empty:
                     break
                 if nxt is None:
+                    self._q.put(None)  # re-arm the sentinel for the top
                     break
                 batch.append(nxt)
             try:
@@ -194,13 +225,23 @@ class StreamingEngine:
 
     All S slots' stream state is one device-resident pytree; a tick runs
     the jitted chunk step for every slot with a per-slot active mask, so
-    idle slots' state is carried through unchanged. Chunks shorter than
-    `chunk_frames` are zero-padded with their true length.
+    idle slots' state is carried through unchanged.
+
+    Chunk contract: every chunk must be exactly `chunk_frames` long
+    except the LAST one (`feed(..., last=True)` or a short chunk, which
+    implies last) — the streaming encoder's LSTM carry past a partial
+    chunk is undefined, so a short mid-stream chunk would silently
+    corrupt the session (decode/streaming.py). After the last chunk the
+    session only accepts close_session().
+
+    Sessions that go quiet for `session_ttl_s` are reaped when a new
+    open_session() needs their slot — abandoned clients cannot leak slots
+    forever.
     """
 
     def __init__(self, params, cfg, *, slots: int = 8,
                  chunk_frames: int = 32, max_symbols: int = 200,
-                 window_ms: float = 5.0):
+                 window_ms: float = 5.0, session_ttl_s: float = 600.0):
         import jax
         import jax.numpy as jnp
 
@@ -213,11 +254,14 @@ class StreamingEngine:
         self.chunk_frames = chunk_frames
         self.max_symbols = max_symbols
         self.window_s = window_ms / 1e3
+        self.session_ttl_s = session_ttl_s
         self.stats = EngineStats()
         self._lock = threading.Lock()
         self._free = set(range(slots))
         self._live: dict[str, int] = {}  # sid -> slot
-        self._last: dict[int, list[int]] = {}  # slot -> tokens so far
+        self._last: dict[str, list[int]] = {}  # sid -> tokens so far
+        self._finished: set[str] = set()  # saw their last (short) chunk
+        self._seen: dict[str, float] = {}  # sid -> last activity time
         self._q: queue.Queue = queue.Queue()
         self._closed = False
 
@@ -256,58 +300,104 @@ class StreamingEngine:
     def open_session(self) -> str:
         with self._lock:
             if not self._free:
+                self._reap_expired_locked()
+            if not self._free:
                 raise RuntimeError(f"all {self.slots} streaming slots busy")
             slot = self._free.pop()
             sid = uuid.uuid4().hex[:12]
             self._live[sid] = slot
-            self._last[slot] = []
+            self._last[sid] = []
+            self._seen[sid] = time.monotonic()
         return sid
 
-    def feed(self, sid: str, chunk: np.ndarray) -> list[int]:
-        """chunk: (C, input_dim), C <= chunk_frames. Blocks for the tick.
-        Returns the cumulative token ids for this session."""
-        with self._lock:
-            slot = self._live[sid]
+    def _reap_expired_locked(self):
+        now = time.monotonic()
+        stale = [sid for sid, t in self._seen.items()
+                 if sid in self._live and now - t > self.session_ttl_s]
+        for sid in stale:
+            self._release_locked(sid)
+
+    def _release_locked(self, sid: str):
+        slot = self._live.pop(sid)
+        final = self._last.pop(sid, [])
+        self._seen.pop(sid, None)
+        self._finished.discard(sid)
+        mask = np.zeros((self.slots,), bool)
+        mask[slot] = True
+        with self._state_lock:
+            self.state = self._greset(self.state, self._init_state, mask)
+        self._free.add(slot)
+        return final
+
+    def feed(self, sid: str, chunk: np.ndarray, last: bool = False):
+        """chunk: (C, input_dim); C == chunk_frames unless this is the
+        session's last chunk. Blocks for the tick; returns the cumulative
+        token ids for this session."""
+        chunk = np.asarray(chunk, np.float32)
+        if chunk.ndim != 2 or chunk.shape[1] != self.cfg.input_dim:
+            raise ValueError(
+                f"chunk must be (C, {self.cfg.input_dim}); got "
+                f"{chunk.shape}")
         C = chunk.shape[0]
-        if C > self.chunk_frames:
-            raise ValueError(f"chunk of {C} frames > {self.chunk_frames}")
+        if C < 1 or C > self.chunk_frames:
+            raise ValueError(
+                f"chunk of {C} frames outside [1, {self.chunk_frames}]")
+        last = last or C < self.chunk_frames
+        with self._lock:
+            if sid not in self._live:
+                raise KeyError(f"unknown session {sid!r}")
+            if sid in self._finished:
+                raise ValueError(
+                    f"session {sid!r} already received its last chunk "
+                    "(a short chunk ends the stream); close it")
+            if last:
+                self._finished.add(sid)
+            self._seen[sid] = time.monotonic()
+            slot = self._live[sid]
         done = threading.Event()
-        item = {"slot": slot, "chunk": chunk, "done": done, "result": None,
-                "error": None}
+        item = {"sid": sid, "slot": slot, "chunk": chunk, "done": done,
+                "result": None, "error": None}
         self._q.put(item)
         done.wait()
         if item["error"]:
             raise RuntimeError(item["error"])
         with self._lock:
-            self._last[slot] = item["result"]
+            if self._live.get(sid) == slot:  # still the owner
+                self._last[sid] = item["result"]
+                self._seen[sid] = time.monotonic()
         return item["result"]
 
     def close_session(self, sid: str) -> list[int]:
-        import numpy as _np
-
         with self._lock:
-            slot = self._live.pop(sid)
-            final = self._last.pop(slot, [])
-        mask = _np.zeros((self.slots,), bool)
-        mask[slot] = True
-        with self._state_lock:
-            self.state = self._greset(self.state, self._init_state,
-                                      _np.asarray(mask))
-        with self._lock:
-            self._free.add(slot)
-        return final
+            if sid not in self._live:
+                raise KeyError(f"unknown session {sid!r}")
+            return self._release_locked(sid)
 
     def close(self):
         self._closed = True
         self._q.put(None)
 
+    def _drain_closed(self, extra=()):
+        items = list(extra)
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if it is not None:
+                items.append(it)
+        for it in items:
+            it["error"] = "engine closed"
+            it["done"].set()
+
     # -- worker ------------------------------------------------------------
 
     def _run(self):
-        while not self._closed:
+        while True:
             item = self._q.get()
-            if item is None:
-                continue
+            if item is None or self._closed:
+                self._drain_closed([item] if item is not None else [])
+                return
             batch = {item["slot"]: item}
             deferred = []
             deadline = time.perf_counter() + self.window_s
@@ -320,6 +410,7 @@ class StreamingEngine:
                 except queue.Empty:
                     break
                 if nxt is None:
+                    self._q.put(None)  # re-arm the sentinel for the top
                     break
                 if nxt["slot"] in batch:  # same session: must serialize
                     deferred.append(nxt)
@@ -335,20 +426,34 @@ class StreamingEngine:
                 self._q.put(it)
 
     def _tick(self, batch: dict):
-        D = self.cfg.input_dim
-        chunks = np.zeros((self.slots, self.chunk_frames, D), np.float32)
-        lens = np.zeros((self.slots,), np.int32)
-        active = np.zeros((self.slots,), bool)
-        for slot, it in batch.items():
-            c = it["chunk"]
-            chunks[slot, : c.shape[0]] = c
-            lens[slot] = c.shape[0]
-            active[slot] = True
-        t0 = time.perf_counter()
-        with self._state_lock:
-            self.state, toks, tok_lens = self._gstep(
-                self.params, self.state, chunks, lens, active)
-        toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
+        # Ownership check and the device step are atomic under _lock
+        # (lock order _lock -> _state_lock, same as _release_locked): a
+        # chunk whose session closed (or whose slot was reassigned)
+        # between feed() and this tick must NOT advance the slot's state.
+        with self._lock:
+            stale = [slot for slot, it in batch.items()
+                     if self._live.get(it["sid"]) != slot]
+            for slot in stale:
+                it = batch.pop(slot)
+                it["error"] = f"session {it['sid']!r} closed"
+                it["done"].set()
+            if not batch:
+                return
+            D = self.cfg.input_dim
+            chunks = np.zeros((self.slots, self.chunk_frames, D),
+                              np.float32)
+            lens = np.zeros((self.slots,), np.int32)
+            active = np.zeros((self.slots,), bool)
+            for slot, it in batch.items():
+                c = it["chunk"]
+                chunks[slot, : c.shape[0]] = c
+                lens[slot] = c.shape[0]
+                active[slot] = True
+            t0 = time.perf_counter()
+            with self._state_lock:
+                self.state, toks, tok_lens = self._gstep(
+                    self.params, self.state, chunks, lens, active)
+            toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
         self.stats.record(len(batch), time.perf_counter() - t0)
         for slot, it in batch.items():
             it["result"] = toks[slot, : tok_lens[slot]].tolist()
@@ -416,8 +521,10 @@ def http_server(host: str, port: int, offline: BatchingEngine,
                 elif (self.path.startswith("/session/")
                       and streaming is not None):
                     sid = self.path.split("/")[2]
-                    feats = np.asarray(self._body()["feats"], np.float32)
-                    self._json(200, result(streaming.feed(sid, feats)))
+                    body = self._body()
+                    feats = np.asarray(body["feats"], np.float32)
+                    self._json(200, result(streaming.feed(
+                        sid, feats, last=bool(body.get("last", False)))))
                 else:
                     self._json(404, {"error": "not found"})
             except Exception as e:

@@ -78,6 +78,19 @@ def test_roundtrip_and_vocab_budget():
     assert len(the) < len("the") + 1
 
 
+def test_no_duplicate_symbol_ids():
+    """Distinct merges can produce identical strings; the vocab must not
+    spend two ids on one string."""
+    rng = np.random.default_rng(7)
+    words = ["".join(rng.choice(list("abc"), size=rng.integers(2, 6)))
+             for _ in range(80)]
+    texts = [" ".join(rng.choice(words, size=8)) for _ in range(50)]
+    tok = BpeTokenizer.train(texts, vocab_size=120)
+    assert len(set(tok.symbols)) == len(tok.symbols)
+    for t in texts[:5]:
+        assert tok.decode(tok.encode(t)) == t
+
+
 def test_deterministic_and_save_load(tmp_path):
     t1 = BpeTokenizer.train(CORPUS, vocab_size=50)
     t2 = BpeTokenizer.train(list(CORPUS), vocab_size=50)

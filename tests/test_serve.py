@@ -102,6 +102,73 @@ def test_streaming_engine_sessions_match_offline():
         eng.close()
 
 
+def test_submit_validation_isolated_from_cobatched():
+    import pytest
+
+    eng = BatchingEngine(PARAMS, CFG, max_symbols=MAXSYM,
+                         frame_buckets=(16,), max_batch=4,
+                         window_ms=100.0)
+    try:
+        eng.warmup()
+        # malformed request fails in the caller's thread, before batching
+        with pytest.raises(ValueError, match="feats must be"):
+            eng.submit(np.zeros((8, CFG.input_dim + 1), np.float32))
+        with pytest.raises(ValueError, match="empty"):
+            eng.submit(np.zeros((0, CFG.input_dim), np.float32))
+        # a good request sharing the window still succeeds
+        f = _feats(10, 50)
+        assert eng.submit(f) == _direct(f)
+    finally:
+        eng.close()
+
+
+def test_engine_closed_rejects_and_never_strands():
+    import pytest
+
+    eng = BatchingEngine(PARAMS, CFG, max_symbols=MAXSYM,
+                         frame_buckets=(16,), max_batch=2, window_ms=1.0)
+    eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.submit(_feats(10, 51))
+
+
+def test_streaming_short_chunk_ends_session():
+    import pytest
+
+    eng = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=8,
+                          max_symbols=MAXSYM, window_ms=1.0)
+    try:
+        eng.warmup()
+        a = _feats(12, 60)
+        sid = eng.open_session()
+        eng.feed(sid, a[:8])
+        eng.feed(sid, a[8:])  # short -> implicitly last
+        with pytest.raises(ValueError, match="last chunk"):
+            eng.feed(sid, a[:8])
+        final = eng.close_session(sid)
+        assert final == _direct(a)  # short-final chunk still == offline
+        with pytest.raises(KeyError):
+            eng.feed(sid, a[:8])
+    finally:
+        eng.close()
+
+
+def test_streaming_ttl_reaps_abandoned_sessions():
+    import time as _time
+
+    eng = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=8,
+                          max_symbols=MAXSYM, window_ms=1.0,
+                          session_ttl_s=0.05)
+    try:
+        eng.open_session()
+        eng.open_session()  # both slots taken, clients vanish
+        _time.sleep(0.1)
+        sid = eng.open_session()  # reaps an expired session
+        assert sid in eng._live
+    finally:
+        eng.close()
+
+
 def test_http_server_end_to_end():
     from rnn_transducer_tpu.data.tokenizer import CharTokenizer
 
