@@ -123,6 +123,25 @@ def test_moe_model_trains_and_decodes():
     assert toks.shape[0] == 4
 
 
+def test_moe_beam_decode_runs_and_matches_host_joint():
+    """Beam search drives joint_step; with MoE it must still agree with
+    the (ample-capacity) batch joint — covered via the step≡batch test —
+    and produce a valid N-best."""
+    from rnn_transducer_tpu.decode.beam import recognize_beam
+
+    cfg = _moe_cfg()
+    params = m.init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.normal(size=(2, 8, 4)), jnp.float32)
+    fl = jnp.asarray([8, 6], jnp.int32)
+    toks, lens, scores = recognize_beam(params, cfg, feats, fl, beam=3,
+                                        max_symbols=5, expansions=2)
+    assert toks.shape == (2, 3, 5)
+    s = np.asarray(scores)
+    assert np.isfinite(s[:, 0]).all()
+    assert (np.diff(s, axis=1) <= 1e-6).all()  # sorted best-first
+
+
 def test_moe_joint_step_matches_batch_joint():
     """Decode step (dense routing) == lattice joint (ample capacity)."""
     cfg = _moe_cfg(moe_capacity_factor=float(E))
