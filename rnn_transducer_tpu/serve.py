@@ -241,12 +241,18 @@ class StreamingEngine:
 
     def __init__(self, params, cfg, *, slots: int = 8,
                  chunk_frames: int = 32, max_symbols: int = 200,
-                 window_ms: float = 5.0, session_ttl_s: float = 600.0):
+                 window_ms: float = 5.0, session_ttl_s: float = 600.0,
+                 mode: str = "greedy", beam: int = 8, expansions: int = 3,
+                 lm=None):
         import jax
         import jax.numpy as jnp
 
-        from rnn_transducer_tpu.decode.streaming import (init_stream,
-                                                         stream_chunk)
+        from rnn_transducer_tpu.decode.streaming import (
+            init_stream,
+            init_stream_beam,
+            stream_chunk,
+            stream_chunk_beam,
+        )
 
         self.params = params
         self.cfg = cfg
@@ -264,16 +270,35 @@ class StreamingEngine:
         self._seen: dict[str, float] = {}  # sid -> last activity time
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._lm_params = lm[0] if lm else None
 
-        self._init_state = init_stream(params, cfg, slots, max_symbols)
+        S = slots
+        if mode == "greedy":
+            self._init_state = init_stream(params, cfg, slots, max_symbols)
+
+            def chunk_step(p, lmp, state, chunks, lens):
+                return stream_chunk(p, cfg, state, chunks, lens,
+                                    max_symbols=max_symbols)
+        elif mode == "beam":
+            lm_t = None if lm is None else lm
+            self._init_state = init_stream_beam(
+                params, cfg, slots, beam=beam, max_symbols=max_symbols,
+                lm=lm_t)
+
+            def chunk_step(p, lmp, state, chunks, lens):
+                st, toks, tok_lens, scores = stream_chunk_beam(
+                    p, cfg, state, chunks, lens, beam=beam,
+                    max_symbols=max_symbols, expansions=expansions,
+                    lm=None if lmp is None else (lmp, lm[1], lm[2]))
+                return st, toks[:, 0], tok_lens[:, 0]  # top beam
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
         self.state = self._init_state
         self._state_lock = threading.Lock()  # ticks vs slot resets
 
-        S = slots
-
-        def gstep(p, state, chunks, lens, active):
-            new_state, toks, tok_lens = stream_chunk(
-                p, cfg, state, chunks, lens, max_symbols=max_symbols)
+        def gstep(p, lmp, state, chunks, lens, active):
+            new_state, toks, tok_lens = chunk_step(p, lmp, state, chunks,
+                                                   lens)
             sel = lambda n, o: jnp.where(
                 active.reshape((S,) + (1,) * (n.ndim - 1)), n, o)
             return jax.tree.map(sel, new_state, state), toks, tok_lens
@@ -283,7 +308,9 @@ class StreamingEngine:
                 mask.reshape((S,) + (1,) * (f.ndim - 1)), f, o)
             return jax.tree.map(sel, fresh, state)
 
-        self._gstep = jax.jit(gstep)
+        jit_gstep = jax.jit(gstep)
+        self._gstep = lambda p, st, c, l, a: jit_gstep(
+            p, self._lm_params, st, c, l, a)
         self._greset = jax.jit(greset)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()

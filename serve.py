@@ -94,7 +94,8 @@ def main(argv=None):
     if args.stream_slots > 0 and not cfg.bidirectional:
         streaming = StreamingEngine(
             params, cfg, slots=args.stream_slots,
-            chunk_frames=args.chunk_frames, max_symbols=args.max_symbols)
+            chunk_frames=args.chunk_frames, max_symbols=args.max_symbols,
+            mode=args.mode, beam=args.beam, lm=lm)
     print("warming up (one compile per bucket)...", file=sys.stderr)
     offline.warmup()
     if streaming is not None:

@@ -153,6 +153,28 @@ def test_streaming_short_chunk_ends_session():
         eng.close()
 
 
+def test_streaming_beam_engine_matches_offline_beam():
+    from rnn_transducer_tpu.decode.beam import recognize_beam
+
+    eng = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=8,
+                          max_symbols=MAXSYM, window_ms=20.0,
+                          mode="beam", beam=3, expansions=2)
+    try:
+        eng.warmup()
+        a = _feats(16, 70)
+        toks, lens, _ = recognize_beam(
+            PARAMS, CFG, jnp.asarray(a[None]),
+            jnp.asarray([16], jnp.int32), beam=3, max_symbols=MAXSYM,
+            expansions=2)
+        want = np.asarray(toks)[0, 0, : int(lens[0, 0])].tolist()
+        sid = eng.open_session()
+        for t0 in range(0, 16, 8):
+            out = eng.feed(sid, a[t0: t0 + 8])
+        assert eng.close_session(sid) == want
+    finally:
+        eng.close()
+
+
 def test_streaming_ttl_reaps_abandoned_sessions():
     import time as _time
 
