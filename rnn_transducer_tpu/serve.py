@@ -491,13 +491,36 @@ class StreamingEngine:
 # HTTP transport (stdlib)
 # --------------------------------------------------------------------------
 
+def _feats_from_body(body: dict, cfg) -> np.ndarray:
+    """Request body -> (T, input_dim) features.
+
+    Accepts precomputed {"feats": [[...]]} or raw 16 kHz PCM
+    {"audio": [...]} run through the host FBANK frontend (native C++
+    when built, numpy oracle otherwise)."""
+    if "feats" in body:
+        return np.asarray(body["feats"], np.float32)
+    if "audio" not in body:
+        raise ValueError("body needs 'feats' or 'audio'")
+    audio = np.asarray(body["audio"], np.float32)
+    if audio.ndim != 1:
+        raise ValueError(f"audio must be 1-D PCM; got {audio.shape}")
+    from rnn_transducer_tpu.utils import hostio
+    if hostio.available():
+        return hostio.fbank(audio, n_mels=cfg.input_dim)
+    from rnn_transducer_tpu.ops.logmel import log_mel_oracle
+    f, _ = log_mel_oracle(audio[None], np.array([len(audio)]),
+                          n_mels=cfg.input_dim)
+    return f[0].astype(np.float32)
+
+
 def http_server(host: str, port: int, offline: BatchingEngine,
                 streaming: StreamingEngine | None = None, tok=None):
     """Build (not start) a ThreadingHTTPServer exposing the engines.
 
-    POST /recognize        {"feats": [[...]]}        -> tokens (+ text)
+    POST /recognize        {"feats": [[...]]} or {"audio": [...16 kHz PCM]}
+                                                     -> tokens (+ text)
     POST /session                                    -> {"sid": ...}
-    POST /session/<sid>    {"feats": [[...]]} chunk  -> cumulative tokens
+    POST /session/<sid>    {"feats"|"audio", "last"?} -> cumulative tokens
     DELETE /session/<sid>                            -> final tokens
     GET  /stats | /healthz
     """
@@ -541,7 +564,7 @@ def http_server(host: str, port: int, offline: BatchingEngine,
         def do_POST(self):
             try:
                 if self.path == "/recognize":
-                    feats = np.asarray(self._body()["feats"], np.float32)
+                    feats = _feats_from_body(self._body(), offline.cfg)
                     self._json(200, result(offline.submit(feats)))
                 elif self.path == "/session" and streaming is not None:
                     self._json(200, {"sid": streaming.open_session()})
@@ -549,7 +572,7 @@ def http_server(host: str, port: int, offline: BatchingEngine,
                       and streaming is not None):
                     sid = self.path.split("/")[2]
                     body = self._body()
-                    feats = np.asarray(body["feats"], np.float32)
+                    feats = _feats_from_body(body, streaming.cfg)
                     self._json(200, result(streaming.feed(
                         sid, feats, last=bool(body.get("last", False)))))
                 else:

@@ -230,6 +230,13 @@ def test_http_server_end_to_end():
         stats = req("GET", "/stats")
         assert stats["offline"]["requests"] >= 1
         assert stats["streaming"]["requests"] >= 2
+
+        # raw-audio body: host FBANK (n_mels = cfg.input_dim) runs before
+        # submit; 2000 samples -> 11 frames, inside the 16-frame bucket
+        rng = np.random.default_rng(7)
+        audio = (rng.normal(size=2000) * 0.1).astype(np.float32)
+        out = req("POST", "/recognize", {"audio": audio.tolist()})
+        assert isinstance(out["tokens"], list)
     finally:
         srv.shutdown()
         offline.close()
