@@ -35,7 +35,9 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
     Returns:
       tokens: (B, max_symbols) int32, blank-padded.
       lengths: (B,) number of emitted labels.
-      decode_state: carry for the next chunk.
+      decode_state: carry for the next chunk — (u, tokens, confs,
+        pred_out, pred_states); confs[b, i] is the emitted token's
+        log-probability (per-token confidence), 0 past the length.
     """
     B, T, _ = enc_out.shape
     enc_lens = enc_lens.astype(jnp.int32)
@@ -46,8 +48,9 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
                                     m.init_pred_state(cfg, B))
         u_init = jnp.zeros((B,), jnp.int32)
         tokens_init = jnp.full((B, max_symbols), cfg.blank, jnp.int32)
+        confs_init = jnp.zeros((B, max_symbols), jnp.float32)
     else:
-        u_init, tokens_init, pred0, states0 = decode_state
+        u_init, tokens_init, confs_init, pred0, states0 = decode_state
         assert tokens_init.shape == (B, max_symbols)
 
     def cond(carry):
@@ -55,7 +58,7 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         return jnp.any(~done)
 
     def body(carry):
-        t, u, done, tokens, pred_out, states = carry
+        t, u, done, tokens, confs, pred_out, states = carry
         # Current encoder frame per utterance (clamped gather keeps it safe).
         t_safe = jnp.minimum(t, enc_lens - 1)
         enc_t = jnp.take_along_axis(enc_out, t_safe[:, None, None], axis=1)[:, 0]
@@ -63,8 +66,12 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         k = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         advance_t = (k == cfg.blank) | done
         emit = ~advance_t
-        # Emit: write token at position u, bump u, step the predictor.
+        # Emit: write token + its log-prob at position u, bump u, step
+        # the predictor.
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        k_lp = jnp.take_along_axis(logits, k[:, None], axis=-1)[:, 0] - lse
         tokens = _masked_scatter(tokens, u, k, emit)
+        confs = _masked_scatter(confs, u, k_lp, emit)
         new_pred, new_states = _pred_step(params, cfg,
                                           jnp.where(emit, k, cfg.blank),
                                           states)
@@ -76,14 +83,15 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         u = u + emit.astype(jnp.int32)
         t = t + advance_t.astype(jnp.int32)
         done = (t >= enc_lens) | (u >= max_symbols)
-        return (t, u, done, tokens, pred_out, states)
+        return (t, u, done, tokens, confs, pred_out, states)
 
     t0 = jnp.zeros((B,), jnp.int32)
     done0 = (t0 >= enc_lens) | (u_init >= max_symbols)
     carry = jax.lax.while_loop(
-        cond, body, (t0, u_init, done0, tokens_init, pred0, states0))
-    _, u, _, tokens, pred_out, states = carry
-    return tokens, u, (u, tokens, pred_out, states)
+        cond, body,
+        (t0, u_init, done0, tokens_init, confs_init, pred0, states0))
+    _, u, _, tokens, confs, pred_out, states = carry
+    return tokens, u, (u, tokens, confs, pred_out, states)
 
 
 def _pred_step(params, cfg, label, states):
@@ -99,9 +107,15 @@ def _masked_scatter(tokens, u, k, emit):
 
 
 def recognize_greedy(params, cfg: TransducerConfig, feats, feat_lens,
-                     max_symbols: int = 200):
-    """Features -> label sequences (mirrors the reference `recognize` API)."""
+                     max_symbols: int = 200, with_confidence: bool = False):
+    """Features -> label sequences (mirrors the reference `recognize` API).
+
+    with_confidence=True also returns (B, max_symbols) per-token emission
+    log-probabilities (0 past each utterance's length).
+    """
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
-    tokens, lens, _ = greedy_decode(params, cfg, enc_out, enc_lens,
-                                    max_symbols)
+    tokens, lens, state = greedy_decode(params, cfg, enc_out, enc_lens,
+                                        max_symbols)
+    if with_confidence:
+        return tokens, lens, state[2]
     return tokens, lens

@@ -32,7 +32,7 @@ from rnn_transducer_tpu.models.config import TransducerConfig
 @dataclasses.dataclass
 class StreamState:
     enc_state: Any  # encoder per-layer (h, c)
-    decode_state: Any  # (u, tokens, pred_out, pred_states)
+    decode_state: Any  # (u, tokens, confs, pred_out, pred_states)
 
 
 def init_stream(params, cfg: TransducerConfig, batch: int,
@@ -44,6 +44,7 @@ def init_stream(params, cfg: TransducerConfig, batch: int,
     decode_state = (
         jnp.zeros((batch,), jnp.int32),
         jnp.full((batch, max_symbols), cfg.blank, jnp.int32),
+        jnp.zeros((batch, max_symbols), jnp.float32),  # confidences
         pred0,
         states0,
     )

@@ -88,3 +88,45 @@ def test_max_symbols_cap_terminates():
     tokens, lens = recognize_greedy(params, cfg, feats, feat_lens,
                                     max_symbols=8)
     assert int(lens[0]) == 8
+
+
+def test_confidences_match_host_replay():
+    """Per-token emission log-probs from the device loop == a host replay
+    of the same greedy trajectory."""
+    cfg = _cfg()
+    params = m.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    B, T = 3, 12
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)), jnp.float32)
+    feat_lens = jnp.asarray(np.array([12, 9, 12], np.int32))
+    toks, lens, confs = recognize_greedy(params, cfg, feats, feat_lens,
+                                         max_symbols=10,
+                                         with_confidence=True)
+    toks, lens, confs = (np.asarray(toks), np.asarray(lens),
+                         np.asarray(confs))
+    assert (confs[np.arange(B)[:, None],
+                  np.arange(confs.shape[1])[None, :]]
+            <= 1e-6).all()  # log-probs
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
+    for b in range(B):
+        state = m.init_pred_state(cfg, 1)
+        pred_out, state = m.predict_step(
+            params, cfg, jnp.full((1,), cfg.blank, jnp.int32), state)
+        t, got = 0, []
+        while t < int(enc_lens[b]) and len(got) < 10:
+            logits = np.asarray(m.joint_step(params, cfg,
+                                             enc_out[b][None, t], pred_out))
+            k = int(np.argmax(logits[0]))
+            if k == cfg.blank:
+                t += 1
+            else:
+                lp = logits[0] - np.log(np.sum(np.exp(
+                    logits[0] - logits[0].max()))) - logits[0].max()
+                got.append((k, lp[k]))
+                pred_out, state = m.predict_step(
+                    params, cfg, jnp.asarray([k], jnp.int32), state)
+        assert len(got) == int(lens[b])
+        for i, (k, lp) in enumerate(got):
+            assert toks[b, i] == k
+            np.testing.assert_allclose(confs[b, i], lp, atol=1e-5)
+        assert (confs[b, int(lens[b]):] == 0.0).all()
