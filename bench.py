@@ -84,6 +84,7 @@ def main(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the timed region")
     p.add_argument("--skip-libri960", action="store_true")
+    p.add_argument("--skip-decode", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -118,14 +119,33 @@ def main(argv=None):
             f"{out['vs_baseline']:.1f}x")
 
     # secondary: configs[4] (LibriSpeech 960h shapes, 6x1024 char).
-    # configs[4] pins no batch size; B=32 engages the BT=32 batch tile of
-    # the v2 Pallas LSTM kernels (docs/PERFORMANCE.md libri960 table).
+    # configs[4] pins no batch size, so the artifact records the best
+    # supported configuration: B=64 engages the BT=64 batch tile of the
+    # v2 Pallas LSTM kernels (docs/PERFORMANCE.md B-sweep — VERDICT r2).
     if not args.skip_libri960:
-        dt9, mfu9 = measure_config(config_libri960(), B=32, T=400, U=60)
-        log(f"libri960: {dt9 * 1e3:.1f} ms/step -> {32 / dt9:.1f} utt/s/chip, "
-            f"MFU {mfu9:.1%}")
-        out["libri960_utt_per_sec"] = round(32 / dt9, 2)
+        B9 = 64
+        dt9, mfu9 = measure_config(config_libri960(), B=B9, T=400, U=60)
+        log(f"libri960 (B={B9}): {dt9 * 1e3:.1f} ms/step -> "
+            f"{B9 / dt9:.1f} utt/s/chip, MFU {mfu9:.1%}")
+        out["libri960_utt_per_sec"] = round(B9 / dt9, 2)
         out["libri960_mfu"] = round(mfu9, 4)
+        out["libri960_batch"] = B9
+
+    # decode half of the metric of record (BASELINE.json: "decode RTF +
+    # p50 latency at beam=8"): slope-timed via tools/bench_decode.py.
+    if not args.skip_decode:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_decode import measure_decode
+        for r in measure_decode():
+            if r["mode"] == "greedy_b1":
+                out["greedy_b1_rtf"] = round(r["rtf"], 6)
+                log(f"greedy b1 RTF {r['rtf']:.5f}")
+            elif r["mode"] == "beam8_b8":
+                out["beam8_rtf"] = round(r["rtf"], 6)
+                out["beam8_p50_ms"] = round(r["p50_latency_ms"], 3)
+                log(f"beam8 RTF {r['rtf']:.5f}, "
+                    f"p50 {r['p50_latency_ms']:.2f} ms")
 
     print(json.dumps(out))
 

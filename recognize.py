@@ -11,7 +11,6 @@ Reports WER/PER, RTF and p50/p90 latency (BASELINE.json configs[3]).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import time
@@ -74,7 +73,7 @@ def main(argv=None):
     from rnn_transducer_tpu.models import transducer as m
     from rnn_transducer_tpu.models.config import TrainConfig
     from rnn_transducer_tpu.train import checkpoint as ckpt
-    from rnn_transducer_tpu.train.loop import TrainState, init_train_state
+    from rnn_transducer_tpu.train.loop import init_train_state
 
     # Self-describing checkpoints: the model config rides in meta.json, so
     # --ckpt-dir alone is enough; an explicit --config must match it.
@@ -88,41 +87,16 @@ def main(argv=None):
     else:
         cfg = saved_cfg if saved_cfg is not None else get_model_config("smoke")
     meta = ckpt.load_meta(args.ckpt_dir) if args.ckpt_dir else None
-    par = (meta or {}).get("parallel")
-    if args.ckpt_dir and par and par.get("mp", 1) > 1:
-        # Checkpoint written by a model-parallel run (train.py
-        # --model-parallel): rebuild its state layout, restore the live
-        # pytree, and merge the weight shards into plain params.
-        from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
-        mode, mp_n = par["mode"], int(par["mp"])
-        key = jax.random.PRNGKey(args.seed)
-        if mode == "tp":
-            state0 = tpx.init_tp_train_state(key, cfg, TrainConfig(), mp_n)
-        elif mode == "pp":
-            state0 = ppx.init_pp_train_state(key, cfg, TrainConfig(), mp_n)
-        elif mode == "ep":
-            state0 = tpx.init_ep_train_state(key, cfg, TrainConfig(), mp_n)
-        else:
-            state0 = tpx.init_sp_train_state(key, cfg, TrainConfig())
-        state, step = ckpt.restore_checkpoint(args.ckpt_dir, state0)
-        if mode == "tp":
-            params = tpx.merge_params_tp(state.params, cfg)
-        elif mode == "pp":
-            params = ppx.merge_params_pp(state.params, cfg)
-        elif mode == "ep":
-            params = tpx.merge_params_ep(state.params, cfg)
-        else:
-            params = state.params
-        print(f"loaded {mode}{mp_n} checkpoint step {step}", file=sys.stderr)
+    if args.ckpt_dir:
+        # Shared restore path (train/checkpoint.py): also merges
+        # model-parallel shard checkpoints (meta['parallel']) into plain
+        # params.
+        params, cfg, step, _ = ckpt.load_plain_params(args.ckpt_dir, cfg,
+                                                      seed=args.seed)
+        print(f"loaded checkpoint step {step}", file=sys.stderr)
     else:
-        state = init_train_state(jax.random.PRNGKey(args.seed), cfg,
-                                 TrainConfig())
-        if args.ckpt_dir:
-            tree, step = ckpt.restore_checkpoint(args.ckpt_dir,
-                                                 dataclasses.asdict(state))
-            state = TrainState(**tree)
-            print(f"loaded checkpoint step {step}", file=sys.stderr)
-        params = state.params
+        params = init_train_state(jax.random.PRNGKey(args.seed), cfg,
+                                  TrainConfig()).params
 
     lm_params = lm_cfg = None
     if args.lm_ckpt:

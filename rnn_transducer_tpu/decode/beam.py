@@ -76,10 +76,11 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
     outs = {"pred": unflat(pred0)}
     states = {"pred": jax.tree.map(unflat, states0)}
     if lm is not None:
-        from rnn_transducer_tpu.models.lm import init_lm_state, lm_step
+        from rnn_transducer_tpu.models.lm import (BOS_ID, init_lm_state,
+                                                  lm_step)
         lm_params, lm_cfg, _ = lm
         lm_lp0, lm_st0 = lm_step(lm_params, lm_cfg,
-                                 jnp.full((B * K,), cfg.blank, jnp.int32),
+                                 jnp.full((B * K,), BOS_ID, jnp.int32),
                                  init_lm_state(lm_cfg, B * K))
         outs["lm_lp"] = unflat(lm_lp0)
         states["lm"] = jax.tree.map(unflat, lm_st0)

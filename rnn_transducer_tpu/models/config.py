@@ -79,6 +79,12 @@ class TrainConfig:
     # the gradient computation only — the classic RNN-T regularizer for
     # small-corpus training, e.g. TIMIT)
     weight_noise_std: float = 0.0
+    # Inter-layer dropout (the reference family's nn.LSTM(dropout=...)
+    # staple): applied to each LSTM layer's output except the last, in the
+    # encoder and the prediction network, training only.
+    dropout: float = 0.0
+    # Dropout on the prediction net's label embeddings (training only).
+    embed_dropout: float = 0.0
     # accumulate gradients over k microbatches before each optimizer update
     grad_accum: int = 1
     # RNN-T loss kernel: "auto" (Pallas on TPU, XLA elsewhere), "pallas", "xla"

@@ -5,8 +5,11 @@ The reference family decodes acoustics-only; external-LM shallow fusion
 (score = log P_rnnt + lambda * log P_lm on label emissions) is the standard
 accuracy lever on top of transducer beam search (PAPERS.md: "Pushing the
 Limits of Beam Search Decoding"). Same pure-pytree style as the transducer:
-embedding -> stacked LSTM -> vocab logits. BOS is the blank id (blank never
-appears inside label sequences).
+embedding -> stacked LSTM -> vocab logits. BOS is `BOS_ID` (the blank id,
+which never appears inside label sequences); every consumer — lm_forward,
+the shallow-fusion init in decode/beam.py, rescoring — must feed the SAME
+constant, or training and fusion would condition on different BOS tokens
+(ADVICE r2).
 """
 
 from __future__ import annotations
@@ -21,6 +24,11 @@ import jax.numpy as jnp
 from rnn_transducer_tpu.ops.lstm import init_lstm_params, lstm_cell, lstm_layer
 
 Params = dict[str, Any]
+
+# The LM's beginning-of-sequence token. Kept a module constant so training
+# (lm_forward), per-step shallow fusion (decode/beam.py) and rescoring all
+# provably condition on the same id.
+BOS_ID = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,7 +84,7 @@ def lm_forward(params: Params, cfg: LMConfig, labels):
     from the prefix labels[:, :u] (u=0 conditions on BOS only).
     """
     B, U = labels.shape
-    bos = jnp.full((B, 1), 0, labels.dtype)
+    bos = jnp.full((B, 1), BOS_ID, labels.dtype)
     x = params["embed"][jnp.concatenate([bos, labels[:, :-1]], axis=1)]
     for layer in params["lstm"]:
         x, _ = lstm_layer(layer, x, compute_dtype=cfg.cdtype)
@@ -85,7 +93,7 @@ def lm_forward(params: Params, cfg: LMConfig, labels):
 
 def lm_step(params: Params, cfg: LMConfig, token, states):
     """One decode step: token (B,) int32 -> (next-token log-probs (B, V),
-    new states). Feed the blank id as BOS for the first step."""
+    new states). Feed `BOS_ID` for the first step."""
     x = params["embed"][token]
     new_states = []
     for layer, (h, c) in zip(params["lstm"], states):

@@ -87,6 +87,22 @@ def init_params(key, cfg: TransducerConfig) -> Params:
     return params
 
 
+def _dropout(x, rate: float, rngs, site: int):
+    """Inverted dropout with PER-EXAMPLE masks (train-time only).
+
+    rngs: (B,) key array, one key per example (derived from the GLOBAL
+    batch position by train.loop.loss_fn) — an example draws the same
+    mask whether the batch runs on one device or sharded under DP, so
+    data-parallel training stays bitwise in lockstep with single-device.
+    `site` separates the mask streams of different dropout sites.
+    """
+    keep = 1.0 - rate
+    mask = jax.vmap(
+        lambda k: jax.random.bernoulli(jax.random.fold_in(k, site), keep,
+                                       x.shape[1:]))(rngs)
+    return jnp.where(mask, x / keep, 0.0)
+
+
 def _time_reduce(x, lens, factor: int):
     """Stack `factor` consecutive frames: (B, T, F) -> (B, T//factor, F*factor)."""
     B, T, F = x.shape
@@ -96,8 +112,14 @@ def _time_reduce(x, lens, factor: int):
     return x, lens
 
 
-def encode(params: Params, cfg: TransducerConfig, feats, feat_lens):
-    """feats: (B, T, input_dim) -> (enc_out (B, T', enc_out_dim), enc_lens)."""
+def encode(params: Params, cfg: TransducerConfig, feats, feat_lens, *,
+           dropout: float = 0.0, rng=None):
+    """feats: (B, T, input_dim) -> (enc_out (B, T', enc_out_dim), enc_lens).
+
+    dropout (train-time, rng required): inter-layer dropout on every LSTM
+    layer's output except the last — the stacked-nn.LSTM(dropout=...)
+    semantics of the reference family (SURVEY.md §B).
+    """
     x = mask_padding(feats.astype(jnp.float32), feat_lens)
     lens = feat_lens
     cd = cfg.cdtype
@@ -110,9 +132,12 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens):
 
     if cfg.remat_encoder:
         run_layer = jax.checkpoint(run_layer)
+    n = len(params["encoder"])
     for i, layer in enumerate(params["encoder"]):
         x = run_layer(layer, x, lens)
         x = mask_padding(x, lens)
+        if dropout > 0.0 and rng is not None and i < n - 1:
+            x = _dropout(x, dropout, rng, site=i)
         if i == 0 and cfg.time_reduction > 1:
             x, lens = _time_reduce(x, lens, cfg.time_reduction)
     return x, lens
@@ -156,21 +181,29 @@ def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
     return x, lens, new_state
 
 
-def predict(params: Params, cfg: TransducerConfig, labels):
+def predict(params: Params, cfg: TransducerConfig, labels, *,
+            dropout: float = 0.0, embed_dropout: float = 0.0, rng=None):
     """Prediction network over blank-prefixed labels.
 
     labels: (B, U) -> outputs (B, U+1, pred_hidden): position u conditions on
     labels[:u] (u=0 is the start symbol = blank embedding).
     Returns (outputs, final_states) where final_states is a list of (h, c)
     per layer (used by streaming/step-wise decoding).
+    dropout/embed_dropout (train-time, rng required): inter-layer dropout
+    between prediction LSTMs and dropout on the label embeddings.
     """
     B, U = labels.shape
     bos = jnp.full((B, 1), cfg.blank, labels.dtype)
     inp = jnp.concatenate([bos, labels], axis=1)  # (B, U+1)
     x = params["embed"][inp]  # (B, U+1, E)
+    if embed_dropout > 0.0 and rng is not None:
+        x = _dropout(x, embed_dropout, rng, site=1000)
     states = []
-    for layer in params["predictor"]:
+    n = len(params["predictor"])
+    for i, layer in enumerate(params["predictor"]):
         x, st = lstm_layer(layer, x, compute_dtype=cfg.cdtype)
+        if dropout > 0.0 and rng is not None and i < n - 1:
+            x = _dropout(x, dropout, rng, site=1001 + i)
         states.append(st)
     return x, states
 
@@ -296,13 +329,17 @@ def ctc_logits(params: Params, cfg: TransducerConfig, enc_out):
 
 
 def forward(params: Params, cfg: TransducerConfig, feats, feat_lens, labels,
-            with_aux: bool = False):
+            with_aux: bool = False, dropout: float = 0.0,
+            embed_dropout: float = 0.0, rng=None):
     """Full model forward: features + labels -> joint logits over the lattice.
 
     Mirrors the reference `Transducer.forward` API (SURVEY.md §3).
     Returns (logits (B, T', U+1, V), enc_lens (B,)); with_aux=True returns
-    ((logits, moe_aux), enc_lens) for MoE configs.
+    ((logits, moe_aux), enc_lens) for MoE configs. dropout/embed_dropout
+    apply only when an rng is passed (training).
     """
-    enc_out, enc_lens = encode(params, cfg, feats, feat_lens)
-    pred_out, _ = predict(params, cfg, labels)
+    enc_out, enc_lens = encode(params, cfg, feats, feat_lens,
+                               dropout=dropout, rng=rng)
+    pred_out, _ = predict(params, cfg, labels, dropout=dropout,
+                          embed_dropout=embed_dropout, rng=rng)
     return joint(params, cfg, enc_out, pred_out, with_aux=with_aux), enc_lens

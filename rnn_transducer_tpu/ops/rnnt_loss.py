@@ -197,8 +197,10 @@ def _use_wavefront() -> bool:
     Measured on v5e (B=32, T=200, U=40): scan alpha 2.3 ms / beta 0.2 ms vs
     wavefront ~12 ms each — the T+U sequential fori steps with dynamic
     sublane indexing dominate, so the wavefront stays off by default and is
-    kept as a tested alternative implementation (SURVEY.md §7.6)."""
-    return False
+    kept as a tested alternative implementation (SURVEY.md §7.6). Set
+    RNNT_TPU_WAVEFRONT=1 to opt in without editing source (VERDICT r2)."""
+    import os
+    return os.environ.get("RNNT_TPU_WAVEFRONT", "0") == "1"
 
 
 def _alpha(lp_blank_m, lp_y_m):

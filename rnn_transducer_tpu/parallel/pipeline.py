@@ -44,6 +44,7 @@ from rnn_transducer_tpu.parallel.tp import (
     MODEL_AXIS,
     TPParams,
     TrainState,
+    apply_weight_noise,
     _combine_model_grads,
     _tp_global_norm,
     _tp_expand,
@@ -217,8 +218,15 @@ def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
             return pp_loss_fn(p, cfg, feats, feat_lens, labels, label_lens,
                               pp=pp, microbatches=M)
 
+        loss_params = local.params
+        if tcfg.weight_noise_std > 0.0:
+            # Noise on the zero-padded first-layer rows is harmless: those
+            # rows multiply zero input dims (forward unchanged) and the
+            # clean update keeps the clean rows.
+            loss_params = apply_weight_noise(local.params, tcfg, local.step,
+                                            model_sharded=True)
         (loss, _), grads = jax.value_and_grad(batch_loss, has_aux=True)(
-            local.params)
+            loss_params)
         grads = _combine_model_grads(grads, pp)
         loss = jax.lax.pmean(loss, DATA_AXIS)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)

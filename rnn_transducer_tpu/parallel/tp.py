@@ -530,6 +530,30 @@ def _tp_global_norm(grads, is_tp: bool):
     return jnp.sqrt(sum(jax.tree.leaves(sq)))
 
 
+def apply_weight_noise(params, tcfg: TrainConfig, step, model_sharded: bool):
+    """Graves weight noise for the model-parallel train steps.
+
+    Mirrors train.loop.make_train_step's semantics: gradients are taken at
+    params + eps with eps ~ N(0, std); the update applies to the clean
+    params. The key folds in the (replicated) step counter so data-axis
+    shards stay in lockstep. Leaves sharded over the model axis (`shd` in
+    TPParams) additionally fold in the model-axis index: each shard owns
+    *distinct* weights, so each draws independent noise, while replicated
+    leaves draw identical noise on every shard and stay bitwise in sync.
+    Must be called inside shard_map (uses lax.axis_index(MODEL_AXIS))."""
+    base = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed ^ 0x5EED), step)
+    mi = jax.lax.axis_index(MODEL_AXIS) if model_sharded else None
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    noisy = []
+    for i, (path, leaf) in enumerate(flat):
+        k = jax.random.fold_in(base, i)
+        if model_sharded and _path_has_shd(path):
+            k = jax.random.fold_in(k, mi)
+        noisy.append(leaf + tcfg.weight_noise_std
+                     * jax.random.normal(k, leaf.shape, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, noisy)
+
+
 def make_optimizer_noclip(tcfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW without the global-norm clip (applied manually in the TP step,
     where the norm needs a model-axis psum optax cannot express)."""
@@ -582,8 +606,12 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
             def batch_loss(p):
                 return sp_loss_fn(p, cfg, feats, feat_lens, labels,
                                   label_lens)
+        loss_params = local.params
+        if tcfg.weight_noise_std > 0.0:
+            loss_params = apply_weight_noise(local.params, tcfg, local.step,
+                                             model_sharded=is_tp)
         (loss, _), grads = jax.value_and_grad(batch_loss, has_aux=True)(
-            local.params)
+            loss_params)
         if is_tp:
             grads = _combine_model_grads(grads, mp)
         else:

@@ -92,6 +92,11 @@ class BatchingEngine:
         self.stats = EngineStats()
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        # Guards the closed-check + enqueue against close(): an item is
+        # either queued BEFORE the shutdown sentinel (the worker drains it
+        # with an "engine closed" error) or the submit raises — a waiter
+        # can never be stranded (ADVICE r2).
+        self._submit_lock = threading.Lock()
 
         if mode == "greedy":
             self._decode = jax.jit(lambda p, f, l: recognize_greedy(
@@ -139,19 +144,21 @@ class BatchingEngine:
             raise ValueError(
                 f"utterance of {T} frames exceeds the largest serving "
                 f"bucket {self.frame_buckets[-1]}")
-        if self._closed:
-            raise RuntimeError("engine closed")
         done = threading.Event()
         item = {"feats": feats, "done": done, "result": None, "error": None}
-        self._q.put(item)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("engine closed")
+            self._q.put(item)
         done.wait()
         if item["error"]:
             raise RuntimeError(item["error"])
         return item["result"]
 
     def close(self):
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
 
     def _drain_closed(self, extra=()):
         """Fail every still-queued waiter on shutdown (never strand)."""
@@ -220,6 +227,63 @@ class BatchingEngine:
             it["done"].set()
 
 
+def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
+                           mode: str = "greedy", beam: int = 8,
+                           expansions: int = 3, lm_cfg=None,
+                           lm_weight: float = 0.3):
+    """Build the StreamingEngine's device step as a standalone function.
+
+    Returns (init_state_fn, gstep) where
+      init_state_fn(params) -> all-slots stream state, and
+      gstep(params, lm_params, state, chunks (S,C,D), lens (S,), active
+      (S,) bool) -> (new_state, toks (S,max_symbols), tok_lens (S,)).
+    Inactive slots' state is re-selected, so they pass through unchanged.
+    Factored out of StreamingEngine so tools/export_model.py can export
+    the exact serving graph (VERDICT r2: serving cold start).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_transducer_tpu.decode.streaming import (
+        init_stream,
+        init_stream_beam,
+        stream_chunk,
+        stream_chunk_beam,
+    )
+
+    S = slots
+    if mode == "greedy":
+        def init_state_fn(params):
+            return init_stream(params, cfg, S, max_symbols)
+
+        def chunk_step(p, lmp, state, chunks, lens):
+            return stream_chunk(p, cfg, state, chunks, lens,
+                                max_symbols=max_symbols)
+    elif mode == "beam":
+        def init_state_fn(params, lm_params=None):
+            lm_t = (None if lm_cfg is None
+                    else (lm_params, lm_cfg, lm_weight))
+            return init_stream_beam(params, cfg, S, beam=beam,
+                                    max_symbols=max_symbols, lm=lm_t)
+
+        def chunk_step(p, lmp, state, chunks, lens):
+            st, toks, tok_lens, scores = stream_chunk_beam(
+                p, cfg, state, chunks, lens, beam=beam,
+                max_symbols=max_symbols, expansions=expansions,
+                lm=None if lmp is None else (lmp, lm_cfg, lm_weight))
+            return st, toks[:, 0], tok_lens[:, 0]  # top beam
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def gstep(p, lmp, state, chunks, lens, active):
+        new_state, toks, tok_lens = chunk_step(p, lmp, state, chunks, lens)
+        sel = lambda n, o: jnp.where(
+            active.reshape((S,) + (1,) * (n.ndim - 1)), n, o)
+        return jax.tree.map(sel, new_state, state), toks, tok_lens
+
+    return init_state_fn, gstep
+
+
 class StreamingEngine:
     """Continuous batching over fixed streaming-session slots.
 
@@ -243,16 +307,12 @@ class StreamingEngine:
                  chunk_frames: int = 32, max_symbols: int = 200,
                  window_ms: float = 5.0, session_ttl_s: float = 600.0,
                  mode: str = "greedy", beam: int = 8, expansions: int = 3,
-                 lm=None):
+                 lm=None, exported_step=None):
+        """exported_step: optional prebuilt chunk step with the
+        make_masked_chunk_step gstep signature (e.g. deserialized from
+        tools/export_model.py --mode streaming_*); used instead of
+        jitting the live graph, killing the serving cold-start."""
         import jax
-        import jax.numpy as jnp
-
-        from rnn_transducer_tpu.decode.streaming import (
-            init_stream,
-            init_stream_beam,
-            stream_chunk,
-            stream_chunk_beam,
-        )
 
         self.params = params
         self.cfg = cfg
@@ -270,45 +330,30 @@ class StreamingEngine:
         self._seen: dict[str, float] = {}  # sid -> last activity time
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()  # see BatchingEngine
         self._lm_params = lm[0] if lm else None
 
         S = slots
-        if mode == "greedy":
-            self._init_state = init_stream(params, cfg, slots, max_symbols)
-
-            def chunk_step(p, lmp, state, chunks, lens):
-                return stream_chunk(p, cfg, state, chunks, lens,
-                                    max_symbols=max_symbols)
-        elif mode == "beam":
-            lm_t = None if lm is None else lm
-            self._init_state = init_stream_beam(
-                params, cfg, slots, beam=beam, max_symbols=max_symbols,
-                lm=lm_t)
-
-            def chunk_step(p, lmp, state, chunks, lens):
-                st, toks, tok_lens, scores = stream_chunk_beam(
-                    p, cfg, state, chunks, lens, beam=beam,
-                    max_symbols=max_symbols, expansions=expansions,
-                    lm=None if lmp is None else (lmp, lm[1], lm[2]))
-                return st, toks[:, 0], tok_lens[:, 0]  # top beam
+        init_state_fn, gstep = make_masked_chunk_step(
+            cfg, slots=slots, max_symbols=max_symbols, mode=mode,
+            beam=beam, expansions=expansions,
+            lm_cfg=None if lm is None else lm[1],
+            lm_weight=0.3 if lm is None else lm[2])
+        if mode == "beam":
+            self._init_state = init_state_fn(params, self._lm_params)
         else:
-            raise ValueError(f"unknown mode {mode!r}")
+            self._init_state = init_state_fn(params)
         self.state = self._init_state
         self._state_lock = threading.Lock()  # ticks vs slot resets
 
-        def gstep(p, lmp, state, chunks, lens, active):
-            new_state, toks, tok_lens = chunk_step(p, lmp, state, chunks,
-                                                   lens)
-            sel = lambda n, o: jnp.where(
-                active.reshape((S,) + (1,) * (n.ndim - 1)), n, o)
-            return jax.tree.map(sel, new_state, state), toks, tok_lens
-
         def greset(state, fresh, mask):
+            import jax.numpy as jnp
             sel = lambda f, o: jnp.where(
                 mask.reshape((S,) + (1,) * (f.ndim - 1)), f, o)
             return jax.tree.map(sel, fresh, state)
 
-        jit_gstep = jax.jit(gstep)
+        jit_gstep = exported_step if exported_step is not None \
+            else jax.jit(gstep)
         self._gstep = lambda p, st, c, l, a: jit_gstep(
             p, self._lm_params, st, c, l, a)
         self._greset = jax.jit(greset)
@@ -325,6 +370,8 @@ class StreamingEngine:
         np.asarray(toks)  # force; state unchanged (all-inactive mask)
 
     def open_session(self) -> str:
+        if self._closed:
+            raise RuntimeError("engine closed")
         with self._lock:
             if not self._free:
                 self._reap_expired_locked()
@@ -384,7 +431,10 @@ class StreamingEngine:
         done = threading.Event()
         item = {"sid": sid, "slot": slot, "chunk": chunk, "done": done,
                 "result": None, "error": None}
-        self._q.put(item)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("engine closed")
+            self._q.put(item)
         done.wait()
         if item["error"]:
             raise RuntimeError(item["error"])
@@ -401,8 +451,9 @@ class StreamingEngine:
             return self._release_locked(sid)
 
     def close(self):
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
 
     def _drain_closed(self, extra=()):
         items = list(extra)
@@ -514,7 +565,8 @@ def _feats_from_body(body: dict, cfg) -> np.ndarray:
 
 
 def http_server(host: str, port: int, offline: BatchingEngine,
-                streaming: StreamingEngine | None = None, tok=None):
+                streaming: StreamingEngine | None = None, tok=None,
+                max_body_bytes: int = 32 << 20):
     """Build (not start) a ThreadingHTTPServer exposing the engines.
 
     POST /recognize        {"feats": [[...]]} or {"audio": [...16 kHz PCM]}
@@ -523,10 +575,19 @@ def http_server(host: str, port: int, offline: BatchingEngine,
     POST /session/<sid>    {"feats"|"audio", "last"?} -> cumulative tokens
     DELETE /session/<sid>                            -> final tokens
     GET  /stats | /healthz
+
+    Bodies above `max_body_bytes` are rejected with 413 before being read
+    (ADVICE r2: an unbounded read + json.loads lets one hostile request
+    exhaust host memory). The 32 MB default comfortably covers the largest
+    legitimate payload — an 800-frame feats matrix or its 8 s of raw PCM
+    is ~1.5 MB of JSON text.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from rnn_transducer_tpu.data.tokenizer import decode_to_text
+
+    class _TooLarge(Exception):
+        pass
 
     def result(ids):
         out = {"tokens": ids}
@@ -548,6 +609,19 @@ def http_server(host: str, port: int, offline: BatchingEngine,
 
         def _body(self) -> dict:
             n = int(self.headers.get("Content-Length", 0))
+            if n > max_body_bytes:
+                # Discard the body in bounded chunks (so the client can
+                # finish writing and read the 413 instead of a broken
+                # pipe), but never hold more than 64 KB of it, and give
+                # up draining past 4x the cap.
+                left = min(n, 4 * max_body_bytes)
+                while left > 0:
+                    chunk = self.rfile.read(min(left, 1 << 16))
+                    if not chunk:
+                        break
+                    left -= len(chunk)
+                raise _TooLarge(
+                    f"body of {n} bytes exceeds cap {max_body_bytes}")
             return json.loads(self.rfile.read(n)) if n else {}
 
         def do_GET(self):
@@ -577,6 +651,10 @@ def http_server(host: str, port: int, offline: BatchingEngine,
                         sid, feats, last=bool(body.get("last", False)))))
                 else:
                     self._json(404, {"error": "not found"})
+            except _TooLarge as e:
+                # body was never read: answer 413 and drop the connection
+                self.close_connection = True
+                self._json(413, {"error": str(e)})
             except Exception as e:
                 self._json(400, {"error": repr(e)})
 

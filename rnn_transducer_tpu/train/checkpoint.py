@@ -99,6 +99,53 @@ def restore_checkpoint(ckpt_dir: str, target_tree: Any, step: int | None = None)
     return restored, step
 
 
+def load_plain_params(ckpt_dir: str, cfg=None, seed: int = 0,
+                      step: int | None = None):
+    """Restore a checkpoint's params as a PLAIN single-device pytree.
+
+    Handles both layouts: a plain TrainState checkpoint, and one written
+    by a model-parallel run (train.py --model-parallel: live TPParams
+    pytree + meta['parallel'] topology) — the weight shards are merged
+    back into plain params. Shared by recognize.py, serve.py,
+    tools/export_model.py and tools/align.py so every consumer can read
+    every checkpoint (ADVICE r2). Returns (params, cfg, step, meta).
+
+    cfg: the TransducerConfig; if None it must be recoverable from
+    meta.json (self-describing checkpoint).
+    """
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.train.loop import TrainState, init_train_state
+
+    meta = load_meta(ckpt_dir) or {}
+    if cfg is None:
+        cfg = load_model_config(ckpt_dir)
+        if cfg is None:
+            raise FileNotFoundError(
+                f"{ckpt_dir}/meta.json has no model_config; pass cfg")
+    key = jax.random.PRNGKey(seed)
+    par = meta.get("parallel")
+    if par and par.get("mp", 1) > 1:
+        from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
+        mode, mp_n = par["mode"], int(par["mp"])
+        inits = {"tp": lambda: tpx.init_tp_train_state(key, cfg,
+                                                       TrainConfig(), mp_n),
+                 "pp": lambda: ppx.init_pp_train_state(key, cfg,
+                                                       TrainConfig(), mp_n),
+                 "ep": lambda: tpx.init_ep_train_state(key, cfg,
+                                                       TrainConfig(), mp_n),
+                 "sp": lambda: tpx.init_sp_train_state(key, cfg,
+                                                       TrainConfig())}
+        if mode not in inits:
+            raise ValueError(f"unknown parallel mode {mode!r} in meta.json")
+        state, got = restore_checkpoint(ckpt_dir, inits[mode](), step)
+        merges = {"tp": tpx.merge_params_tp, "pp": ppx.merge_params_pp,
+                  "ep": tpx.merge_params_ep, "sp": lambda p, c: p}
+        return merges[mode](state.params, cfg), cfg, got, meta
+    state0 = init_train_state(key, cfg, TrainConfig())
+    tree, got = restore_checkpoint(ckpt_dir, dataclasses.asdict(state0), step)
+    return TrainState(**tree).params, cfg, got, meta
+
+
 def latest_step(ckpt_dir: str) -> int | None:
     ckpt_dir = os.path.abspath(ckpt_dir)
     if not os.path.isdir(ckpt_dir):

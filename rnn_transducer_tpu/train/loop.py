@@ -92,18 +92,32 @@ def init_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig) -> TrainStat
 
 
 def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
-            label_lens, loss_impl: str = "auto"):
+            label_lens, loss_impl: str = "auto", dropout: float = 0.0,
+            embed_dropout: float = 0.0, dropout_rng=None,
+            dropout_offset=0):
     """Batch-mean RNN-T loss; per-utterance losses also returned.
 
     "fused" (default on TPU) never materializes the (B,T,U+1,V) logits:
     joint + loss run as one Pallas op (ops/rnnt_joint_fused.py).
+    dropout/embed_dropout take effect only when dropout_rng (a single
+    key) is given: per-example mask keys are derived from the GLOBAL
+    batch position (dropout_offset + local index), so a DP shard draws
+    the same mask for an example as the single-device run would.
     """
+    rngs = None
+    if dropout_rng is not None:
+        idx = dropout_offset + jnp.arange(feats.shape[0])
+        rngs = jax.vmap(jax.random.fold_in,
+                        in_axes=(None, 0))(dropout_rng, idx)
+    do = dict(dropout=dropout, rng=rngs)
     if cfg.joint_experts > 0:
         # MoE joint: the logits must materialize through the routed joint
         # (the fused joint+loss kernel computes dense logits on-chip), and
         # the router's load-balance aux loss joins the objective.
         (logits, aux), enc_lens = m.forward(params, cfg, feats, feat_lens,
-                                            labels, with_aux=True)
+                                            labels, with_aux=True,
+                                            embed_dropout=embed_dropout,
+                                            **do)
         per_utt = select_rnnt_loss(
             "xla" if loss_impl in ("auto", "fused") else loss_impl)(
             logits, labels, enc_lens, label_lens, cfg.blank)
@@ -118,13 +132,15 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             loss_impl = "xla"
     if loss_impl == "fused":
         from rnn_transducer_tpu.ops.rnnt_joint_fused import rnnt_loss_fused
-        enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
-        pred_out, _ = m.predict(params, cfg, labels)
+        enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens, **do)
+        pred_out, _ = m.predict(params, cfg, labels,
+                                embed_dropout=embed_dropout, **do)
         f, g, w, b = m.joint_activations(params, cfg, enc_out, pred_out)
         per_utt = rnnt_loss_fused(f, g, w, b, labels, enc_lens, label_lens,
                                   cfg.blank, cfg.cdtype)
     else:
-        logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels)
+        logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels,
+                                     embed_dropout=embed_dropout, **do)
         per_utt = select_rnnt_loss(loss_impl)(logits, labels, enc_lens,
                                               label_lens, cfg.blank)
     return jnp.mean(per_utt), per_utt
@@ -159,8 +175,24 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
         batch_loss = functools.partial(loss_fn, cfg=cfg,
                                        loss_impl=tcfg.loss_impl)
 
+    has_dropout = (loss_kind == "rnnt"
+                   and (tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0))
+
     def grads_and_metrics(params, step, feats, feat_lens, labels,
-                          label_lens):
+                          label_lens, dropout_offset=0):
+        if has_dropout:
+            # Fresh masks every step; the key folds in the step counter
+            # (replicated under DP) and the masks are drawn per GLOBAL
+            # example index (see loss_fn), so DP shards stay in bitwise
+            # lockstep with the single-device trajectory.
+            drop_key = jax.random.fold_in(
+                jax.random.PRNGKey(tcfg.seed ^ 0xD120), step)
+            batch_loss_step = functools.partial(
+                batch_loss, dropout=tcfg.dropout,
+                embed_dropout=tcfg.embed_dropout, dropout_rng=drop_key,
+                dropout_offset=dropout_offset)
+        else:
+            batch_loss_step = batch_loss
         if tcfg.weight_noise_std > 0.0:
             # Graves weight noise: gradients are taken at params + eps,
             # eps ~ N(0, std); the update applies to the clean params.
@@ -175,8 +207,8 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
                      for l, k in zip(leaves, keys)]
             params = jax.tree.unflatten(treedef, noisy)
         (loss, per_utt), grads = jax.value_and_grad(
-            lambda p: batch_loss(p, feats=feats, feat_lens=feat_lens,
-                                 labels=labels, label_lens=label_lens),
+            lambda p: batch_loss_step(p, feats=feats, feat_lens=feat_lens,
+                                      labels=labels, label_lens=label_lens),
             has_aux=True,
         )(params)
         return loss, grads
@@ -211,8 +243,10 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
     from jax.sharding import PartitionSpec as P
 
     def shard_fn(state, feats, feat_lens, labels, label_lens):
+        offset = jax.lax.axis_index("data") * feats.shape[0]
         loss, grads = grads_and_metrics(state.params, state.step, feats,
-                                        feat_lens, labels, label_lens)
+                                        feat_lens, labels, label_lens,
+                                        dropout_offset=offset)
         # batch-mean over all shards: each shard's mean weighted equally
         loss = jax.lax.pmean(loss, "data")
         grads = jax.lax.pmean(grads, "data")

@@ -39,6 +39,15 @@ def parse_args(argv=None):
     p.add_argument("--chunk-frames", type=int, default=32)
     p.add_argument("--lm-ckpt", default=None)
     p.add_argument("--lm-weight", type=float, default=0.3)
+    p.add_argument("--exported-streaming", default=None,
+                   help="streaming chunk-step artifact from "
+                        "tools/export_model.py --mode streaming_*; skips "
+                        "tracing+compiling the live streaming graph at "
+                        "startup (slots/chunk-frames/mode must match)")
+    p.add_argument("--compilation-cache", default=None,
+                   help="persistent JAX compilation-cache dir: compiles "
+                        "are reused across server restarts")
+    p.add_argument("--max-body-bytes", type=int, default=32 << 20)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -50,8 +59,7 @@ def load_model(args):
     from rnn_transducer_tpu.data.tokenizer import tokenizer_from_meta
     from rnn_transducer_tpu.models.config import TrainConfig
     from rnn_transducer_tpu.train import checkpoint as ckpt
-    from rnn_transducer_tpu.train.loop import TrainState, init_train_state
-    import dataclasses as dc
+    from rnn_transducer_tpu.train.loop import init_train_state
 
     saved_cfg = (ckpt.load_model_config(args.ckpt_dir)
                  if args.ckpt_dir else None)
@@ -61,22 +69,29 @@ def load_model(args):
             raise SystemExit("--config does not match the checkpoint")
     else:
         cfg = saved_cfg if saved_cfg is not None else get_model_config("smoke")
-    state = init_train_state(jax.random.PRNGKey(args.seed), cfg,
-                             TrainConfig())
     tok = None
     if args.ckpt_dir:
-        tree, step = ckpt.restore_checkpoint(args.ckpt_dir,
-                                             dc.asdict(state))
-        state = TrainState(**tree)
+        # load_plain_params also merges model-parallel shard checkpoints
+        # (meta['parallel']) back into plain serving params (ADVICE r2).
+        params, cfg, step, meta = ckpt.load_plain_params(
+            args.ckpt_dir, cfg, seed=args.seed)
         print(f"loaded checkpoint step {step}", file=sys.stderr)
-        meta = ckpt.load_meta(args.ckpt_dir) or {}
         if meta.get("tokenizer"):
             tok = tokenizer_from_meta(meta["tokenizer"])
-    return state.params, cfg, tok
+    else:
+        params = init_train_state(jax.random.PRNGKey(args.seed), cfg,
+                                  TrainConfig()).params
+    return params, cfg, tok
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.compilation_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     from rnn_transducer_tpu.serve import (BatchingEngine, StreamingEngine,
                                           http_server)
 
@@ -92,15 +107,44 @@ def main(argv=None):
         max_batch=args.max_batch, window_ms=args.window_ms, lm=lm)
     streaming = None
     if args.stream_slots > 0 and not cfg.bidirectional:
+        exported_step = None
+        if args.exported_streaming:
+            import json as _json
+            import os as _os
+            sys.path.insert(0, _os.path.join(
+                _os.path.dirname(_os.path.abspath(__file__)), "tools"))
+            from export_model import load_exported
+            meta_path = _os.path.join(
+                _os.path.dirname(args.exported_streaming),
+                "export_meta.json")
+            with open(meta_path) as f:
+                emeta = _json.load(f)
+            want = {"slots": args.stream_slots,
+                    "chunk_frames": args.chunk_frames,
+                    "mode": f"streaming_{args.mode}"}
+            got = {k: emeta.get(k) for k in want}
+            if got != want or (args.mode == "beam"
+                               and emeta.get("beam") != args.beam):
+                raise SystemExit(f"exported streaming artifact mismatch: "
+                                 f"{got} != {want}")
+            if lm is not None:
+                raise SystemExit("--exported-streaming artifacts are "
+                                 "no-LM graphs; drop --lm-ckpt or serve "
+                                 "without the artifact")
+            exported_step = load_exported(args.exported_streaming)
+            print(f"loaded exported streaming step "
+                  f"{args.exported_streaming}", file=sys.stderr)
         streaming = StreamingEngine(
             params, cfg, slots=args.stream_slots,
             chunk_frames=args.chunk_frames, max_symbols=args.max_symbols,
-            mode=args.mode, beam=args.beam, lm=lm)
+            mode=args.mode, beam=args.beam, lm=lm,
+            exported_step=exported_step)
     print("warming up (one compile per bucket)...", file=sys.stderr)
     offline.warmup()
     if streaming is not None:
         streaming.warmup()
-    srv = http_server(args.host, args.port, offline, streaming, tok)
+    srv = http_server(args.host, args.port, offline, streaming, tok,
+                      max_body_bytes=args.max_body_bytes)
     print(f"serving on http://{args.host}:{srv.server_address[1]} "
           f"(mode={args.mode}, max_batch={args.max_batch}, "
           f"stream_slots={args.stream_slots})", file=sys.stderr)

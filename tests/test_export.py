@@ -60,3 +60,37 @@ def test_export_cli(tmp_path, capsys):
     meta = json.loads(
         (tmp_path / "export" / "export_meta.json").read_text())
     assert meta["mode"] == "greedy" and meta["checkpoint_step"] == 1
+
+
+def test_export_streaming_step_matches_live_engine(tmp_path):
+    """The exported masked chunk step drives a StreamingEngine to the
+    same results as the live-jitted one (VERDICT r2: serving cold-start)."""
+    from rnn_transducer_tpu.serve import StreamingEngine
+
+    params = m.init_params(jax.random.PRNGKey(1), CFG)
+    blob, meta = export_model.export_streaming(
+        params, CFG, mode="streaming_greedy", slots=2, chunk_frames=4,
+        max_symbols=6)
+    path = tmp_path / "streaming_greedy.stablehlo"
+    path.write_bytes(blob)
+    step = export_model.load_exported(str(path))
+
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(8, CFG.input_dim)).astype(np.float32)
+
+    def run(exported):
+        eng = StreamingEngine(params, CFG, slots=2, chunk_frames=4,
+                              max_symbols=6, window_ms=1.0,
+                              exported_step=step if exported else None)
+        try:
+            sid = eng.open_session()
+            for t0 in range(0, 8, 4):
+                out = eng.feed(sid, feats[t0: t0 + 4])
+            eng.close_session(sid)
+            return out
+        finally:
+            eng.close()
+
+    live, exp = run(False), run(True)
+    assert live == exp
+    assert meta["slots"] == 2

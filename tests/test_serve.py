@@ -3,6 +3,7 @@ session slots (== offline greedy), and the HTTP transport."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -132,6 +133,19 @@ def test_engine_closed_rejects_and_never_strands():
         eng.submit(_feats(10, 51))
 
 
+def test_streaming_closed_rejects_feed_and_open():
+    import pytest
+
+    eng = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=8,
+                          max_symbols=MAXSYM, window_ms=1.0)
+    sid = eng.open_session()
+    eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.feed(sid, _feats(8, 52))
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.open_session()
+
+
 def test_streaming_short_chunk_ends_session():
     import pytest
 
@@ -200,7 +214,7 @@ def test_http_server_end_to_end():
     streaming = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=8,
                                 max_symbols=MAXSYM, window_ms=1.0)
     srv = http_server("127.0.0.1", 0, offline, streaming,
-                      tok=CharTokenizer())
+                      tok=CharTokenizer(), max_body_bytes=1 << 20)
     port = srv.server_address[1]
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
@@ -237,6 +251,16 @@ def test_http_server_end_to_end():
         audio = (rng.normal(size=2000) * 0.1).astype(np.float32)
         out = req("POST", "/recognize", {"audio": audio.tolist()})
         assert isinstance(out["tokens"], list)
+
+        # oversized body: rejected with 413 before being read
+        big = urllib.request.Request(
+            f"http://127.0.0.1:{port}/recognize", data=b"x" * (2 << 20),
+            method="POST")
+        try:
+            urllib.request.urlopen(big, timeout=60)
+            assert False, "expected HTTP 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
     finally:
         srv.shutdown()
         offline.close()

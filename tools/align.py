@@ -11,7 +11,6 @@ frame_hop * time_reduction.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -42,16 +41,12 @@ def main(argv=None):
                                                    rnnt_viterbi)
     from rnn_transducer_tpu.ops.rnnt_loss import _gather_label_logprobs
     from rnn_transducer_tpu.train import checkpoint as ckpt
-    from rnn_transducer_tpu.train.loop import TrainState, init_train_state
 
-    cfg = ckpt.load_model_config(args.ckpt_dir)
-    if cfg is None:
-        raise SystemExit(f"{args.ckpt_dir}: no meta.json model config")
-    state = init_train_state(jax.random.PRNGKey(args.seed), cfg,
-                             TrainConfig())
-    tree, step = ckpt.restore_checkpoint(args.ckpt_dir,
-                                         dataclasses.asdict(state))
-    params = TrainState(**tree).params
+    try:
+        params, cfg, step, _ = ckpt.load_plain_params(args.ckpt_dir,
+                                                      seed=args.seed)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
     print(f"loaded checkpoint step {step}", file=sys.stderr)
 
     @jax.jit

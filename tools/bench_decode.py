@@ -21,7 +21,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def measure_decode(cfg=None, params=None):
+    """Slope-timed decode numbers; returns the list of result dicts.
+
+    Importable by bench.py so the driver-captured artifact carries the
+    decode half of the metric of record (VERDICT r2 item 2).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -30,8 +35,10 @@ def main():
     from rnn_transducer_tpu.models import transducer as m
     from rnn_transducer_tpu.models.config import config_greedy_smoke
 
-    cfg = config_greedy_smoke()
-    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    if cfg is None:
+        cfg = config_greedy_smoke()
+    if params is None:
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     T = 500  # 5 s of audio at 10 ms hop
     frame_s = 0.01
@@ -104,8 +111,11 @@ def main():
     results.append({"mode": "beam8_b8", "device_ms": dev_s * 1e3,
                     "rtf": dev_s / (B * T * frame_s),
                     "p50_latency_ms": dev_s / B * 1e3})
+    return results
 
-    for r in results:
+
+def main():
+    for r in measure_decode():
         print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
                           for k, v in r.items()}))
 

@@ -69,10 +69,82 @@ def export_decode(params, cfg, *, mode: str, batch: int, frames: int,
     return exp.serialize(), meta
 
 
-def load_exported(path: str):
-    """Deserialize an exported artifact -> callable(params, feats, lens)."""
+_SERIALIZED_STATES: set = set()
+
+
+def _register_state_serialization(cls):
+    """Register pytree (de)serialization for a state dataclass so the
+    streaming artifact's in/out trees can be serialized (jax.export
+    refuses unregistered custom nodes). Auxdata is pickled verbatim —
+    both sides of the artifact are this package."""
+    import pickle
+
     import jax
 
+    if cls in _SERIALIZED_STATES:
+        return
+    jax.export.register_pytree_node_serialization(
+        cls,
+        serialized_name=f"{cls.__module__}.{cls.__qualname__}",
+        serialize_auxdata=pickle.dumps,
+        deserialize_auxdata=pickle.loads)
+    _SERIALIZED_STATES.add(cls)
+
+
+def export_streaming(params, cfg, *, mode: str, slots: int,
+                     chunk_frames: int, max_symbols: int, beam: int = 8,
+                     expansions: int = 3, platforms=None):
+    """Export the serving runtime's masked streaming chunk step.
+
+    The traced graph IS serve.StreamingEngine's device step
+    (make_masked_chunk_step), so a server can skip the 10-20 min
+    beam-mode trace+compile at startup (VERDICT r2 item 3). Artifact
+    signature: f(params, None, state_pytree, chunks (S,C,D) f32,
+    lens (S,) i32, active (S,) bool) -> (state', toks, tok_lens).
+    mode: "streaming_greedy" | "streaming_beam" (no-LM graphs; LM-fused
+    serving still compiles live).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_transducer_tpu.decode.streaming import StreamState
+    from rnn_transducer_tpu.serve import make_masked_chunk_step
+
+    _register_state_serialization(StreamState)
+    base = mode.removeprefix("streaming_")
+    init_state_fn, gstep = make_masked_chunk_step(
+        cfg, slots=slots, max_symbols=max_symbols, mode=base, beam=beam,
+        expansions=expansions)
+    state0 = jax.eval_shape(lambda: init_state_fn(params))
+    spec = lambda tree: jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), tree)
+    exp = jax.export.export(jax.jit(gstep), platforms=platforms)(
+        spec(params), None, state0,
+        jax.ShapeDtypeStruct((slots, chunk_frames, cfg.input_dim),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((slots,), jnp.int32),
+        jax.ShapeDtypeStruct((slots,), jnp.bool_))
+    meta = {
+        "mode": mode, "slots": slots, "chunk_frames": chunk_frames,
+        "max_symbols": max_symbols, "beam": beam, "expansions": expansions,
+        "platforms": list(exp.platforms),
+        "model_config": dataclasses.asdict(cfg),
+        "calling_convention":
+            "f(params, None, state, chunks_f32[S,C,D], lens_i32[S], "
+            "active_bool[S]) -> (state', tokens_i32[S,max_symbols], "
+            "tok_lens_i32[S])",
+    }
+    return exp.serialize(), meta
+
+
+def load_exported(path: str):
+    """Deserialize an exported artifact -> callable (args per the
+    artifact's calling_convention in export_meta.json)."""
+    import jax
+
+    from rnn_transducer_tpu.decode.streaming import StreamState
+
+    _register_state_serialization(StreamState)
     with open(path, "rb") as f:
         exp = jax.export.deserialize(bytearray(f.read()))
     return lambda *args: exp.call(*args)
@@ -82,33 +154,41 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out-dir", required=True)
-    p.add_argument("--mode", default="greedy", choices=["greedy", "beam"])
+    p.add_argument("--mode", default="greedy",
+                   choices=["greedy", "beam", "streaming_greedy",
+                            "streaming_beam"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--frames", type=int, default=400)
     p.add_argument("--max-symbols", type=int, default=100)
     p.add_argument("--beam", type=int, default=8)
+    p.add_argument("--slots", type=int, default=8,
+                   help="streaming_*: session slots of the exported step")
+    p.add_argument("--chunk-frames", type=int, default=32,
+                   help="streaming_*: frames per chunk")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     import jax
 
-    from rnn_transducer_tpu.models.config import TrainConfig
     from rnn_transducer_tpu.train import checkpoint as ckpt
-    from rnn_transducer_tpu.train.loop import TrainState, init_train_state
 
-    cfg = ckpt.load_model_config(args.ckpt_dir)
-    if cfg is None:
-        raise SystemExit(f"{args.ckpt_dir}: no meta.json model config")
-    state = init_train_state(jax.random.PRNGKey(args.seed), cfg,
-                             TrainConfig())
-    tree, step = ckpt.restore_checkpoint(args.ckpt_dir,
-                                         dataclasses.asdict(state))
-    params = TrainState(**tree).params
+    try:
+        params, cfg, step, _ = ckpt.load_plain_params(args.ckpt_dir,
+                                                      seed=args.seed)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
     print(f"loaded checkpoint step {step}", file=sys.stderr)
 
-    blob, meta = export_decode(
-        params, cfg, mode=args.mode, batch=args.batch, frames=args.frames,
-        max_symbols=args.max_symbols, beam=args.beam)
+    if args.mode.startswith("streaming_"):
+        blob, meta = export_streaming(
+            params, cfg, mode=args.mode, slots=args.slots,
+            chunk_frames=args.chunk_frames, max_symbols=args.max_symbols,
+            beam=args.beam)
+    else:
+        blob, meta = export_decode(
+            params, cfg, mode=args.mode, batch=args.batch,
+            frames=args.frames, max_symbols=args.max_symbols,
+            beam=args.beam)
     os.makedirs(args.out_dir, exist_ok=True)
     out = os.path.join(args.out_dir, f"{args.mode}.stablehlo")
     with open(out, "wb") as f:

@@ -80,6 +80,11 @@ def parse_args(argv=None):
     p.add_argument("--weight-noise", type=float, default=0.0,
                    help="Graves weight noise std (gradient computed at "
                         "params + N(0, std); classic TIMIT regularizer)")
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="inter-layer LSTM dropout (encoder + prediction "
+                        "net; the stacked-nn.LSTM(dropout=) staple)")
+    p.add_argument("--embed-dropout", type=float, default=0.0,
+                   help="dropout on the prediction net's label embeddings")
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer spec (char | phone | bpe:<model.json>); "
                         "stored inline in the checkpoint's meta.json so "
@@ -126,7 +131,9 @@ def main(argv=None):
                        grad_clip_norm=args.grad_clip, seed=args.seed,
                        loss_impl=args.loss_impl,
                        lr_schedule=args.lr_schedule,
-                       weight_noise_std=args.weight_noise)
+                       weight_noise_std=args.weight_noise,
+                       dropout=args.dropout,
+                       embed_dropout=args.embed_dropout)
     mlog = MetricsLogger(args.log_file)
 
     mp = args.model_parallel
@@ -149,6 +156,12 @@ def main(argv=None):
         if args.ctc_pretrain_steps > 0:
             raise SystemExit("--ctc-pretrain-steps is not supported with "
                              "--model-parallel")
+        if args.dropout > 0.0 or args.embed_dropout > 0.0:
+            # The model-parallel loss paths (parallel/tp.py) run their own
+            # forward; dropout is not threaded through them — fail loudly
+            # instead of silently ignoring the flag (ADVICE r2 pattern).
+            raise SystemExit("--dropout/--embed-dropout are not supported "
+                             "with --model-parallel")
         from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
         n_data = args.data_parallel or max(1, len(jax.devices()) // mp)
         mesh = tpx.make_mesh_2d(n_data, mp)
