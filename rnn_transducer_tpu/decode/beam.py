@@ -73,7 +73,11 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
         params, cfg, jnp.full((B * K,), cfg.blank, jnp.int32),
         m.init_pred_state(cfg, B * K))
     unflat = lambda x: x.reshape((B, K) + x.shape[1:])
-    outs = {"pred": unflat(pred0)}
+    # "conf": per-token ACOUSTIC emission log-probs of each beam (the
+    # beam-search counterpart of greedy's confidence stream); rides in
+    # `outs` so the pool/merge/gather machinery carries it for free.
+    outs = {"pred": unflat(pred0),
+            "conf": jnp.zeros((B, K, U), jnp.float32)}
     states = {"pred": jax.tree.map(unflat, states0)}
     if lm is not None:
         from rnn_transducer_tpu.models.lm import (BOS_ID, init_lm_state,
@@ -192,9 +196,15 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
             gather_src = lambda s: jnp.take_along_axis(
                 s, src.reshape(src.shape + (1,) * (s.ndim - 2)), axis=1)
             g_states = jax.tree.map(gather_src, states)
+            # per-token confidence: the emission's acoustic log-prob
+            # lp[b, src, lab], written at the append position
+            conf_val = jnp.take_along_axis(lp.reshape(B, K * V), top_idx,
+                                           axis=1)  # (B, K)
+            g_conf = jnp.where(write, conf_val[:, :, None],
+                               gather_src(outs["conf"]))
             new_pred, new_pred_states = m.predict_step(
                 params, cfg, flat(lab), jax.tree.map(flat, g_states["pred"]))
-            new_outs = {"pred": unflat(new_pred)}
+            new_outs = {"pred": unflat(new_pred), "conf": g_conf}
             new_states = {"pred": jax.tree.map(unflat, new_pred_states)}
             if lm is not None:
                 new_lm_lp, new_lm_st = lm_step(
@@ -255,12 +265,27 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
     return tokens, lens, scores, carry
 
 
+def sorted_confidence(beam_state):
+    """Per-token acoustic emission log-probs of each beam, sorted in the
+    same best-first order as beam_search's returned tokens (argsort of
+    the carried scores is stable, so the order matches exactly)."""
+    _, _, scores, _, outs, _ = beam_state
+    order = jnp.argsort(-scores, axis=-1)
+    return jnp.take_along_axis(outs["conf"], order[:, :, None], axis=1)
+
+
 def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
                    beam: int = 8, max_symbols: int = 200,
-                   expansions: int = 3, lm=None):
-    """Features -> N-best label sequences (reference `beam_search` API)."""
+                   expansions: int = 3, lm=None,
+                   with_confidence: bool = False):
+    """Features -> N-best label sequences (reference `beam_search` API).
+
+    with_confidence=True also returns (B, K, max_symbols) per-token
+    acoustic emission log-probs (beam counterpart of greedy's)."""
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
-    tokens, lens, scores, _ = beam_search(
+    tokens, lens, scores, carry = beam_search(
         params, cfg, enc_out, enc_lens, beam=beam,
         max_symbols=max_symbols, expansions=expansions, lm=lm)
+    if with_confidence:
+        return tokens, lens, scores, sorted_confidence(carry)
     return tokens, lens, scores

@@ -98,16 +98,17 @@ class BatchingEngine:
         # can never be stranded (ADVICE r2).
         self._submit_lock = threading.Lock()
 
+        self.mode = mode
         if mode == "greedy":
             self._decode = jax.jit(lambda p, f, l: recognize_greedy(
-                p, cfg, f, l, max_symbols=max_symbols))
+                p, cfg, f, l, max_symbols=max_symbols,
+                with_confidence=True))
         elif mode == "beam":
             def _beam(p, lmp, f, l):
-                t, ln, _ = recognize_beam(
+                return recognize_beam(
                     p, cfg, f, l, beam=beam, max_symbols=max_symbols,
-                    expansions=expansions,
+                    expansions=expansions, with_confidence=True,
                     lm=None if lmp is None else (lmp, lm[1], lm[2]))
-                return t[:, 0], ln[:, 0]
             jitted = jax.jit(_beam)
             lm_params = lm[0] if lm else None
             self._decode = lambda p, f, l: jitted(p, lm_params, f, l)
@@ -123,11 +124,16 @@ class BatchingEngine:
         for tb in self.frame_buckets:
             f = np.zeros((self.max_batch, tb, D), np.float32)
             l = np.full((self.max_batch,), tb, np.int32)
-            toks, lens = self._decode(self.params, f, l)
-            np.asarray(toks)
+            out = self._decode(self.params, f, l)
+            np.asarray(out[0])
 
     def submit(self, feats: np.ndarray) -> list[int]:
-        """feats: (T, input_dim) float32 -> token id list. Blocking.
+        """feats: (T, input_dim) float32 -> token id list. Blocking."""
+        return self.submit_full(feats)["tokens"]
+
+    def submit_full(self, feats: np.ndarray) -> dict:
+        """feats -> {"tokens", "confidence", and for beam engines "score"
+        + "nbest": [{"tokens", "score"}, ...]}. Blocking.
 
         Validation happens HERE, in the caller's thread, so a malformed
         request fails alone instead of poisoning its co-batched group.
@@ -209,6 +215,8 @@ class BatchingEngine:
                     it["error"] = repr(e)
                     it["done"].set()
 
+    NEG_INF_HALF = -5.0e29  # beams below this are dead (decode/beam.py)
+
     def _process(self, batch):
         D = self.cfg.input_dim
         tb = max(self._bucket_for(it["feats"].shape[0]) for it in batch)
@@ -219,12 +227,35 @@ class BatchingEngine:
             feats[i, : f.shape[0]] = f
             lens[i] = f.shape[0]
         t0 = time.perf_counter()
-        toks, tlens = self._decode(self.params, feats, lens)
-        toks, tlens = np.asarray(toks), np.asarray(tlens)
+        out = self._decode(self.params, feats, lens)
+        out = tuple(np.asarray(o) for o in out)
         self.stats.record(len(batch), time.perf_counter() - t0)
-        for i, it in enumerate(batch):
-            it["result"] = toks[i, : tlens[i]].tolist()
-            it["done"].set()
+        if self.mode == "greedy":
+            toks, tlens, confs = out
+            for i, it in enumerate(batch):
+                n = tlens[i]
+                it["result"] = {
+                    "tokens": toks[i, :n].tolist(),
+                    "confidence": np.round(confs[i, :n], 4).tolist(),
+                }
+                it["done"].set()
+        else:  # beam: n-best + scores + top-beam confidence
+            toks, tlens, scores, confs = out
+            for i, it in enumerate(batch):
+                n0 = tlens[i, 0]
+                nbest = [
+                    {"tokens": toks[i, k, : tlens[i, k]].tolist(),
+                     "score": round(float(scores[i, k]), 4)}
+                    for k in range(toks.shape[1])
+                    if scores[i, k] > self.NEG_INF_HALF
+                ]
+                it["result"] = {
+                    "tokens": toks[i, 0, :n0].tolist(),
+                    "score": round(float(scores[i, 0]), 4),
+                    "confidence": np.round(confs[i, 0, :n0], 4).tolist(),
+                    "nbest": nbest,
+                }
+                it["done"].set()
 
 
 def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
@@ -236,7 +267,10 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
     Returns (init_state_fn, gstep) where
       init_state_fn(params) -> all-slots stream state, and
       gstep(params, lm_params, state, chunks (S,C,D), lens (S,), active
-      (S,) bool) -> (new_state, toks (S,max_symbols), tok_lens (S,)).
+      (S,) bool) -> (new_state, out) with out a dict:
+        greedy: {"tokens" (S,U), "lens" (S,), "confidence" (S,U)}
+        beam:   {"tokens" (S,K,U), "lens" (S,K), "scores" (S,K),
+                 "confidence" (S,K,U)} — beams sorted best-first.
     Inactive slots' state is re-selected, so they pass through unchanged.
     Factored out of StreamingEngine so tools/export_model.py can export
     the exact serving graph (VERDICT r2: serving cold start).
@@ -257,9 +291,13 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
             return init_stream(params, cfg, S, max_symbols)
 
         def chunk_step(p, lmp, state, chunks, lens):
-            return stream_chunk(p, cfg, state, chunks, lens,
-                                max_symbols=max_symbols)
+            st, toks, tok_lens = stream_chunk(p, cfg, state, chunks, lens,
+                                              max_symbols=max_symbols)
+            return st, {"tokens": toks, "lens": tok_lens,
+                        "confidence": st.decode_state[2]}
     elif mode == "beam":
+        from rnn_transducer_tpu.decode.beam import sorted_confidence
+
         def init_state_fn(params, lm_params=None):
             lm_t = (None if lm_cfg is None
                     else (lm_params, lm_cfg, lm_weight))
@@ -271,15 +309,16 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
                 p, cfg, state, chunks, lens, beam=beam,
                 max_symbols=max_symbols, expansions=expansions,
                 lm=None if lmp is None else (lmp, lm_cfg, lm_weight))
-            return st, toks[:, 0], tok_lens[:, 0]  # top beam
+            return st, {"tokens": toks, "lens": tok_lens, "scores": scores,
+                        "confidence": sorted_confidence(st.decode_state)}
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
     def gstep(p, lmp, state, chunks, lens, active):
-        new_state, toks, tok_lens = chunk_step(p, lmp, state, chunks, lens)
+        new_state, out = chunk_step(p, lmp, state, chunks, lens)
         sel = lambda n, o: jnp.where(
             active.reshape((S,) + (1,) * (n.ndim - 1)), n, o)
-        return jax.tree.map(sel, new_state, state), toks, tok_lens
+        return jax.tree.map(sel, new_state, state), out
 
     return init_state_fn, gstep
 
@@ -316,6 +355,7 @@ class StreamingEngine:
 
         self.params = params
         self.cfg = cfg
+        self.mode = mode
         self.slots = slots
         self.chunk_frames = chunk_frames
         self.max_symbols = max_symbols
@@ -365,9 +405,9 @@ class StreamingEngine:
         chunks = np.zeros((self.slots, self.chunk_frames, D), np.float32)
         lens = np.zeros((self.slots,), np.int32)
         active = np.zeros((self.slots,), bool)
-        st, toks, _ = self._gstep(self.params, self.state, chunks, lens,
-                                  active)
-        np.asarray(toks)  # force; state unchanged (all-inactive mask)
+        st, out = self._gstep(self.params, self.state, chunks, lens,
+                              active)
+        np.asarray(out["tokens"])  # force; state unchanged (inactive mask)
 
     def open_session(self) -> str:
         if self._closed:
@@ -407,6 +447,14 @@ class StreamingEngine:
         """chunk: (C, input_dim); C == chunk_frames unless this is the
         session's last chunk. Blocks for the tick; returns the cumulative
         token ids for this session."""
+        return self.feed_full(sid, chunk, last)["tokens"]
+
+    def feed_full(self, sid: str, chunk: np.ndarray, last: bool = False):
+        """Like feed() but returns the full partial-result dict:
+        {"tokens", "confidence", "stable_len", and in beam mode "score" +
+        "nbest"}. stable_len = length of the prefix all live beams agree
+        on — tokens[:stable_len] will never be retracted by a later chunk
+        (greedy output is final, so stable_len == len(tokens) there)."""
         chunk = np.asarray(chunk, np.float32)
         if chunk.ndim != 2 or chunk.shape[1] != self.cfg.input_dim:
             raise ValueError(
@@ -440,7 +488,7 @@ class StreamingEngine:
             raise RuntimeError(item["error"])
         with self._lock:
             if self._live.get(sid) == slot:  # still the owner
-                self._last[sid] = item["result"]
+                self._last[sid] = item["result"]["tokens"]
                 self._seen[sid] = time.monotonic()
         return item["result"]
 
@@ -529,13 +577,45 @@ class StreamingEngine:
                 active[slot] = True
             t0 = time.perf_counter()
             with self._state_lock:
-                self.state, toks, tok_lens = self._gstep(
+                self.state, out = self._gstep(
                     self.params, self.state, chunks, lens, active)
-            toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
+            out = {k: np.asarray(v) for k, v in out.items()}
         self.stats.record(len(batch), time.perf_counter() - t0)
         for slot, it in batch.items():
-            it["result"] = toks[slot, : tok_lens[slot]].tolist()
+            it["result"] = self._slot_result(out, slot)
             it["done"].set()
+
+    NEG_INF_HALF = -5.0e29  # beams below this are dead (decode/beam.py)
+
+    def _slot_result(self, out, slot: int) -> dict:
+        """Per-slot partial-result dict from the tick's output arrays."""
+        if self.mode == "greedy":
+            n = out["lens"][slot]
+            toks = out["tokens"][slot, :n].tolist()
+            return {"tokens": toks,
+                    "confidence": np.round(
+                        out["confidence"][slot, :n], 4).tolist(),
+                    "stable_len": len(toks)}  # greedy output is final
+        toks, lens = out["tokens"][slot], out["lens"][slot]
+        scores, confs = out["scores"][slot], out["confidence"][slot]
+        alive = [k for k in range(toks.shape[0])
+                 if scores[k] > self.NEG_INF_HALF]
+        top = toks[0, : lens[0]].tolist()
+        # stable prefix: the longest prefix ALL live beams agree on — a
+        # later chunk can only extend live beams, never rewrite it.
+        stable = len(top)
+        for k in alive[1:]:
+            n = min(stable, lens[k])
+            agree = int(np.argmin(np.concatenate(
+                [toks[0, :n] == toks[k, :n], [False]])))
+            stable = min(stable, agree)
+        return {"tokens": top,
+                "score": round(float(scores[0]), 4),
+                "confidence": np.round(confs[0, : lens[0]], 4).tolist(),
+                "nbest": [{"tokens": toks[k, : lens[k]].tolist(),
+                           "score": round(float(scores[k]), 4)}
+                          for k in alive],
+                "stable_len": stable}
 
 
 # --------------------------------------------------------------------------
@@ -589,10 +669,15 @@ def http_server(host: str, port: int, offline: BatchingEngine,
     class _TooLarge(Exception):
         pass
 
-    def result(ids):
-        out = {"tokens": ids}
+    def result(r):
+        """r: token id list (close_session) or a full result dict
+        (submit_full / feed_full) -> JSON payload, with text added
+        whenever a tokenizer is known."""
+        out = dict(r) if isinstance(r, dict) else {"tokens": r}
         if tok is not None:
-            out["text"] = decode_to_text(tok, ids)
+            out["text"] = decode_to_text(tok, out["tokens"])
+            for h in out.get("nbest", []):
+                h["text"] = decode_to_text(tok, h["tokens"])
         return out
 
     class Handler(BaseHTTPRequestHandler):
@@ -639,7 +724,7 @@ def http_server(host: str, port: int, offline: BatchingEngine,
             try:
                 if self.path == "/recognize":
                     feats = _feats_from_body(self._body(), offline.cfg)
-                    self._json(200, result(offline.submit(feats)))
+                    self._json(200, result(offline.submit_full(feats)))
                 elif self.path == "/session" and streaming is not None:
                     self._json(200, {"sid": streaming.open_session()})
                 elif (self.path.startswith("/session/")
@@ -647,7 +732,7 @@ def http_server(host: str, port: int, offline: BatchingEngine,
                     sid = self.path.split("/")[2]
                     body = self._body()
                     feats = _feats_from_body(body, streaming.cfg)
-                    self._json(200, result(streaming.feed(
+                    self._json(200, result(streaming.feed_full(
                         sid, feats, last=bool(body.get("last", False)))))
                 else:
                     self._json(404, {"error": "not found"})

@@ -144,3 +144,93 @@ def test_prefix_merge_accumulates_paths():
         # the exact marginal
         assert b0 <= want + 1e-4
         assert b0 >= want - 2.0
+
+
+def _host_beam_with_conf(params, cfg, enc_out, enc_len, beam, expansions,
+                         max_symbols):
+    """_host_beam extended with per-token confidence tracking: each live
+    hypothesis carries its emission log-probs; the pool keeps the FIRST
+    deposit's confidence per prefix (mirroring the device merge's
+    lowest-pool-index canonical representative)."""
+    V = cfg.vocab_size
+    pred_cache = {}
+
+    def pred_out_for(seq):
+        if seq in pred_cache:
+            return pred_cache[seq]
+        out, state = m.predict_step(params, cfg,
+                                    jnp.asarray([cfg.blank], jnp.int32),
+                                    m.init_pred_state(cfg, 1))
+        for tok in seq:
+            out, state = m.predict_step(params, cfg,
+                                        jnp.asarray([tok], jnp.int32), state)
+        pred_cache[seq] = out
+        return out
+
+    def lp_for(t, seq):
+        logits = m.joint_step(params, cfg, enc_out[None, t],
+                              pred_out_for(seq))
+        return np.asarray(jax.nn.log_softmax(logits[0]))
+
+    beams = [((), 0.0, ())]  # (seq, score, confs)
+    for t in range(enc_len):
+        pool, conf_of = {}, {}
+        live = list(beams)
+        for e in range(expansions + 1):
+            for seq, sc, confs in live:
+                lp = lp_for(t, seq)
+                pool[seq] = np.logaddexp(pool.get(seq, -np.inf),
+                                         sc + lp[cfg.blank])
+                if seq not in conf_of:  # first deposit wins
+                    conf_of[seq] = confs
+            if e == expansions:
+                break
+            cands = []
+            for seq, sc, confs in live:
+                if len(seq) >= max_symbols:
+                    continue
+                lp = lp_for(t, seq)
+                for v in range(V):
+                    if v != cfg.blank:
+                        cands.append((sc + lp[v], seq + (v,),
+                                      confs + (lp[v],)))
+            cands.sort(key=lambda x: -x[0])
+            live = [(seq, sc, confs) for sc, seq, confs in cands[:beam]]
+        merged = sorted(pool.items(), key=lambda kv: -kv[1])[:beam]
+        beams = [(seq, sc, conf_of[seq]) for seq, sc in merged]
+    return beams
+
+
+def test_beam_confidence_matches_host_replay():
+    """Device per-token beam confidence == the host reference's emission
+    log-probs along the canonical (first-deposited) merged path."""
+    cfg = _cfg()
+    params = m.init_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    B, T = 2, 5
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)), jnp.float32)
+    feat_lens = jnp.asarray(np.array([5, 4], np.int32))
+    K, E, U = 4, 2, 8
+    tokens, lens, scores, confs = jax.jit(
+        lambda f, l: recognize_beam(params, cfg, f, l, beam=K,
+                                    max_symbols=U, expansions=E,
+                                    with_confidence=True))(feats, feat_lens)
+    tokens, lens, scores, confs = map(
+        np.asarray, (tokens, lens, scores, confs))
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
+    for b in range(B):
+        want = _host_beam_with_conf(params, cfg, enc_out[b],
+                                    int(enc_lens[b]), beam=K, expansions=E,
+                                    max_symbols=U)
+        for k, (wseq, wsc, wconf) in enumerate(want):
+            if scores[b, k] <= NEG_INF / 2:
+                continue
+            gseq = tuple(tokens[b, k, : lens[b, k]].tolist())
+            assert gseq == wseq, (b, k, gseq, wseq)
+            np.testing.assert_allclose(confs[b, k, : lens[b, k]],
+                                       np.asarray(wconf), rtol=1e-4,
+                                       atol=1e-4)
+    # confidences are log-probs; padding stays zero
+    for b in range(B):
+        assert np.all(confs[b, 0, : lens[b, 0]] <= 1e-5)
+        assert np.all(confs[b, 0, lens[b, 0]:] == 0.0)

@@ -265,3 +265,71 @@ def test_http_server_end_to_end():
         srv.shutdown()
         offline.close()
         streaming.close()
+
+
+def test_beam_engine_full_payload():
+    """Beam serving exposes n-best, scores, and per-token confidence
+    (VERDICT r2: parity with greedy's serving surface)."""
+    from rnn_transducer_tpu.decode.beam import recognize_beam
+
+    eng = BatchingEngine(PARAMS, CFG, mode="beam", beam=3, expansions=2,
+                         max_symbols=MAXSYM, frame_buckets=(16,),
+                         max_batch=2, window_ms=1.0)
+    try:
+        f = _feats(12, 80)
+        out = eng.submit_full(f)
+        toks, lens, scores, confs = recognize_beam(
+            PARAMS, CFG, jnp.asarray(f[None]),
+            jnp.asarray([12], jnp.int32), beam=3, max_symbols=MAXSYM,
+            expansions=2, with_confidence=True)
+        want_top = np.asarray(toks)[0, 0, : int(lens[0, 0])].tolist()
+        assert out["tokens"] == want_top
+        assert out["nbest"][0]["tokens"] == want_top
+        np.testing.assert_allclose(out["score"], float(scores[0, 0]),
+                                   atol=1e-3)
+        np.testing.assert_allclose(
+            out["confidence"],
+            np.round(np.asarray(confs)[0, 0, : len(want_top)], 4),
+            atol=1e-3)
+        assert len(out["confidence"]) == len(out["tokens"])
+        # n-best sorted best-first, all real log-probs
+        sc = [h["score"] for h in out["nbest"]]
+        assert sc == sorted(sc, reverse=True)
+        # plain submit() keeps the token-list contract
+        assert eng.submit(f) == want_top
+    finally:
+        eng.close()
+
+
+def test_streaming_full_payload_and_stable_prefix():
+    greedy = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=8,
+                             max_symbols=MAXSYM, window_ms=1.0)
+    beam = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=8,
+                           max_symbols=MAXSYM, window_ms=1.0,
+                           mode="beam", beam=3, expansions=2)
+    try:
+        a = _feats(16, 81)
+        sid = greedy.open_session()
+        for t0 in range(0, 16, 8):
+            out = greedy.feed_full(sid, a[t0: t0 + 8])
+        # greedy partials are final: stable == everything, with confidence
+        assert out["stable_len"] == len(out["tokens"])
+        assert len(out["confidence"]) == len(out["tokens"])
+        assert all(c <= 1e-5 for c in out["confidence"])
+        greedy.close_session(sid)
+
+        sid = beam.open_session()
+        stable_prev = 0
+        for t0 in range(0, 16, 8):
+            out = beam.feed_full(sid, a[t0: t0 + 8])
+            # the stable prefix never shrinks and never exceeds the output
+            assert 0 <= out["stable_len"] <= len(out["tokens"])
+            assert out["stable_len"] >= stable_prev
+            stable_prev = out["stable_len"]
+            assert out["nbest"][0]["tokens"] == out["tokens"]
+            sc = [h["score"] for h in out["nbest"]]
+            assert sc == sorted(sc, reverse=True)
+        assert beam.close_session(sid) == out["tokens"]
+    finally:
+        greedy.close()
+        beam.close()

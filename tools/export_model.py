@@ -100,9 +100,10 @@ def export_streaming(params, cfg, *, mode: str, slots: int,
     (make_masked_chunk_step), so a server can skip the 10-20 min
     beam-mode trace+compile at startup (VERDICT r2 item 3). Artifact
     signature: f(params, None, state_pytree, chunks (S,C,D) f32,
-    lens (S,) i32, active (S,) bool) -> (state', toks, tok_lens).
-    mode: "streaming_greedy" | "streaming_beam" (no-LM graphs; LM-fused
-    serving still compiles live).
+    lens (S,) i32, active (S,) bool) -> (state', out_dict) — out_dict per
+    serve.make_masked_chunk_step (tokens/lens/confidence, + scores in
+    beam mode). mode: "streaming_greedy" | "streaming_beam" (no-LM
+    graphs; LM-fused serving still compiles live).
     """
     import jax
     import jax.numpy as jnp
@@ -131,8 +132,8 @@ def export_streaming(params, cfg, *, mode: str, slots: int,
         "model_config": dataclasses.asdict(cfg),
         "calling_convention":
             "f(params, None, state, chunks_f32[S,C,D], lens_i32[S], "
-            "active_bool[S]) -> (state', tokens_i32[S,max_symbols], "
-            "tok_lens_i32[S])",
+            "active_bool[S]) -> (state', out_dict) — out_dict per "
+            "serve.make_masked_chunk_step",
     }
     return exp.serialize(), meta
 
