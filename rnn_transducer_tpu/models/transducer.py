@@ -135,12 +135,21 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens, *,
     n = len(params["encoder"])
     for i, layer in enumerate(params["encoder"]):
         x = run_layer(layer, x, lens)
-        x = mask_padding(x, lens)
+        # No inter-layer mask_padding: pad-region values are garbage but
+        # stay in the pad region — the time recurrence only moves t
+        # forward, reverse_padded never reads pads into valid positions,
+        # and pad-position cotangents are zero, so dW is untouched.
+        # Masking IS required before frame stacking (a stacked frame can
+        # straddle the valid/pad boundary) and on the final output
+        # (downstream contract: zeros past enc_lens). Dropping the
+        # intermediate masks removes one full activation-sized select
+        # pass per layer (~0.7 ms/layer on the 6x1024 config).
         if dropout > 0.0 and rng is not None and i < n - 1:
             x = _dropout(x, dropout, rng, site=i)
         if i == 0 and cfg.time_reduction > 1:
+            x = mask_padding(x, lens)
             x, lens = _time_reduce(x, lens, cfg.time_reduction)
-    return x, lens
+    return mask_padding(x, lens), lens
 
 
 def init_enc_state(cfg: TransducerConfig, batch: int):

@@ -120,8 +120,10 @@ def bilstm_layer(params_fwd, params_bwd, x, lens, *,
                  compute_dtype=jnp.bfloat16):
     """Bidirectional layer: concat of forward and padded-reverse backward runs.
 
-    x must be zero-padded beyond lens so the reversed pass starts from the
-    true final frame of each utterance. Output: (B, T, 2H).
+    Pad-region content of x is irrelevant (reverse_padded maps pads to
+    themselves, so the reversed pass still starts from the true final
+    frame and pad garbage never enters a valid position); pad positions
+    of the OUTPUT are garbage. Output: (B, T, 2H).
     """
     y_f, _ = lstm_layer(params_fwd, x, compute_dtype=compute_dtype)
     x_r = reverse_padded(x, lens)

@@ -8,12 +8,16 @@ runs TILE_T recurrent-matmul + gate updates entirely on-chip, and writes
 back only the (B_tile, TILE_T, H) outputs. Large layers additionally tile
 the batch (grid = (nB, nT), time innermost so the carry stays coherent).
 
-Backward is hand-derived BPTT with gate *recomputation* (one extra
-recurrent matmul instead of storing (B, T, 4H) gate activations): the
-time-reversed grid recomputes gates from x_proj and the saved h/c
-trajectories, carries dh/dc in VMEM scratch, and emits dgates; the weight
-gradients dW_ih/dW_hh/db then fall out of large batched XLA matmuls over
-the dgates tensor — MXU-shaped work XLA already does optimally.
+Backward is hand-derived BPTT over gate activations SAVED by the forward
+(fp32 (B, T, 4H) post-nonlinearity values [i_s, f_s, g_t, o_s]): the
+time-reversed grid assembles dgates and the dh/dc carries directly from
+them — no gates-recompute matmul and no sigmoid/tanh on the backward's
+serial critical path (r3: cut the v2 backward from ~9.9 to ~5 us/step).
+Saving acts is HBM-residency-neutral: it replaces x_proj in the VJP
+residuals (x_proj is dead after the forward kernel consumes it; the
+backward no longer reads it). The weight gradients dW_ih/dW_hh/db fall
+out of large batched XLA matmuls over the emitted dgates tensor —
+MXU-shaped work XLA already does optimally.
 
 Used automatically for lane-aligned layer sizes (H % 128 == 0, B % 8 == 0);
 other shapes fall back to the scan implementation. Gate order matches
@@ -80,7 +84,7 @@ def _split4(gates, H):
 # ------------------------------- forward ---------------------------------
 
 def _fwd_kernel(cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
-                h_s, c_s):
+                acts_ref, h_s, c_s):
     t_idx = pl.program_id(1)
     H = h0_ref.shape[1]
 
@@ -95,10 +99,15 @@ def _fwd_kernel(cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
         gates = x_ref[0, :, i, :] + jnp.dot(
             h.astype(cdtype), w_ref[:], preferred_element_type=jnp.float32)
         i_, f_, g_, o_ = _split4(gates, H)
-        c = jax.nn.sigmoid(f_) * c + jax.nn.sigmoid(i_) * jnp.tanh(g_)
-        h = jax.nn.sigmoid(o_) * jnp.tanh(c)
+        i_s = jax.nn.sigmoid(i_)
+        f_s = jax.nn.sigmoid(f_)
+        g_t = jnp.tanh(g_)
+        o_s = jax.nn.sigmoid(o_)
+        c = f_s * c + i_s * g_t
+        h = o_s * jnp.tanh(c)
         hs_ref[0, :, i, :] = h
         cs_ref[0, :, i, :] = c
+        acts_ref[0, :, i, :] = jnp.concatenate([i_s, f_s, g_t, o_s], axis=1)
     h_s[:] = h
     c_s[:] = c
 
@@ -118,7 +127,7 @@ def _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype):
     out_shape = jax.ShapeDtypeStruct((nB, BT, Tp, H), jnp.float32)
     out_spec = pl.BlockSpec((1, BT, TILE_T, H), lambda b, t: (b, 0, t, 0),
                             memory_space=pltpu.VMEM)
-    hs, cs = pl.pallas_call(
+    hs, cs, acts = pl.pallas_call(
         functools.partial(_fwd_kernel, cdtype),
         grid=(nB, nT),  # time innermost: the (h, c) carry stays coherent
         in_specs=[
@@ -131,8 +140,12 @@ def _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype):
             pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(out_spec, out_spec),
-        out_shape=(out_shape, out_shape),
+        out_specs=(out_spec, out_spec,
+                   pl.BlockSpec((1, BT, TILE_T, H4),
+                                lambda b, t: (b, 0, t, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(out_shape, out_shape,
+                   jax.ShapeDtypeStruct((nB, BT, Tp, H4), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),
             pltpu.VMEM((BT, H), jnp.float32),
@@ -141,12 +154,12 @@ def _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype):
     )(x_proj, h0, c0, w_c)
     hs = hs.reshape(B, Tp, H)[:, :T]
     cs = cs.reshape(B, Tp, H)[:, :T]
-    return hs, cs
+    return hs, cs, acts
 
 
 # ------------------------------- backward --------------------------------
 
-def _bwd_kernel(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
+def _bwd_kernel(T, nT, cdtype, acts_ref, cp_ref, dhs_ref,
                 dcT_ref, w_ref, dx_ref, dh0_ref, dc0_ref, dh_s, dc_s):
     t_idx = pl.program_id(1)
     H = dcT_ref.shape[1]
@@ -163,21 +176,19 @@ def _bwd_kernel(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
         # otherwise decay through the pad before reaching the real T-1.
         t_global = (nT - 1 - t_idx) * TILE_T + i
         valid = t_global < T
-        gates = x_ref[0, :, i, :] + jnp.dot(
-            hp_ref[0, :, i, :], w_ref[:], preferred_element_type=jnp.float32)
-        i_l, f_l, g_l, o_l = _split4(gates, H)
-        i_s = jax.nn.sigmoid(i_l)
-        f_s = jax.nn.sigmoid(f_l)
-        g_t = jnp.tanh(g_l)
-        o_s = jax.nn.sigmoid(o_l)
-        c_t = cs_ref[0, :, i, :]
-        tc = jnp.tanh(c_t)
+        # gate activations saved by the forward (exact fp32 values): no
+        # recompute matmul, no sigmoid/tanh on the serial critical path;
+        # c_t from c_{t-1} + saved activations (the forward formula —
+        # bit-identical), so the cs trajectory is not streamed either.
+        i_s, f_s, g_t, o_s = _split4(acts_ref[0, :, i, :], H)
+        cp = cp_ref[0, :, i, :]
+        tc = jnp.tanh(f_s * cp + i_s * g_t)
         dh_tot = dhs_ref[0, :, i, :] + dh
         do = dh_tot * tc
         dc = dc_carry + dh_tot * o_s * (1.0 - tc * tc)
         di = dc * g_t
         dg = dc * i_s
-        df = dc * cp_ref[0, :, i, :]
+        df = dc * cp
         dgates = jnp.concatenate(
             [di * i_s * (1.0 - i_s), df * f_s * (1.0 - f_s),
              dg * (1.0 - g_t * g_t), do * o_s * (1.0 - o_s)], axis=1)
@@ -201,9 +212,9 @@ def _bwd_kernel(T, nT, cdtype, x_ref, hp_ref, cs_ref, cp_ref, dhs_ref,
     dc0_ref[:] = dc_carry
 
 
-def _lstm_core_bwd(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
-    B, T, H4 = x_proj.shape
-    H = H4 // 4
+def _lstm_core_bwd(acts, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
+    B, T, H = hs.shape
+    H4 = 4 * H
     BT = _tile_b(B, H)
     nB = B // BT
     nT = -(-T // TILE_T)
@@ -220,11 +231,7 @@ def _lstm_core_bwd(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
     def shape4(a):
         return padt(a).reshape(nB, BT, Tp, a.shape[-1])
 
-    x_proj4 = shape4(x_proj)
-    # hs_prev is only consumed by the recurrent matmul, which runs in the
-    # compute dtype anyway — stream it pre-cast to halve its VMEM slab.
-    hp4 = shape4(hs_prev).astype(cdtype)
-    cs4 = shape4(cs)
+    # acts is already in the kernel's (nB, BT, Tp, H4) layout
     cp4 = shape4(cs_prev)
     dhs4 = shape4(dhs)
     dcT2 = dcT
@@ -236,7 +243,7 @@ def _lstm_core_bwd(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
     dx, dh0, dc0 = pl.pallas_call(
         functools.partial(_bwd_kernel, T, nT, cdtype),
         grid=(nB, nT),
-        in_specs=[tile(H4), tile(H), tile(H), tile(H), tile(H), vec,
+        in_specs=[tile(H4), tile(H), tile(H), vec,
                   pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(tile(H4), vec, vec),
@@ -250,7 +257,7 @@ def _lstm_core_bwd(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
             pltpu.VMEM((BT, H), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x_proj4, hp4, cs4, cp4, dhs4, dcT2, w_c)
+    )(acts, cp4, dhs4, dcT2, w_c)
     dx = dx.reshape(B, Tp, H4)[:, :T]
     # Weight grad as one large XLA matmul over dgates.
     dw_hh = jnp.einsum("bth,btk->hk", hs_prev, dx,
@@ -289,7 +296,7 @@ def _tile_bt_v2(B: int, H: int) -> tuple[int, int]:
 
 
 def _fwd_kernel_v2(tile_t, cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref,
-                   cs_ref, h_s, c_s):
+                   cs_ref, acts_ref, h_s, c_s):
     t_idx = pl.program_id(1)
     H = h0_ref.shape[1]
 
@@ -303,10 +310,15 @@ def _fwd_kernel_v2(tile_t, cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref,
         gates = x_ref[0, i, :, :] + jnp.dot(
             h.astype(cdtype), w_ref[:], preferred_element_type=jnp.float32)
         i_, f_, g_, o_ = _split4(gates, H)
-        c = jax.nn.sigmoid(f_) * c + jax.nn.sigmoid(i_) * jnp.tanh(g_)
-        h = jax.nn.sigmoid(o_) * jnp.tanh(c)
+        i_s = jax.nn.sigmoid(i_)
+        f_s = jax.nn.sigmoid(f_)
+        g_t = jnp.tanh(g_)
+        o_s = jax.nn.sigmoid(o_)
+        c = f_s * c + i_s * g_t
+        h = o_s * jnp.tanh(c)
         hs_ref[0, i, :, :] = h
         cs_ref[0, i, :, :] = c
+        acts_ref[0, i, :, :] = jnp.concatenate([i_s, f_s, g_t, o_s], axis=1)
         return h, c
 
     h, c = jax.lax.fori_loop(0, tile_t, step, (h_s[:], c_s[:]))
@@ -329,7 +341,7 @@ def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype):
     out_shape = jax.ShapeDtypeStruct((nB, Tp, BT, H), jnp.float32)
     out_spec = pl.BlockSpec((1, tile_t, BT, H), lambda b, t: (b, t, 0, 0),
                             memory_space=pltpu.VMEM)
-    hs, cs = pl.pallas_call(
+    hs, cs, acts = pl.pallas_call(
         functools.partial(_fwd_kernel_v2, tile_t, cdtype),
         grid=(nB, nT),
         in_specs=[
@@ -342,8 +354,12 @@ def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype):
             pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(out_spec, out_spec),
-        out_shape=(out_shape, out_shape),
+        out_specs=(out_spec, out_spec,
+                   pl.BlockSpec((1, tile_t, BT, H4),
+                                lambda b, t: (b, t, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(out_shape, out_shape,
+                   jax.ShapeDtypeStruct((nB, Tp, BT, H4), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),
             pltpu.VMEM((BT, H), jnp.float32),
@@ -352,10 +368,10 @@ def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype):
     )(x4, h0, c0, w_c)
     hs = hs.transpose(0, 2, 1, 3).reshape(B, Tp, H)[:, :T]
     cs = cs.transpose(0, 2, 1, 3).reshape(B, Tp, H)[:, :T]
-    return hs, cs
+    return hs, cs, acts
 
 
-def _bwd_kernel_v2(T, nT, tile_t, cdtype, x_ref, hp_ref, cs_ref, cp_ref,
+def _bwd_kernel_v2(T, nT, tile_t, cdtype, acts_ref, cp_ref,
                    dhs_ref, dcT_ref, w_ref, dx_ref, dh0_ref, dc0_ref,
                    dh_s, dc_s):
     t_idx = pl.program_id(1)
@@ -371,20 +387,19 @@ def _bwd_kernel_v2(T, nT, tile_t, cdtype, x_ref, hp_ref, cs_ref, cp_ref,
         dh, dc_carry = carry
         t_global = (nT - 1 - t_idx) * tile_t + i
         valid = t_global < T
-        gates = x_ref[0, i, :, :] + jnp.dot(
-            hp_ref[0, i, :, :], w_ref[:], preferred_element_type=jnp.float32)
-        i_l, f_l, g_l, o_l = _split4(gates, H)
-        i_s = jax.nn.sigmoid(i_l)
-        f_s = jax.nn.sigmoid(f_l)
-        g_t = jnp.tanh(g_l)
-        o_s = jax.nn.sigmoid(o_l)
-        tc = jnp.tanh(cs_ref[0, i, :, :])
+        # gate activations saved by the forward (exact fp32 values): no
+        # recompute matmul, no sigmoid/tanh on the serial critical path
+        i_s, f_s, g_t, o_s = _split4(acts_ref[0, i, :, :], H)
+        cp = cp_ref[0, i, :, :]
+        # c_t from c_{t-1} + saved activations (the forward formula —
+        # bit-identical), so the cs trajectory is not streamed either
+        tc = jnp.tanh(f_s * cp + i_s * g_t)
         dh_tot = dhs_ref[0, i, :, :] + dh
         do = dh_tot * tc
         dc = dc_carry + dh_tot * o_s * (1.0 - tc * tc)
         di = dc * g_t
         dg = dc * i_s
-        df = dc * cp_ref[0, i, :, :]
+        df = dc * cp
         dgates = jnp.concatenate(
             [di * i_s * (1.0 - i_s), df * f_s * (1.0 - f_s),
              dg * (1.0 - g_t * g_t), do * o_s * (1.0 - o_s)], axis=1)
@@ -404,9 +419,9 @@ def _bwd_kernel_v2(T, nT, tile_t, cdtype, x_ref, hp_ref, cs_ref, cp_ref,
     dc0_ref[:] = dc_carry
 
 
-def _lstm_core_bwd_v2(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
-    B, T, H4 = x_proj.shape
-    H = H4 // 4
+def _lstm_core_bwd_v2(acts, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
+    B, T, H = hs.shape
+    H4 = 4 * H
     BT, tile_t = _tile_bt_v2(B, H)
     nB = B // BT
     nT = -(-T // tile_t)
@@ -419,11 +434,7 @@ def _lstm_core_bwd_v2(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
         a = (jnp.pad(a, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else a)
         return a.reshape(nB, BT, Tp, a.shape[-1]).transpose(0, 2, 1, 3)
 
-    x4 = shape4(x_proj)
-    # hs_prev is only consumed by the recurrent matmul, which runs in the
-    # compute dtype anyway — stream it pre-cast to halve its VMEM slab.
-    hp4 = shape4(hs_prev).astype(cdtype)
-    cs4 = shape4(cs)
+    # acts is already in the kernel's time-major (nB, Tp, BT, H4) layout
     cp4 = shape4(cs_prev)
     dhs4 = shape4(dhs)
     w_c = w_hh.astype(cdtype)
@@ -434,7 +445,7 @@ def _lstm_core_bwd_v2(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
     dx, dh0, dc0 = pl.pallas_call(
         functools.partial(_bwd_kernel_v2, T, nT, tile_t, cdtype),
         grid=(nB, nT),
-        in_specs=[tile(H4), tile(H), tile(H), tile(H), tile(H), vec,
+        in_specs=[tile(H4), tile(H), tile(H), vec,
                   pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(tile(H4), vec, vec),
@@ -448,7 +459,7 @@ def _lstm_core_bwd_v2(x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
             pltpu.VMEM((BT, H), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x4, hp4, cs4, cp4, dhs4, dcT, w_c)
+    )(acts, cp4, dhs4, dcT, w_c)
     dx = dx.transpose(0, 2, 1, 3).reshape(B, Tp, H4)[:, :T]
     dw_hh = jnp.einsum("bth,btk->hk", hs_prev, dx,
                        preferred_element_type=jnp.float32)
@@ -465,25 +476,28 @@ def _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _lstm_core(x_proj, w_hh, h0, c0, cdtype):
-    hs, cs = _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype)
+    hs, cs, _ = _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype)
     T = x_proj.shape[1]
     return hs, hs[:, T - 1], cs[:, T - 1]
 
 
 def _core_fwd(x_proj, w_hh, h0, c0, cdtype):
-    hs, cs = _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype)
+    hs, cs, acts = _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype)
     T = x_proj.shape[1]
     out = (hs, hs[:, T - 1], cs[:, T - 1])
-    return out, (x_proj, w_hh, h0, c0, hs, cs)
+    # acts (the saved gate activations, kernel-layout) REPLACES x_proj in
+    # the residuals: the backward reads only activations, and x_proj dies
+    # with the forward kernel — no extra HBM residency.
+    return out, (acts, w_hh, h0, c0, hs, cs)
 
 
 def _core_bwd(cdtype, res, cot):
-    x_proj, w_hh, h0, c0, hs, cs = res
+    acts, w_hh, h0, c0, hs, cs = res
     dhs, dhT, dcT = cot
-    bwd = (_lstm_core_bwd_v2 if _use_v2(x_proj.shape[0], w_hh.shape[0])
+    bwd = (_lstm_core_bwd_v2 if _use_v2(hs.shape[0], w_hh.shape[0])
            else _lstm_core_bwd)
     dx, dw_hh, dh0, dc0 = bwd(
-        x_proj, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype)
+        acts, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype)
     return dx, dw_hh.astype(w_hh.dtype), dh0, dc0
 
 
