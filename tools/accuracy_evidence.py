@@ -42,9 +42,15 @@ WORDS = ["the", "cat", "dog", "runs", "fast", "slow", "over", "hill",
 
 
 def _char_freq(c: str) -> float:
-    # distinct tone per character, spread across the mel range
-    i = (ord(c) - ord("a")) if c != " " else 27
-    return 180.0 * (1.06 ** (i * 4))  # geometric spacing, ~180 Hz..~3 kHz
+    # distinct tone per character, EQUALLY SPACED ON THE MEL SCALE from
+    # 300 Hz to 3.8 kHz (~65 mel apart = ~2 FBANK bins at n_mels=80, so
+    # every pair is separable; geometric Hz spacing left the low chars
+    # only half a bin apart)
+    i = (ord(c) - ord("a")) if c != " " else 26
+    mel_lo = 2595.0 * math.log10(1.0 + 300.0 / 700.0)
+    mel_hi = 2595.0 * math.log10(1.0 + 3800.0 / 700.0)
+    mel = mel_lo + (mel_hi - mel_lo) * i / 27.0
+    return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
 
 
 def synth_utterance(text: str, rng) -> np.ndarray:
@@ -128,6 +134,7 @@ def run_config(name: str, cfg_name: str, out_dir: str, steps: int,
                 "--eval-every", "200", "--log-every", "100",
                 "--log-file", log_file, "--ckpt-every", str(steps),
                 "--lr", "3e-4", "--warmup-steps", "200",
+                "--dropout", "0.1",
                 "--max-frames", "600", "--max-labels", "40",
                 "--data-parallel", "1", "--seed", str(seed)])
 
@@ -156,7 +163,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out-dir", required=True)
     p.add_argument("--steps", type=int, default=4000)
-    p.add_argument("--utts", type=int, default=256)
+    p.add_argument("--utts", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--configs", nargs="+",
