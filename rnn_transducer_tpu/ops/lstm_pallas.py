@@ -83,8 +83,10 @@ def _split4(gates, H):
 
 # ------------------------------- forward ---------------------------------
 
-def _fwd_kernel(cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
-                acts_ref, h_s, c_s):
+def _fwd_kernel(cdtype, with_acts, x_ref, h0_ref, c0_ref, w_ref, hs_ref,
+                cs_ref, *rest):
+    acts_ref = rest[0] if with_acts else None
+    h_s, c_s = rest[-2], rest[-1]
     t_idx = pl.program_id(1)
     H = h0_ref.shape[1]
 
@@ -107,13 +109,14 @@ def _fwd_kernel(cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref, cs_ref,
         h = o_s * jnp.tanh(c)
         hs_ref[0, :, i, :] = h
         cs_ref[0, :, i, :] = c
-        acts_ref[0, :, i, :] = jnp.concatenate(
-            [i_s, f_s, g_t, o_s], axis=1).astype(acts_ref.dtype)
+        if with_acts:
+            acts_ref[0, :, i, :] = jnp.concatenate(
+                [i_s, f_s, g_t, o_s], axis=1).astype(acts_ref.dtype)
     h_s[:] = h
     c_s[:] = c
 
 
-def _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype):
+def _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype, with_acts=True):
     B, T, H4 = x_proj.shape
     H = H4 // 4
     BT = _tile_b(B, H)
@@ -128,8 +131,13 @@ def _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype):
     out_shape = jax.ShapeDtypeStruct((nB, BT, Tp, H), jnp.float32)
     out_spec = pl.BlockSpec((1, BT, TILE_T, H), lambda b, t: (b, 0, t, 0),
                             memory_space=pltpu.VMEM)
-    hs, cs, acts = pl.pallas_call(
-        functools.partial(_fwd_kernel, cdtype),
+    acts_spec = (pl.BlockSpec((1, BT, TILE_T, H4),
+                              lambda b, t: (b, 0, t, 0),
+                              memory_space=pltpu.VMEM),) if with_acts else ()
+    acts_shape = ((jax.ShapeDtypeStruct((nB, BT, Tp, H4), x_proj.dtype),)
+                  if with_acts else ())
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, cdtype, with_acts),
         grid=(nB, nT),  # time innermost: the (h, c) carry stays coherent
         in_specs=[
             pl.BlockSpec((1, BT, TILE_T, H4), lambda b, t: (b, 0, t, 0),
@@ -141,18 +149,16 @@ def _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype):
             pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(out_spec, out_spec,
-                   pl.BlockSpec((1, BT, TILE_T, H4),
-                                lambda b, t: (b, 0, t, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(out_shape, out_shape,
-                   jax.ShapeDtypeStruct((nB, BT, Tp, H4), x_proj.dtype)),
+        out_specs=(out_spec, out_spec) + acts_spec,
+        out_shape=(out_shape, out_shape) + acts_shape,
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),
             pltpu.VMEM((BT, H), jnp.float32),
         ],
         interpret=_interpret(),
     )(x_proj, h0, c0, w_c)
+    hs, cs = outs[0], outs[1]
+    acts = outs[2] if with_acts else None
     hs = hs.reshape(B, Tp, H)[:, :T]
     cs = cs.reshape(B, Tp, H)[:, :T]
     return hs, cs, acts
@@ -298,8 +304,10 @@ def _tile_bt_v2(B: int, H: int) -> tuple[int, int]:
     return min(B, 8), 8
 
 
-def _fwd_kernel_v2(tile_t, cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref,
-                   cs_ref, acts_ref, h_s, c_s):
+def _fwd_kernel_v2(tile_t, cdtype, with_acts, x_ref, h0_ref, c0_ref,
+                   w_ref, hs_ref, cs_ref, *rest):
+    acts_ref = rest[0] if with_acts else None
+    h_s, c_s = rest[-2], rest[-1]
     t_idx = pl.program_id(1)
     H = h0_ref.shape[1]
 
@@ -321,8 +329,9 @@ def _fwd_kernel_v2(tile_t, cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref,
         h = o_s * jnp.tanh(c)
         hs_ref[0, i, :, :] = h
         cs_ref[0, i, :, :] = c
-        acts_ref[0, i, :, :] = jnp.concatenate(
-            [i_s, f_s, g_t, o_s], axis=1).astype(acts_ref.dtype)
+        if with_acts:
+            acts_ref[0, i, :, :] = jnp.concatenate(
+                [i_s, f_s, g_t, o_s], axis=1).astype(acts_ref.dtype)
         return h, c
 
     h, c = jax.lax.fori_loop(0, tile_t, step, (h_s[:], c_s[:]))
@@ -330,7 +339,7 @@ def _fwd_kernel_v2(tile_t, cdtype, x_ref, h0_ref, c0_ref, w_ref, hs_ref,
     c_s[:] = c
 
 
-def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype):
+def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype, with_acts=True):
     B, T, H4 = x_proj.shape
     H = H4 // 4
     BT, tile_t = _tile_bt_v2(B, H)
@@ -345,8 +354,13 @@ def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype):
     out_shape = jax.ShapeDtypeStruct((nB, Tp, BT, H), jnp.float32)
     out_spec = pl.BlockSpec((1, tile_t, BT, H), lambda b, t: (b, t, 0, 0),
                             memory_space=pltpu.VMEM)
-    hs, cs, acts = pl.pallas_call(
-        functools.partial(_fwd_kernel_v2, tile_t, cdtype),
+    acts_spec = (pl.BlockSpec((1, tile_t, BT, H4),
+                              lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM),) if with_acts else ()
+    acts_shape = ((jax.ShapeDtypeStruct((nB, Tp, BT, H4), x_proj.dtype),)
+                  if with_acts else ())
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_v2, tile_t, cdtype, with_acts),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((1, tile_t, BT, H4), lambda b, t: (b, t, 0, 0),
@@ -358,18 +372,16 @@ def _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype):
             pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(out_spec, out_spec,
-                   pl.BlockSpec((1, tile_t, BT, H4),
-                                lambda b, t: (b, t, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(out_shape, out_shape,
-                   jax.ShapeDtypeStruct((nB, Tp, BT, H4), x_proj.dtype)),
+        out_specs=(out_spec, out_spec) + acts_spec,
+        out_shape=(out_shape, out_shape) + acts_shape,
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),
             pltpu.VMEM((BT, H), jnp.float32),
         ],
         interpret=_interpret(),
     )(x4, h0, c0, w_c)
+    hs, cs = outs[0], outs[1]
+    acts = outs[2] if with_acts else None
     hs = hs.transpose(0, 2, 1, 3).reshape(B, Tp, H)[:, :T]
     cs = cs.transpose(0, 2, 1, 3).reshape(B, Tp, H)[:, :T]
     return hs, cs, acts
@@ -473,15 +485,18 @@ def _lstm_core_bwd_v2(acts, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
 
 # ------------------------------ public op --------------------------------
 
-def _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype):
+def _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype, with_acts=True):
     if _use_v2(x_proj.shape[0], w_hh.shape[0]):
-        return _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype)
-    return _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype)
+        return _lstm_core_fwd_v2(x_proj, w_hh, h0, c0, cdtype, with_acts)
+    return _lstm_core_fwd(x_proj, w_hh, h0, c0, cdtype, with_acts)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _lstm_core(x_proj, w_hh, h0, c0, cdtype):
-    hs, cs, _ = _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype)
+    # primal (inference) path: no backward -> skip the acts output and
+    # its HBM write entirely
+    hs, cs, _ = _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype,
+                              with_acts=False)
     T = x_proj.shape[1]
     return hs, hs[:, T - 1], cs[:, T - 1]
 

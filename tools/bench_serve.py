@@ -31,7 +31,8 @@ def bench_streaming(args, params, cfg):
     eng = StreamingEngine(params, cfg, slots=args.concurrency,
                           chunk_frames=args.chunk_frames,
                           max_symbols=args.max_symbols,
-                          window_ms=args.window_ms)
+                          window_ms=args.window_ms,
+                          mode=args.mode, beam=args.beam)
     print("warming up...", file=sys.stderr)
     eng.warmup()
     rng = np.random.default_rng(args.seed)
@@ -69,6 +70,7 @@ def bench_streaming(args, params, cfg):
                    * args.frame_hop_s)
     s = eng.stats.summary()
     print(json.dumps({
+        "mode": args.mode,
         "streaming_sessions": args.concurrency,
         "chunks_per_s": round(len(lat) / wall, 2),
         "streaming_rtf": round(wall / total_audio, 6),
