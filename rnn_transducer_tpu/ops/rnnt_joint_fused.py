@@ -148,7 +148,7 @@ def joint_lp_fwd(f, g, labels_pad, w, b, blank, cdtype):
 # --------------------------- backward kernel -----------------------------
 
 def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
-                occ_ref, gb_ref, gy_ref, base_ref,
+                gb_ref, gy_ref, base_ref, gbar_ref,
                 df_ref, dg_ref, dw_ref, db_ref):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
@@ -158,10 +158,20 @@ def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
     probs = jnp.exp(logits - base_ref[0][:, :, None])
     lab = lab_ref[0, 0, :]
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
-    dlogits = probs * occ_ref[0][:, :, None]
-    dlogits = dlogits - jnp.where(col == blank, gb_ref[0][:, :, None], 0.0)
-    dlogits = dlogits - jnp.where(col == lab[None, :, None],
-                                  gy_ref[0][:, :, None], 0.0)
+    # the loss cotangent enters on the tiny (TILE_T, U1p) sidecars, not
+    # as pre-scaled full arrays (saves three XLA passes + one lattice-
+    # sidecar HBM input per step). The dlogits assembly stays f32: Mosaic
+    # cannot broadcast a 16-bit (T, U, 1) vector against the i1 select
+    # masks ("Invalid relayout ... replicated in destination but not in
+    # source"), so a bf16 epilogue does not lower; only the final matmul
+    # operand cast is in cdtype.
+    s = gbar_ref[0, 0, 0]
+    occ_s = ((gb_ref[0] + gy_ref[0]) * s)[:, :, None]   # (TILE_T, U1p, 1)
+    gb_s = (gb_ref[0] * s)[:, :, None]
+    gy_s = (gy_ref[0] * s)[:, :, None]
+    dlogits = probs * occ_s
+    dlogits = dlogits - jnp.where(col == blank, gb_s, 0.0)
+    dlogits = dlogits - jnp.where(col == lab[None, :, None], gy_s, 0.0)
     dl_c = dlogits.astype(cdtype)
     # dz = (dlogits @ W^T) * (1 - z^2), on the collapsed 2D view
     U1p_, J_ = z.shape[1], z.shape[2]
@@ -195,11 +205,15 @@ def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
     dw_ref[:] += jax.lax.dot_general(
         z2, dl2, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    db_ref[0] += jnp.sum(dlogits, axis=(0, 1))
+    db_ref[0] += jnp.sum(dlogits, axis=(0, 1), dtype=jnp.float32)
 
 
-def joint_lp_bwd(f, g, labels_pad, w, b, occ, gb, gy, base, blank, cdtype):
-    """-> (df, dg, dw, db); dW/dg/db accumulate across the sequential grid."""
+def joint_lp_bwd(f, g, labels_pad, w, b, gb, gy, base, gbar, blank, cdtype):
+    """-> (df, dg, dw, db); dW/dg/db accumulate across the sequential grid.
+
+    gb/gy are the UNSCALED blank/emit occupancies; `gbar` (B,) is the loss
+    cotangent, applied inside the kernel on the (TILE_T, U1p) sidecars.
+    """
     B, T, J = f.shape
     U1p = g.shape[1]
     Vp = w.shape[1]
@@ -208,7 +222,6 @@ def joint_lp_bwd(f, g, labels_pad, w, b, occ, gb, gy, base, blank, cdtype):
         # zero-pad time so tail tiles contribute zero occupancy; pad base
         # LARGE so exp(logits - base) underflows to exactly 0 there
         f = _pad_axis(f, 1, TILE_T)
-        occ = _pad_axis(occ, 1, TILE_T)
         gb = _pad_axis(gb, 1, TILE_T)
         gy = _pad_axis(gy, 1, TILE_T)
         base = _pad_axis(base, 1, TILE_T, value=1.0e9)
@@ -229,7 +242,9 @@ def joint_lp_bwd(f, g, labels_pad, w, b, occ, gb, gy, base, blank, cdtype):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp), lambda b_, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            occ_spec, occ_spec, occ_spec, occ_spec,
+            occ_spec, occ_spec, occ_spec,
+            pl.BlockSpec((1, 1, 1), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, TILE_T, J), lambda b_, t: (b_, t, 0),
@@ -248,7 +263,8 @@ def joint_lp_bwd(f, g, labels_pad, w, b, occ, gb, gy, base, blank, cdtype):
             jax.ShapeDtypeStruct((1, Vp), jnp.float32),
         ),
         interpret=_interpret(),
-    )(f, g, labels_pad, w, b, occ, gb, gy, base)
+    )(f, g, labels_pad, w, b, gb, gy, base,
+      gbar.astype(jnp.float32).reshape(B, 1, 1))
     return df[:, :T], dg, dw, db
 
 
@@ -317,13 +333,11 @@ def _fused_bwd(blank, compute_dtype, res, gbar):
     U1p = g_p.shape[1]
     g_blank, g_y = occupancies_from_lp(lpb, lpy, frame_lens, label_lens,
                                        alpha=alpha)
-    scale = gbar[:, None, None]
     pad_u = [(0, 0), (0, 0), (0, U1p - U1)]
-    occ = jnp.pad((g_blank + g_y) * scale, pad_u)
-    gb = jnp.pad(g_blank * scale, pad_u)
-    gy = jnp.pad(g_y * scale, pad_u)
-    df, dg, dw, db = joint_lp_bwd(f32, g_p, lab, w_c, b_p, occ, gb, gy,
-                                  base, blank, compute_dtype)
+    gb = jnp.pad(g_blank, pad_u)
+    gy = jnp.pad(g_y, pad_u)
+    df, dg, dw, db = joint_lp_bwd(f32, g_p, lab, w_c, b_p, gb, gy,
+                                  base, gbar, blank, compute_dtype)
     return (df.astype(f_dt), dg[:, :U1].astype(g_dt),
             dw[:, :V].astype(w_dt), db[0, :V].astype(b_dt),
             None, None, None)

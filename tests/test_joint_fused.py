@@ -55,6 +55,55 @@ def test_fused_grads_match_unfused():
                                    err_msg=f"grad d{name}")
 
 
+def test_fused_bf16_grad_error_bounded():
+    """Production compute dtype: the whole backward epilogue (exp, occupancy
+    multiply, blank/label corrections) runs in bf16 (round 3). Bound the
+    relative L2 gradient error vs the f32 XLA reference — measured ~0.25%,
+    the same order as plain bf16-matmul operand rounding, so the bf16
+    epilogue adds no meaningful noise."""
+    f, g, w, b, labels, fl, ll = _setup(B=4, T=24, U=6, J=32, V=64, seed=4)
+
+    def fused16(f, g, w, b):
+        return jnp.sum(rnnt_loss_fused(f, g, w, b, labels, fl, ll,
+                                       compute_dtype=jnp.bfloat16))
+
+    def ref(f, g, w, b):
+        return jnp.sum(_reference_loss(f, g, w, b, labels, fl, ll))
+
+    got = jax.grad(fused16, argnums=(0, 1, 2, 3))(f, g, w, b)
+    want = jax.grad(ref, argnums=(0, 1, 2, 3))(f, g, w, b)
+    for name, a, e in zip("fgwb", got, want):
+        a = np.asarray(a, np.float64)
+        e = np.asarray(e, np.float64)
+        rel = np.linalg.norm(a - e) / (np.linalg.norm(e) + 1e-30)
+        assert rel < 0.02, f"grad d{name} rel L2 error {rel:.4f}"
+    # the loss value itself is f32-accurate (forward reductions stay f32)
+    np.testing.assert_allclose(float(fused16(f, g, w, b)),
+                               float(ref(f, g, w, b)), rtol=1e-3)
+
+
+def test_fused_nonuniform_cotangent():
+    """The loss cotangent is applied inside the backward kernel (SMEM
+    sidecar, round 3): a non-uniform per-utterance weighting must match the
+    chain rule exactly, including negative weights."""
+    f, g, w, b, labels, fl, ll = _setup(seed=5)
+    wts = jnp.asarray([0.5, -1.25, 2.0], jnp.float32)
+
+    def fused(f, g, w, b):
+        return jnp.sum(wts * rnnt_loss_fused(f, g, w, b, labels, fl, ll,
+                                             compute_dtype=jnp.float32))
+
+    def ref(f, g, w, b):
+        return jnp.sum(wts * _reference_loss(f, g, w, b, labels, fl, ll))
+
+    got = jax.grad(fused, argnums=(0, 1, 2, 3))(f, g, w, b)
+    want = jax.grad(ref, argnums=(0, 1, 2, 3))(f, g, w, b)
+    for name, a, e in zip("fgwb", got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"grad d{name}")
+
+
 def test_fused_jit_and_nonaligned_shapes():
     # T not a multiple of TILE_T, U+1 not a multiple of 8, V not of 128
     f, g, w, b, labels, fl, ll = _setup(B=2, T=13, U=6, J=16, V=9, seed=2)
