@@ -55,6 +55,11 @@ def parse_args(argv=None):
     p.add_argument("--hyps-file", default=None,
                    help="write per-utterance {ref, hyp} JSONL here "
                         "(text when a tokenizer is available, else ids)")
+    p.add_argument("--timestamps", action="store_true",
+                   help="carry per-token emission timestamps through the "
+                        "decode and add them to --hyps-file records as "
+                        "'frames' (input feature frames) and 'times_s' "
+                        "(via --frame-hop-s)")
     return p.parse_args(argv)
 
 
@@ -114,15 +119,26 @@ def main(argv=None):
     # NOTE: params (and lm params) are always traced jit arguments —
     # capturing them in the closure would inline the weights into the
     # compiled program.
+    # Every decode returns (tokens, lens, frames-or-None); frames are
+    # per-token encoder-frame emission indices when --timestamps is set.
+    ts = args.timestamps
+    if ts and args.lm_rescore:
+        raise SystemExit("--timestamps is not supported with --lm-rescore "
+                         "(rescoring reorders beams after the search)")
     if args.mode == "greedy":
         greedy_jit = jax.jit(lambda p, f, l: recognize_greedy(
-            p, cfg, f, l, max_symbols=args.max_symbols))
-        decode = lambda f, l: greedy_jit(params, f, l)
+            p, cfg, f, l, max_symbols=args.max_symbols,
+            with_timestamps=ts))
+        if ts:
+            decode = lambda f, l: greedy_jit(params, f, l)
+        else:
+            decode = lambda f, l: greedy_jit(params, f, l) + (None,)
     elif args.mode == "beam":
         fuse = None if (lm_params is None or args.lm_rescore) else "fuse"
         beam_jit = jax.jit(lambda p, lmp, f, l: recognize_beam(
             p, cfg, f, l, beam=args.beam,
             max_symbols=args.max_symbols, expansions=args.expansions,
+            with_timestamps=ts,
             lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight)))
         if args.lm_rescore and lm_params is not None:
             from rnn_transducer_tpu.models.lm import rescore_nbest
@@ -132,27 +148,30 @@ def main(argv=None):
             def decode(f, l):
                 toks, lens, scores = beam_jit(params, None, f, l)
                 toks, lens, _ = rescore_jit(lm_params, toks, lens, scores)
-                return toks[:, 0], lens[:, 0]
+                return toks[:, 0], lens[:, 0], None
         else:
             def decode(f, l):
-                toks, lens, _ = beam_jit(params,
-                                         lm_params if fuse else None, f, l)
-                return toks[:, 0], lens[:, 0]
+                out = beam_jit(params, lm_params if fuse else None, f, l)
+                frames = out[3][:, 0] if ts else None
+                return out[0][:, 0], out[1][:, 0], frames
     elif args.mode == "streaming_beam":
         from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam
 
         def decode(f, l):
-            toks, lens, _ = stream_transcribe_beam(
+            out = stream_transcribe_beam(
                 params, cfg, f, l, chunk_frames=args.chunk_frames,
                 beam=args.beam, max_symbols=args.max_symbols,
-                expansions=args.expansions,
+                expansions=args.expansions, with_timestamps=ts,
                 lm=None if lm_params is None else
                 (lm_params, lm_cfg, args.lm_weight))
-            return toks[:, 0], lens[:, 0]
+            frames = out[3][:, 0] if ts else None
+            return out[0][:, 0], out[1][:, 0], frames
     else:
-        decode = lambda f, l: stream_transcribe(
-            params, cfg, f, l, chunk_frames=args.chunk_frames,
-            max_symbols=args.max_symbols)
+        def decode(f, l):
+            out = stream_transcribe(
+                params, cfg, f, l, chunk_frames=args.chunk_frames,
+                max_symbols=args.max_symbols, with_timestamps=ts)
+            return out[0], out[1], (out[2] if ts else None)
 
     if args.data.startswith("manifest:"):
         man_path = args.data.split(":", 1)[1]
@@ -181,7 +200,7 @@ def main(argv=None):
                                       frames_per_label=4) + (args.batch_size,)
 
     meter = RtfMeter()
-    refs, hyps = [], []
+    refs, hyps, hyp_frames = [], [], []
     warmed: set[tuple] = set()
     for feats, fl, labels, ll, n_valid in batches():
         f, l = jnp.asarray(feats), jnp.asarray(fl)
@@ -189,10 +208,10 @@ def main(argv=None):
             # Each distinct bucket shape triggers an XLA compile; warm it
             # outside the timed region so RTF/p50 report steady-state.
             warmed.add(feats.shape)
-            toks, lens = decode(f, l)
+            toks, lens, frames = decode(f, l)
             jax.block_until_ready(toks)
         t0 = time.perf_counter()
-        toks, lens = decode(f, l)
+        toks, lens, frames = decode(f, l)
         toks, lens = np.asarray(toks), np.asarray(lens)  # forces completion
         wall = time.perf_counter() - t0
         # Padding rows (drained partial batches repeat real utterances) are
@@ -201,6 +220,11 @@ def main(argv=None):
         meter.add(wall, audio_s, n_utts=n_valid)
         hyps.extend(tokens_to_lists(toks[:n_valid], lens[:n_valid]))
         refs.extend(tokens_to_lists(labels[:n_valid], ll[:n_valid]))
+        if frames is not None:
+            frames = np.asarray(frames)
+            hyp_frames.extend(
+                (frames[i, : lens[i]] * cfg.time_reduction).tolist()
+                for i in range(n_valid))
     wer = error_rate(refs, hyps)
     out = {"mode": args.mode, "wer": round(wer, 4), **{
         k: round(v, 5) for k, v in meter.summary().items()}}
@@ -231,6 +255,11 @@ def main(argv=None):
                 rec = ({"ref": ref_texts[i], "hyp": hyp_texts[i]}
                        if tok is not None
                        else {"ref": refs[i], "hyp": hyps[i]})
+                if args.timestamps:
+                    # input-feature-frame emission indices + audio seconds
+                    rec["frames"] = hyp_frames[i]
+                    rec["times_s"] = [round(fr * args.frame_hop_s, 3)
+                                      for fr in hyp_frames[i]]
                 f.write(json.dumps(rec) + "\n")
     print(json.dumps(out))
 

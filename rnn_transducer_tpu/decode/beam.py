@@ -76,8 +76,13 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
     # "conf": per-token ACOUSTIC emission log-probs of each beam (the
     # beam-search counterpart of greedy's confidence stream); rides in
     # `outs` so the pool/merge/gather machinery carries it for free.
+    # "frame": the GLOBAL encoder-frame index each token was emitted at
+    # (timestamps); "foff" accumulates frames consumed by earlier chunks
+    # (uniform across beams, so merging representatives is exact).
     outs = {"pred": unflat(pred0),
-            "conf": jnp.zeros((B, K, U), jnp.float32)}
+            "conf": jnp.zeros((B, K, U), jnp.float32),
+            "frame": jnp.zeros((B, K, U), jnp.int32),
+            "foff": jnp.zeros((B, K), jnp.int32)}
     states = {"pred": jax.tree.map(unflat, states0)}
     if lm is not None:
         from rnn_transducer_tpu.models.lm import (BOS_ID, init_lm_state,
@@ -202,9 +207,15 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
                                            axis=1)  # (B, K)
             g_conf = jnp.where(write, conf_val[:, :, None],
                                gather_src(outs["conf"]))
+            # emission timestamp: this round's label is emitted at the
+            # current (global) frame foff + t
+            g_foff = jnp.take_along_axis(outs["foff"], src, axis=1)
+            g_frame = jnp.where(write, (g_foff + t)[:, :, None],
+                                gather_src(outs["frame"]))
             new_pred, new_pred_states = m.predict_step(
                 params, cfg, flat(lab), jax.tree.map(flat, g_states["pred"]))
-            new_outs = {"pred": unflat(new_pred), "conf": g_conf}
+            new_outs = {"pred": unflat(new_pred), "conf": g_conf,
+                        "frame": g_frame, "foff": g_foff}
             new_states = {"pred": jax.tree.map(unflat, new_pred_states)}
             if lm is not None:
                 new_lm_lp, new_lm_st = lm_step(
@@ -256,6 +267,11 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
 
     carry = (tokens0, lens0, scores0, hash0, outs0, states0)
     carry = jax.lax.fori_loop(0, T, frame_step, carry)
+    # advance the global frame offset past this chunk's consumed frames
+    # (streaming: the next chunk's emissions stamp later timestamps)
+    outs_f = dict(carry[4])
+    outs_f["foff"] = outs_f["foff"] + enc_lens[:, None]
+    carry = carry[:4] + (outs_f,) + carry[5:]
     tokens, lens, scores = carry[0], carry[1], carry[2]
     # sort beams by score descending
     order = jnp.argsort(-scores, axis=-1)
@@ -274,18 +290,32 @@ def sorted_confidence(beam_state):
     return jnp.take_along_axis(outs["conf"], order[:, :, None], axis=1)
 
 
+def sorted_frames(beam_state):
+    """Per-token global encoder-frame emission indices of each beam
+    (timestamps), in the same best-first order as the returned tokens."""
+    _, _, scores, _, outs, _ = beam_state
+    order = jnp.argsort(-scores, axis=-1)
+    return jnp.take_along_axis(outs["frame"], order[:, :, None], axis=1)
+
+
 def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
                    beam: int = 8, max_symbols: int = 200,
                    expansions: int = 3, lm=None,
-                   with_confidence: bool = False):
+                   with_confidence: bool = False,
+                   with_timestamps: bool = False):
     """Features -> N-best label sequences (reference `beam_search` API).
 
-    with_confidence=True also returns (B, K, max_symbols) per-token
-    acoustic emission log-probs (beam counterpart of greedy's)."""
+    with_confidence=True appends (B, K, max_symbols) per-token acoustic
+    emission log-probs (beam counterpart of greedy's);
+    with_timestamps=True appends (B, K, max_symbols) int32 encoder-frame
+    emission indices."""
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
     tokens, lens, scores, carry = beam_search(
         params, cfg, enc_out, enc_lens, beam=beam,
         max_symbols=max_symbols, expansions=expansions, lm=lm)
+    out = (tokens, lens, scores)
     if with_confidence:
-        return tokens, lens, scores, sorted_confidence(carry)
-    return tokens, lens, scores
+        out = out + (sorted_confidence(carry),)
+    if with_timestamps:
+        out = out + (sorted_frames(carry),)
+    return out

@@ -35,9 +35,12 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
     Returns:
       tokens: (B, max_symbols) int32, blank-padded.
       lengths: (B,) number of emitted labels.
-      decode_state: carry for the next chunk — (u, tokens, confs,
-        pred_out, pred_states); confs[b, i] is the emitted token's
-        log-probability (per-token confidence), 0 past the length.
+      decode_state: carry for the next chunk — (u, tokens, confs, frames,
+        frame_off, pred_out, pred_states); confs[b, i] is the emitted
+        token's log-probability (per-token confidence) and frames[b, i]
+        the GLOBAL encoder-frame index it was emitted at (timestamps;
+        frame_off accumulates frames consumed by earlier chunks), both 0
+        past the length.
     """
     B, T, _ = enc_out.shape
     enc_lens = enc_lens.astype(jnp.int32)
@@ -49,8 +52,11 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         u_init = jnp.zeros((B,), jnp.int32)
         tokens_init = jnp.full((B, max_symbols), cfg.blank, jnp.int32)
         confs_init = jnp.zeros((B, max_symbols), jnp.float32)
+        frames_init = jnp.zeros((B, max_symbols), jnp.int32)
+        foff_init = jnp.zeros((B,), jnp.int32)
     else:
-        u_init, tokens_init, confs_init, pred0, states0 = decode_state
+        (u_init, tokens_init, confs_init, frames_init, foff_init,
+         pred0, states0) = decode_state
         assert tokens_init.shape == (B, max_symbols)
 
     def cond(carry):
@@ -58,7 +64,7 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         return jnp.any(~done)
 
     def body(carry):
-        t, u, done, tokens, confs, pred_out, states = carry
+        t, u, done, tokens, confs, frames, pred_out, states = carry
         # Current encoder frame per utterance (clamped gather keeps it safe).
         t_safe = jnp.minimum(t, enc_lens - 1)
         enc_t = jnp.take_along_axis(enc_out, t_safe[:, None, None], axis=1)[:, 0]
@@ -72,6 +78,7 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         k_lp = jnp.take_along_axis(logits, k[:, None], axis=-1)[:, 0] - lse
         tokens = _masked_scatter(tokens, u, k, emit)
         confs = _masked_scatter(confs, u, k_lp, emit)
+        frames = _masked_scatter(frames, u, foff_init + t, emit)
         new_pred, new_states = _pred_step(params, cfg,
                                           jnp.where(emit, k, cfg.blank),
                                           states)
@@ -83,15 +90,17 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         u = u + emit.astype(jnp.int32)
         t = t + advance_t.astype(jnp.int32)
         done = (t >= enc_lens) | (u >= max_symbols)
-        return (t, u, done, tokens, confs, pred_out, states)
+        return (t, u, done, tokens, confs, frames, pred_out, states)
 
     t0 = jnp.zeros((B,), jnp.int32)
     done0 = (t0 >= enc_lens) | (u_init >= max_symbols)
     carry = jax.lax.while_loop(
         cond, body,
-        (t0, u_init, done0, tokens_init, confs_init, pred0, states0))
-    _, u, _, tokens, confs, pred_out, states = carry
-    return tokens, u, (u, tokens, confs, pred_out, states)
+        (t0, u_init, done0, tokens_init, confs_init, frames_init,
+         pred0, states0))
+    _, u, _, tokens, confs, frames, pred_out, states = carry
+    return tokens, u, (u, tokens, confs, frames, foff_init + enc_lens,
+                       pred_out, states)
 
 
 def _pred_step(params, cfg, label, states):
@@ -107,15 +116,22 @@ def _masked_scatter(tokens, u, k, emit):
 
 
 def recognize_greedy(params, cfg: TransducerConfig, feats, feat_lens,
-                     max_symbols: int = 200, with_confidence: bool = False):
+                     max_symbols: int = 200, with_confidence: bool = False,
+                     with_timestamps: bool = False):
     """Features -> label sequences (mirrors the reference `recognize` API).
 
-    with_confidence=True also returns (B, max_symbols) per-token emission
-    log-probabilities (0 past each utterance's length).
+    with_confidence=True appends (B, max_symbols) per-token emission
+    log-probabilities; with_timestamps=True appends (B, max_symbols)
+    int32 encoder-frame indices each token was emitted at (multiply by
+    cfg.time_reduction and the feature hop to get audio time). Both are
+    0 past each utterance's length.
     """
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
     tokens, lens, state = greedy_decode(params, cfg, enc_out, enc_lens,
                                         max_symbols)
+    out = (tokens, lens)
     if with_confidence:
-        return tokens, lens, state[2]
-    return tokens, lens
+        out = out + (state[2],)
+    if with_timestamps:
+        out = out + (state[3],)
+    return out

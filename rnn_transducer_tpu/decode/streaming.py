@@ -32,7 +32,8 @@ from rnn_transducer_tpu.models.config import TransducerConfig
 @dataclasses.dataclass
 class StreamState:
     enc_state: Any  # encoder per-layer (h, c)
-    decode_state: Any  # (u, tokens, confs, pred_out, pred_states)
+    decode_state: Any  # (u, tokens, confs, frames, frame_off,
+    #                      pred_out, pred_states)
 
 
 def init_stream(params, cfg: TransducerConfig, batch: int,
@@ -45,6 +46,8 @@ def init_stream(params, cfg: TransducerConfig, batch: int,
         jnp.zeros((batch,), jnp.int32),
         jnp.full((batch, max_symbols), cfg.blank, jnp.int32),
         jnp.zeros((batch, max_symbols), jnp.float32),  # confidences
+        jnp.zeros((batch, max_symbols), jnp.int32),  # emit-frame indices
+        jnp.zeros((batch,), jnp.int32),  # global frame offset
         pred0,
         states0,
     )
@@ -95,9 +98,10 @@ def stream_chunk_beam(params, cfg: TransducerConfig, state: StreamState,
 def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
                            chunk_frames: int, *, beam: int = 8,
                            max_symbols: int = 200, expansions: int = 3,
-                           lm=None):
+                           lm=None, with_timestamps: bool = False):
     """Whole padded batch through the streaming beam path (cf.
-    stream_transcribe). Returns (tokens (B,K,U), lens, scores)."""
+    stream_transcribe). Returns (tokens (B,K,U), lens, scores) plus,
+    with_timestamps=True, per-token (B,K,U) emission frame indices."""
     B, T, F = feats.shape
     n_chunks = -(-T // chunk_frames)
     pad = n_chunks * chunk_frames - T
@@ -123,15 +127,20 @@ def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
         cl = jnp.clip(feat_lens.astype(jnp.int32) - i * chunk_frames, 0,
                       chunk_frames)
         state, tokens, lens, scores = step(params, lm_params, state, sl, cl)
+    if with_timestamps:
+        from rnn_transducer_tpu.decode.beam import sorted_frames
+        return tokens, lens, scores, sorted_frames(state.decode_state)
     return tokens, lens, scores
 
 
 def stream_transcribe(params, cfg: TransducerConfig, feats, feat_lens,
-                      chunk_frames: int, max_symbols: int = 200):
+                      chunk_frames: int, max_symbols: int = 200,
+                      with_timestamps: bool = False):
     """Convenience: run a whole padded batch through the streaming path.
 
     Pads T to a multiple of chunk_frames and feeds chunks sequentially.
-    Returns (tokens, lens) identical in layout to recognize_greedy.
+    Returns (tokens, lens) identical in layout to recognize_greedy, plus
+    per-token emission frame indices when with_timestamps=True.
     """
     B, T, F = feats.shape
     n_chunks = -(-T // chunk_frames)
@@ -151,4 +160,6 @@ def stream_transcribe(params, cfg: TransducerConfig, feats, feat_lens,
         cl = jnp.clip(feat_lens.astype(jnp.int32) - i * chunk_frames, 0,
                       chunk_frames)
         state, tokens, lens = step(params, state, sl, cl)
+    if with_timestamps:
+        return tokens, lens, state.decode_state[3]
     return tokens, lens

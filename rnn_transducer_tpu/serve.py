@@ -102,12 +102,13 @@ class BatchingEngine:
         if mode == "greedy":
             self._decode = jax.jit(lambda p, f, l: recognize_greedy(
                 p, cfg, f, l, max_symbols=max_symbols,
-                with_confidence=True))
+                with_confidence=True, with_timestamps=True))
         elif mode == "beam":
             def _beam(p, lmp, f, l):
                 return recognize_beam(
                     p, cfg, f, l, beam=beam, max_symbols=max_symbols,
                     expansions=expansions, with_confidence=True,
+                    with_timestamps=True,
                     lm=None if lmp is None else (lmp, lm[1], lm[2]))
             jitted = jax.jit(_beam)
             lm_params = lm[0] if lm else None
@@ -132,8 +133,12 @@ class BatchingEngine:
         return self.submit_full(feats)["tokens"]
 
     def submit_full(self, feats: np.ndarray) -> dict:
-        """feats -> {"tokens", "confidence", and for beam engines "score"
-        + "nbest": [{"tokens", "score"}, ...]}. Blocking.
+        """feats -> {"tokens", "confidence", "frames", and for beam
+        engines "score" + "nbest": [{"tokens", "score"}, ...]}. Blocking.
+
+        "frames" holds each token's emission timestamp as an INPUT
+        feature-frame index (encoder frame x cfg.time_reduction);
+        multiply by the feature hop (10 ms default) for audio seconds.
 
         Validation happens HERE, in the caller's thread, so a malformed
         request fails alone instead of poisoning its co-batched group.
@@ -230,17 +235,19 @@ class BatchingEngine:
         out = self._decode(self.params, feats, lens)
         out = tuple(np.asarray(o) for o in out)
         self.stats.record(len(batch), time.perf_counter() - t0)
+        tr = self.cfg.time_reduction
         if self.mode == "greedy":
-            toks, tlens, confs = out
+            toks, tlens, confs, frames = out
             for i, it in enumerate(batch):
                 n = tlens[i]
                 it["result"] = {
                     "tokens": toks[i, :n].tolist(),
                     "confidence": np.round(confs[i, :n], 4).tolist(),
+                    "frames": (frames[i, :n] * tr).tolist(),
                 }
                 it["done"].set()
-        else:  # beam: n-best + scores + top-beam confidence
-            toks, tlens, scores, confs = out
+        else:  # beam: n-best + scores + top-beam confidence/timestamps
+            toks, tlens, scores, confs, frames = out
             for i, it in enumerate(batch):
                 n0 = tlens[i, 0]
                 nbest = [
@@ -253,6 +260,7 @@ class BatchingEngine:
                     "tokens": toks[i, 0, :n0].tolist(),
                     "score": round(float(scores[i, 0]), 4),
                     "confidence": np.round(confs[i, 0, :n0], 4).tolist(),
+                    "frames": (frames[i, 0, :n0] * tr).tolist(),
                     "nbest": nbest,
                 }
                 it["done"].set()
@@ -268,9 +276,11 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
       init_state_fn(params) -> all-slots stream state, and
       gstep(params, lm_params, state, chunks (S,C,D), lens (S,), active
       (S,) bool) -> (new_state, out) with out a dict:
-        greedy: {"tokens" (S,U), "lens" (S,), "confidence" (S,U)}
+        greedy: {"tokens" (S,U), "lens" (S,), "confidence" (S,U),
+                 "frames" (S,U) — global encoder-frame emit indices}
         beam:   {"tokens" (S,K,U), "lens" (S,K), "scores" (S,K),
-                 "confidence" (S,K,U)} — beams sorted best-first.
+                 "confidence" (S,K,U), "frames" (S,K,U)} — beams sorted
+                 best-first.
     Inactive slots' state is re-selected, so they pass through unchanged.
     Factored out of StreamingEngine so tools/export_model.py can export
     the exact serving graph (VERDICT r2: serving cold start).
@@ -294,9 +304,11 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
             st, toks, tok_lens = stream_chunk(p, cfg, state, chunks, lens,
                                               max_symbols=max_symbols)
             return st, {"tokens": toks, "lens": tok_lens,
-                        "confidence": st.decode_state[2]}
+                        "confidence": st.decode_state[2],
+                        "frames": st.decode_state[3]}
     elif mode == "beam":
-        from rnn_transducer_tpu.decode.beam import sorted_confidence
+        from rnn_transducer_tpu.decode.beam import (sorted_confidence,
+                                                    sorted_frames)
 
         def init_state_fn(params, lm_params=None):
             lm_t = (None if lm_cfg is None
@@ -310,7 +322,8 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
                 max_symbols=max_symbols, expansions=expansions,
                 lm=None if lmp is None else (lmp, lm_cfg, lm_weight))
             return st, {"tokens": toks, "lens": tok_lens, "scores": scores,
-                        "confidence": sorted_confidence(st.decode_state)}
+                        "confidence": sorted_confidence(st.decode_state),
+                        "frames": sorted_frames(st.decode_state)}
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -451,10 +464,12 @@ class StreamingEngine:
 
     def feed_full(self, sid: str, chunk: np.ndarray, last: bool = False):
         """Like feed() but returns the full partial-result dict:
-        {"tokens", "confidence", "stable_len", and in beam mode "score" +
-        "nbest"}. stable_len = length of the prefix all live beams agree
-        on — tokens[:stable_len] will never be retracted by a later chunk
-        (greedy output is final, so stable_len == len(tokens) there)."""
+        {"tokens", "confidence", "frames", "stable_len", and in beam mode
+        "score" + "nbest"}. stable_len = length of the prefix all live
+        beams agree on — tokens[:stable_len] will never be retracted by a
+        later chunk (greedy output is final, so stable_len == len(tokens)
+        there). "frames" are cumulative input-feature-frame emission
+        indices (see submit_full)."""
         chunk = np.asarray(chunk, np.float32)
         if chunk.ndim != 2 or chunk.shape[1] != self.cfg.input_dim:
             raise ValueError(
@@ -589,12 +604,14 @@ class StreamingEngine:
 
     def _slot_result(self, out, slot: int) -> dict:
         """Per-slot partial-result dict from the tick's output arrays."""
+        tr = self.cfg.time_reduction
         if self.mode == "greedy":
             n = out["lens"][slot]
             toks = out["tokens"][slot, :n].tolist()
             return {"tokens": toks,
                     "confidence": np.round(
                         out["confidence"][slot, :n], 4).tolist(),
+                    "frames": (out["frames"][slot, :n] * tr).tolist(),
                     "stable_len": len(toks)}  # greedy output is final
         toks, lens = out["tokens"][slot], out["lens"][slot]
         scores, confs = out["scores"][slot], out["confidence"][slot]
@@ -612,6 +629,7 @@ class StreamingEngine:
         return {"tokens": top,
                 "score": round(float(scores[0]), 4),
                 "confidence": np.round(confs[0, : lens[0]], 4).tolist(),
+                "frames": (out["frames"][slot][0, : lens[0]] * tr).tolist(),
                 "nbest": [{"tokens": toks[k, : lens[k]].tolist(),
                            "score": round(float(scores[k]), 4)}
                           for k in alive],

@@ -278,10 +278,10 @@ def test_beam_engine_full_payload():
     try:
         f = _feats(12, 80)
         out = eng.submit_full(f)
-        toks, lens, scores, confs = recognize_beam(
+        toks, lens, scores, confs, frames = recognize_beam(
             PARAMS, CFG, jnp.asarray(f[None]),
             jnp.asarray([12], jnp.int32), beam=3, max_symbols=MAXSYM,
-            expansions=2, with_confidence=True)
+            expansions=2, with_confidence=True, with_timestamps=True)
         want_top = np.asarray(toks)[0, 0, : int(lens[0, 0])].tolist()
         assert out["tokens"] == want_top
         assert out["nbest"][0]["tokens"] == want_top
@@ -292,6 +292,9 @@ def test_beam_engine_full_payload():
             np.round(np.asarray(confs)[0, 0, : len(want_top)], 4),
             atol=1e-3)
         assert len(out["confidence"]) == len(out["tokens"])
+        # per-token emission timestamps (input-feature frames; tr == 1)
+        assert out["frames"] == np.asarray(frames)[0, 0,
+                                                   : len(want_top)].tolist()
         # n-best sorted best-first, all real log-probs
         sc = [h["score"] for h in out["nbest"]]
         assert sc == sorted(sc, reverse=True)
@@ -316,6 +319,10 @@ def test_streaming_full_payload_and_stable_prefix():
         assert out["stable_len"] == len(out["tokens"])
         assert len(out["confidence"]) == len(out["tokens"])
         assert all(c <= 1e-5 for c in out["confidence"])
+        # timestamps: one per token, nondecreasing, within the 16 frames fed
+        assert len(out["frames"]) == len(out["tokens"])
+        assert all(b >= a for a, b in zip(out["frames"], out["frames"][1:]))
+        assert all(0 <= fr < 16 for fr in out["frames"])
         greedy.close_session(sid)
 
         sid = beam.open_session()
@@ -329,6 +336,7 @@ def test_streaming_full_payload_and_stable_prefix():
             assert out["nbest"][0]["tokens"] == out["tokens"]
             sc = [h["score"] for h in out["nbest"]]
             assert sc == sorted(sc, reverse=True)
+            assert len(out["frames"]) == len(out["tokens"])
         assert beam.close_session(sid) == out["tokens"]
     finally:
         greedy.close()
