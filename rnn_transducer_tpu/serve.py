@@ -359,11 +359,18 @@ class StreamingEngine:
                  chunk_frames: int = 32, max_symbols: int = 200,
                  window_ms: float = 5.0, session_ttl_s: float = 600.0,
                  mode: str = "greedy", beam: int = 8, expansions: int = 3,
-                 lm=None, exported_step=None):
+                 lm=None, exported_step=None, endpoint_frames=None):
         """exported_step: optional prebuilt chunk step with the
         make_masked_chunk_step gstep signature (e.g. deserialized from
         tools/export_model.py --mode streaming_*); used instead of
-        jitting the live graph, killing the serving cold-start."""
+        jitting the live graph, killing the serving cold-start.
+
+        endpoint_frames: optional end-of-utterance detector — when set,
+        every feed_full result carries "trailing_frames" (input feature
+        frames since the decoder's last emission, from the carried
+        timestamp stream) and "endpoint": trailing >= endpoint_frames.
+        The blank-dominated tail of an utterance is the RNN-T endpointer
+        signal; the caller decides whether to finalize the session."""
         import jax
 
         self.params = params
@@ -374,11 +381,13 @@ class StreamingEngine:
         self.max_symbols = max_symbols
         self.window_s = window_ms / 1e3
         self.session_ttl_s = session_ttl_s
+        self.endpoint_frames = endpoint_frames
         self.stats = EngineStats()
         self._lock = threading.Lock()
         self._free = set(range(slots))
         self._live: dict[str, int] = {}  # sid -> slot
         self._last: dict[str, list[int]] = {}  # sid -> tokens so far
+        self._fed: dict[str, int] = {}  # sid -> input frames fed so far
         self._finished: set[str] = set()  # saw their last (short) chunk
         self._seen: dict[str, float] = {}  # sid -> last activity time
         self._q: queue.Queue = queue.Queue()
@@ -434,6 +443,7 @@ class StreamingEngine:
             sid = uuid.uuid4().hex[:12]
             self._live[sid] = slot
             self._last[sid] = []
+            self._fed[sid] = 0
             self._seen[sid] = time.monotonic()
         return sid
 
@@ -448,6 +458,7 @@ class StreamingEngine:
         slot = self._live.pop(sid)
         final = self._last.pop(sid, [])
         self._seen.pop(sid, None)
+        self._fed.pop(sid, None)
         self._finished.discard(sid)
         mask = np.zeros((self.slots,), bool)
         mask[slot] = True
@@ -505,6 +516,16 @@ class StreamingEngine:
             if self._live.get(sid) == slot:  # still the owner
                 self._last[sid] = item["result"]["tokens"]
                 self._seen[sid] = time.monotonic()
+                self._fed[sid] = self._fed.get(sid, 0) + C
+            fed = self._fed.get(sid, 0)
+        if self.endpoint_frames is not None:
+            # trailing silence from the timestamp stream: input frames
+            # past the last emission's span (tr input frames per token)
+            frames = item["result"]["frames"]
+            tr = self.cfg.time_reduction
+            trailing = fed - (frames[-1] + tr) if frames else fed
+            item["result"]["trailing_frames"] = trailing
+            item["result"]["endpoint"] = trailing >= self.endpoint_frames
         return item["result"]
 
     def close_session(self, sid: str) -> list[int]:

@@ -48,6 +48,11 @@ def parse_args(argv=None):
                    help="persistent JAX compilation-cache dir: compiles "
                         "are reused across server restarts")
     p.add_argument("--max-body-bytes", type=int, default=32 << 20)
+    p.add_argument("--endpoint-frames", type=int, default=None,
+                   help="end-of-utterance detector for streaming "
+                        "sessions: add 'endpoint'/'trailing_frames' to "
+                        "partial results once this many input frames "
+                        "pass without a decoder emission (10 ms/frame)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -138,7 +143,8 @@ def main(argv=None):
             params, cfg, slots=args.stream_slots,
             chunk_frames=args.chunk_frames, max_symbols=args.max_symbols,
             mode=args.mode, beam=args.beam, lm=lm,
-            exported_step=exported_step)
+            exported_step=exported_step,
+            endpoint_frames=args.endpoint_frames)
     print("warming up (one compile per bucket)...", file=sys.stderr)
     offline.warmup()
     if streaming is not None:

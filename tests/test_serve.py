@@ -341,3 +341,58 @@ def test_streaming_full_payload_and_stable_prefix():
     finally:
         greedy.close()
         beam.close()
+
+
+def test_streaming_endpointing():
+    """Blank-posterior endpointing: with endpoint_frames set, partial
+    results carry trailing_frames (input frames since the decoder's last
+    emission, from the timestamp stream) and an endpoint flag."""
+    # blank-biased model: nothing is ever emitted -> pure trailing silence
+    silent = dict(PARAMS, joint=dict(
+        PARAMS["joint"], out=dict(
+            PARAMS["joint"]["out"],
+            b=PARAMS["joint"]["out"]["b"].at[CFG.blank].add(50.0))))
+    eng = StreamingEngine(silent, CFG, slots=1, chunk_frames=8,
+                          max_symbols=MAXSYM, window_ms=1.0,
+                          endpoint_frames=12)
+    try:
+        a = _feats(24, 99)
+        sid = eng.open_session()
+        out = eng.feed_full(sid, a[0:8])
+        assert out["tokens"] == []
+        assert out["trailing_frames"] == 8 and out["endpoint"] is False
+        out = eng.feed_full(sid, a[8:16])
+        assert out["trailing_frames"] == 16 and out["endpoint"] is True
+        eng.close_session(sid)
+    finally:
+        eng.close()
+
+    # emitting model: trailing == fed - (last emission frame + tr);
+    # endpoint flag consistent with the reported payload
+    eng = StreamingEngine(PARAMS, CFG, slots=1, chunk_frames=8,
+                          max_symbols=MAXSYM, window_ms=1.0,
+                          endpoint_frames=4)
+    try:
+        sid = eng.open_session()
+        fed = 0
+        for t0 in range(0, 16, 8):
+            out = eng.feed_full(sid, _feats(16, 81)[t0: t0 + 8])
+            fed += 8
+            want = fed - (out["frames"][-1] + CFG.time_reduction) \
+                if out["frames"] else fed
+            assert out["trailing_frames"] == want
+            assert out["endpoint"] == (want >= 4)
+        eng.close_session(sid)
+    finally:
+        eng.close()
+
+    # default engine: no endpoint keys
+    eng = StreamingEngine(PARAMS, CFG, slots=1, chunk_frames=8,
+                          max_symbols=MAXSYM, window_ms=1.0)
+    try:
+        sid = eng.open_session()
+        out = eng.feed_full(sid, _feats(8, 82))
+        assert "endpoint" not in out and "trailing_frames" not in out
+        eng.close_session(sid)
+    finally:
+        eng.close()
