@@ -85,6 +85,10 @@ class TrainConfig:
     dropout: float = 0.0
     # Dropout on the prediction net's label embeddings (training only).
     embed_dropout: float = 0.0
+    # FastEmit (Yu et al. 2021) low-latency streaming regularization:
+    # scales the emit-arc posterior gradient of the RNN-T loss by
+    # (1 + lambda), pushing emissions earlier. 0.0 = exact NLL gradient.
+    fastemit_lambda: float = 0.0
     # accumulate gradients over k microbatches before each optimizer update
     grad_accum: int = 1
     # RNN-T loss kernel: "auto" (Pallas on TPU, XLA elsewhere), "pallas", "xla"

@@ -285,21 +285,24 @@ def _prep_wb(w, b):
     return w_p, b_p
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def rnnt_loss_fused(f, g, w, b, labels, frame_lens, label_lens, blank=0,
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.bfloat16, fastemit_lambda=0.0):
     """Per-utterance RNN-T loss from joint activations; logits never stored.
 
     f: (B, T, J) encoder-side joint activation (projection + bias applied).
     g: (B, U+1, J) predictor-side activation. w: (J, V), b: (V,).
+    fastemit_lambda (static): FastEmit regularization — the emit-arc
+    posteriors feeding the backward kernel are scaled by (1 + lambda) in
+    the XLA glue (kernel unchanged); the loss value is the exact NLL.
     """
     loss, _ = _fused_fwd(f, g, w, b, labels, frame_lens, label_lens, blank,
-                         compute_dtype)
+                         compute_dtype, fastemit_lambda)
     return loss
 
 
 def _fused_fwd(f, g, w, b, labels, frame_lens, label_lens, blank,
-               compute_dtype):
+               compute_dtype, fastemit_lambda=0.0):
     U1 = g.shape[1]
     U1p = -(-U1 // 8) * 8
     f32 = f.astype(jnp.float32)
@@ -322,7 +325,7 @@ def _fused_fwd(f, g, w, b, labels, frame_lens, label_lens, blank,
     return loss, residuals
 
 
-def _fused_bwd(blank, compute_dtype, res, gbar):
+def _fused_bwd(blank, compute_dtype, fastemit_lambda, res, gbar):
     (f32, g_p, w_c, b_p, lab, frame_lens, label_lens, lpb, lpy, base,
      alpha, markers) = res
     f_mk, g_mk, w_mk, b_orig = markers
@@ -333,6 +336,8 @@ def _fused_bwd(blank, compute_dtype, res, gbar):
     U1p = g_p.shape[1]
     g_blank, g_y = occupancies_from_lp(lpb, lpy, frame_lens, label_lens,
                                        alpha=alpha)
+    if fastemit_lambda:
+        g_y = g_y * (1.0 + fastemit_lambda)
     pad_u = [(0, 0), (0, 0), (0, U1p - U1)]
     gb = jnp.pad(g_blank, pad_u)
     gy = jnp.pad(g_y, pad_u)

@@ -280,8 +280,9 @@ def _forward(logits, labels, frame_lens, label_lens, blank):
     return forward_from_lp(lp_blank, lp_y, frame_lens, label_lens)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def rnnt_loss(logits, labels, frame_lens, label_lens, blank=0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def rnnt_loss(logits, labels, frame_lens, label_lens, blank=0,
+              fastemit_lambda=0.0):
     """Per-utterance RNN-T negative log-likelihood.
 
     Args:
@@ -291,6 +292,11 @@ def rnnt_loss(logits, labels, frame_lens, label_lens, blank=0):
       frame_lens: (B,) valid encoder frames per utterance.
       label_lens: (B,) valid labels per utterance.
       blank: blank label id (static).
+      fastemit_lambda: FastEmit (Yu et al. 2021) low-latency streaming
+        regularization strength (static). The loss VALUE is unchanged;
+        in the backward the label-arc posterior gradient is scaled by
+        (1 + lambda) while the blank-arc gradient is untouched, pushing
+        probability mass toward earlier emission. 0.0 = exact NLL grad.
 
     Returns:
       (B,) fp32 losses. Mirrors the reference public API
@@ -299,17 +305,19 @@ def rnnt_loss(logits, labels, frame_lens, label_lens, blank=0):
     return _forward(logits, labels, frame_lens, label_lens, blank)
 
 
-def _fwd(logits, labels, frame_lens, label_lens, blank):
+def _fwd(logits, labels, frame_lens, label_lens, blank, fastemit_lambda):
     loss = _forward(logits, labels, frame_lens, label_lens, blank)
     return loss, (logits, labels, frame_lens, label_lens)
 
 
-def _bwd(blank, res, g):
+def _bwd(blank, fastemit_lambda, res, g):
     logits, labels, frame_lens, label_lens = res
     log_probs, lp_blank, lp_y, *_ = _prepare(
         logits, labels, frame_lens, label_lens, blank
     )
     g_blank, g_y = occupancies_from_lp(lp_blank, lp_y, frame_lens, label_lens)
+    if fastemit_lambda:
+        g_y = g_y * (1.0 + fastemit_lambda)
     B, T, U1, V = log_probs.shape
 
     # d(-logZ)/d logits[t,u,v] = p_v * (g_blank + g_y) - onehot contributions.
@@ -335,13 +343,16 @@ def _bwd(blank, res, g):
 rnnt_loss.defvjp(_fwd, _bwd)
 
 
-def rnnt_loss_mean(logits, labels, frame_lens, label_lens, blank=0):
+def rnnt_loss_mean(logits, labels, frame_lens, label_lens, blank=0,
+                   fastemit_lambda=0.0):
     """Batch-mean RNN-T loss (training objective)."""
-    return jnp.mean(rnnt_loss(logits, labels, frame_lens, label_lens, blank))
+    return jnp.mean(rnnt_loss(logits, labels, frame_lens, label_lens, blank,
+                              fastemit_lambda))
 
 
-@jax.custom_vjp
-def rnnt_loss_from_lp(lp_blank, lp_y, frame_lens, label_lens):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def rnnt_loss_from_lp(lp_blank, lp_y, frame_lens, label_lens,
+                      fastemit_lambda=0.0):
     """Per-utterance RNN-T loss from pre-extracted blank/label log-probs.
 
     Differentiable entry point for callers that build lp_blank/lp_y
@@ -351,20 +362,24 @@ def rnnt_loss_from_lp(lp_blank, lp_y, frame_lens, label_lens):
     these tiny score tensors reach the (replicated) lattice recursion.
     The backward is the occupancy gradient (no differentiation through
     the alpha scan): d(-logZ)/d lp_blank = -g_blank, d/d lp_y = -g_y.
+    fastemit_lambda (static) scales the emit-arc gradient by (1 + lambda)
+    — FastEmit regularization; the loss value itself is unchanged.
     """
     return forward_from_lp(lp_blank, lp_y, frame_lens, label_lens)
 
 
-def _from_lp_fwd(lp_blank, lp_y, frame_lens, label_lens):
+def _from_lp_fwd(lp_blank, lp_y, frame_lens, label_lens, fastemit_lambda):
     loss, alpha = forward_from_lp_with_alpha(lp_blank, lp_y, frame_lens,
                                              label_lens)
     return loss, (lp_blank, lp_y, frame_lens, label_lens, alpha)
 
 
-def _from_lp_bwd(res, g):
+def _from_lp_bwd(fastemit_lambda, res, g):
     lp_blank, lp_y, frame_lens, label_lens, alpha = res
     g_blank, g_y = occupancies_from_lp(lp_blank, lp_y, frame_lens,
                                        label_lens, alpha=alpha)
+    if fastemit_lambda:
+        g_y = g_y * (1.0 + fastemit_lambda)
     scale = g[:, None, None]
     return -g_blank * scale, -g_y * scale, None, None
 

@@ -154,18 +154,21 @@ def assemble_grad(logits, labels, occ, g_blank, g_y, blank: int):
     return grad[:N, :V].reshape(B, T, U1, V)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def rnnt_loss_pallas(logits, labels, frame_lens, label_lens, blank=0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def rnnt_loss_pallas(logits, labels, frame_lens, label_lens, blank=0,
+                     fastemit_lambda=0.0):
     """Per-utterance RNN-T loss with the Pallas lattice-extraction kernels.
 
     Same semantics as `rnnt_loss` (drop-in; tested equal); ~2 streaming
-    passes over the logits total for forward+backward.
+    passes over the logits total for forward+backward. fastemit_lambda
+    (static) scales the emit-arc posterior gradient by (1 + lambda)
+    (FastEmit; loss value unchanged).
     """
     lpb, lpy = extract_lp(logits, labels, blank)
     return forward_from_lp(lpb, lpy, frame_lens, label_lens)
 
 
-def _fwd(logits, labels, frame_lens, label_lens, blank):
+def _fwd(logits, labels, frame_lens, label_lens, blank, fastemit_lambda):
     lpb, lpy = extract_lp(logits, labels, blank)
     loss = forward_from_lp(lpb, lpy, frame_lens, label_lens)
     # Residuals: the tiny lattice arrays (B,T,U1) + inputs; the logits are
@@ -173,9 +176,11 @@ def _fwd(logits, labels, frame_lens, label_lens, blank):
     return loss, (logits, labels, frame_lens, label_lens, lpb, lpy)
 
 
-def _bwd(blank, res, g):
+def _bwd(blank, fastemit_lambda, res, g):
     logits, labels, frame_lens, label_lens, lpb, lpy = res
     g_blank, g_y = occupancies_from_lp(lpb, lpy, frame_lens, label_lens)
+    if fastemit_lambda:
+        g_y = g_y * (1.0 + fastemit_lambda)
     scale = g[:, None, None]
     grad = assemble_grad(logits, labels, (g_blank + g_y) * scale,
                          g_blank * scale, g_y * scale, blank)
@@ -185,6 +190,7 @@ def _bwd(blank, res, g):
 rnnt_loss_pallas.defvjp(_fwd, _bwd)
 
 
-def rnnt_loss_pallas_mean(logits, labels, frame_lens, label_lens, blank=0):
+def rnnt_loss_pallas_mean(logits, labels, frame_lens, label_lens, blank=0,
+                          fastemit_lambda=0.0):
     return jnp.mean(rnnt_loss_pallas(logits, labels, frame_lens, label_lens,
-                                     blank))
+                                     blank, fastemit_lambda))

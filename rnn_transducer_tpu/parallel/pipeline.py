@@ -184,14 +184,16 @@ def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
 
 
 def pp_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
-               labels, label_lens, *, pp: int, microbatches: int):
+               labels, label_lens, *, pp: int, microbatches: int,
+               fastemit: float = 0.0):
     enc_out, enc_lens = pp_encode(local.shd["encoder"], cfg, feats,
                                   feat_lens, pp=pp,
                                   microbatches=microbatches)
     rep = local.rep
     pred_out, _ = m.predict(rep, cfg, labels)
     logits = m.joint(rep, cfg, enc_out, pred_out)
-    per_utt = rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank)
+    per_utt = rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank,
+                        fastemit)
     return jnp.mean(per_utt), per_utt
 
 
@@ -216,7 +218,8 @@ def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
 
         def batch_loss(p):
             return pp_loss_fn(p, cfg, feats, feat_lens, labels, label_lens,
-                              pp=pp, microbatches=M)
+                              pp=pp, microbatches=M,
+                              fastemit=tcfg.fastemit_lambda)
 
         loss_params = local.params
         if tcfg.weight_noise_std > 0.0:

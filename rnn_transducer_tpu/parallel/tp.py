@@ -326,7 +326,8 @@ def _joint_z(params_local, cfg: TransducerConfig, enc_out, pred_out):
 
 
 def tp_joint_loss(params_local, cfg: TransducerConfig, enc_out, enc_lens,
-                  pred_out, labels, label_lens, *, axis=MODEL_AXIS):
+                  pred_out, labels, label_lens, *, axis=MODEL_AXIS,
+                  fastemit=0.0):
     """Vocab-parallel joint + RNN-T loss.
 
     The out projection is V-column-sharded: each shard builds its
@@ -363,16 +364,16 @@ def tp_joint_loss(params_local, cfg: TransducerConfig, enc_out, enc_lens,
         [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1)
     lp_y = pick(jnp.broadcast_to(lab[:, None, :], (B, T, U1))) - den
     lp_y = lp_y.at[:, :, U1 - 1].set(NEG_INF)  # u = U has no label
-    return rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens)
+    return rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens, fastemit)
 
 
 def tp_loss_fn(params_local, cfg: TransducerConfig, feats, feat_lens,
-               labels, label_lens, *, axis=MODEL_AXIS):
+               labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0):
     enc_out, enc_lens = tp_encode(params_local, cfg, feats, feat_lens,
                                   axis=axis)
     pred_out = tp_predict(params_local, cfg, labels, axis=axis)
     per_utt = tp_joint_loss(params_local, cfg, enc_out, enc_lens, pred_out,
-                            labels, label_lens, axis=axis)
+                            labels, label_lens, axis=axis, fastemit=fastemit)
     return jnp.mean(per_utt), per_utt
 
 
@@ -381,7 +382,8 @@ def tp_loss_fn(params_local, cfg: TransducerConfig, feats, feat_lens,
 # --------------------------------------------------------------------------
 
 def sp_joint_loss(params, cfg: TransducerConfig, enc_out, enc_lens,
-                  pred_out, labels, label_lens, *, axis=MODEL_AXIS):
+                  pred_out, labels, label_lens, *, axis=MODEL_AXIS,
+                  fastemit=0.0):
     """Frame-sharded joint + RNN-T loss.
 
     enc_out is padded to a multiple of the model-axis size and each shard
@@ -409,15 +411,15 @@ def sp_joint_loss(params, cfg: TransducerConfig, enc_out, enc_lens,
                                   tiled=True)[:, :T]
     lp_y = jax.lax.all_gather(
         _gather_label_logprobs(lp, labels), axis, axis=1, tiled=True)[:, :T]
-    return rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens)
+    return rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens, fastemit)
 
 
 def sp_loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
-               label_lens, *, axis=MODEL_AXIS):
+               label_lens, *, axis=MODEL_AXIS, fastemit=0.0):
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
     pred_out, _ = m.predict(params, cfg, labels)
     per_utt = sp_joint_loss(params, cfg, enc_out, enc_lens, pred_out,
-                            labels, label_lens, axis=axis)
+                            labels, label_lens, axis=axis, fastemit=fastemit)
     return jnp.mean(per_utt), per_utt
 
 
@@ -460,7 +462,7 @@ def init_ep_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
 
 
 def ep_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
-               labels, label_lens, *, axis=MODEL_AXIS):
+               labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0):
     """Frame-sharded joint + loss with the expert-parallel MoE residual.
 
     Returns (mean loss + aux, per_utt). Capacity semantics under ep: each
@@ -502,7 +504,8 @@ def ep_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
                                   tiled=True)[:, :T]
     lp_y = jax.lax.all_gather(
         _gather_label_logprobs(lp, labels), axis, axis=1, tiled=True)[:, :T]
-    per_utt = rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens)
+    per_utt = rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens,
+                                fastemit)
     return jnp.mean(per_utt) + cfg.moe_aux_weight * aux, per_utt
 
 
@@ -594,18 +597,19 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
 
     def shard_fn(state, feats, feat_lens, labels, label_lens):
         local = _tp_squeeze(state) if is_tp else state
+        fe = tcfg.fastemit_lambda
         if mode == "tp":
             def batch_loss(p):
                 return tp_loss_fn(_local_view(p), cfg, feats, feat_lens,
-                                  labels, label_lens)
+                                  labels, label_lens, fastemit=fe)
         elif mode == "ep":
             def batch_loss(p):
                 return ep_loss_fn(p, cfg, feats, feat_lens, labels,
-                                  label_lens)
+                                  label_lens, fastemit=fe)
         else:
             def batch_loss(p):
                 return sp_loss_fn(p, cfg, feats, feat_lens, labels,
-                                  label_lens)
+                                  label_lens, fastemit=fe)
         loss_params = local.params
         if tcfg.weight_noise_std > 0.0:
             loss_params = apply_weight_noise(local.params, tcfg, local.step,

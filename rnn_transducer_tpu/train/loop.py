@@ -94,7 +94,7 @@ def init_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig) -> TrainStat
 def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             label_lens, loss_impl: str = "auto", dropout: float = 0.0,
             embed_dropout: float = 0.0, dropout_rng=None,
-            dropout_offset=0):
+            dropout_offset=0, fastemit: float = 0.0):
     """Batch-mean RNN-T loss; per-utterance losses also returned.
 
     "fused" (default on TPU) never materializes the (B,T,U+1,V) logits:
@@ -120,7 +120,7 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
                                             **do)
         per_utt = select_rnnt_loss(
             "xla" if loss_impl in ("auto", "fused") else loss_impl)(
-            logits, labels, enc_lens, label_lens, cfg.blank)
+            logits, labels, enc_lens, label_lens, cfg.blank, fastemit)
         return jnp.mean(per_utt) + cfg.moe_aux_weight * aux, per_utt
     if loss_impl == "auto":
         if jax.default_backend() == "tpu":
@@ -137,12 +137,13 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
                                 embed_dropout=embed_dropout, **do)
         f, g, w, b = m.joint_activations(params, cfg, enc_out, pred_out)
         per_utt = rnnt_loss_fused(f, g, w, b, labels, enc_lens, label_lens,
-                                  cfg.blank, cfg.cdtype)
+                                  cfg.blank, cfg.cdtype, fastemit)
     else:
         logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels,
                                      embed_dropout=embed_dropout, **do)
         per_utt = select_rnnt_loss(loss_impl)(logits, labels, enc_lens,
-                                              label_lens, cfg.blank)
+                                              label_lens, cfg.blank,
+                                              fastemit)
     return jnp.mean(per_utt), per_utt
 
 
@@ -173,7 +174,8 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
         batch_loss = functools.partial(ctc_loss_fn, cfg=cfg)
     else:
         batch_loss = functools.partial(loss_fn, cfg=cfg,
-                                       loss_impl=tcfg.loss_impl)
+                                       loss_impl=tcfg.loss_impl,
+                                       fastemit=tcfg.fastemit_lambda)
 
     has_dropout = (loss_kind == "rnnt"
                    and (tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0))

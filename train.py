@@ -85,6 +85,10 @@ def parse_args(argv=None):
                         "net; the stacked-nn.LSTM(dropout=) staple)")
     p.add_argument("--embed-dropout", type=float, default=0.0,
                    help="dropout on the prediction net's label embeddings")
+    p.add_argument("--fastemit-lambda", type=float, default=0.0,
+                   help="FastEmit low-latency regularization: scales the "
+                        "emit-arc posterior gradient by (1 + lambda) so "
+                        "the model learns to emit earlier (0 = off)")
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer spec (char | phone | bpe:<model.json>); "
                         "stored inline in the checkpoint's meta.json so "
@@ -133,7 +137,8 @@ def main(argv=None):
                        lr_schedule=args.lr_schedule,
                        weight_noise_std=args.weight_noise,
                        dropout=args.dropout,
-                       embed_dropout=args.embed_dropout)
+                       embed_dropout=args.embed_dropout,
+                       fastemit_lambda=args.fastemit_lambda)
     mlog = MetricsLogger(args.log_file)
 
     mp = args.model_parallel
