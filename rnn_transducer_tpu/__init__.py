@@ -50,13 +50,15 @@ from rnn_transducer_tpu.models.lm import (
 from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
 from rnn_transducer_tpu.ops.logmel import log_mel
 from rnn_transducer_tpu.ops.rnnt_loss import rnnt_loss, rnnt_loss_mean
+from rnn_transducer_tpu.ops.rnnt_pruned import rnnt_loss_pruned
 
 __version__ = "0.2.0"
 
 __all__ = [
     "NAMED_CONFIGS", "TrainConfig", "TransducerConfig",
     "init_params", "forward", "encode", "predict", "joint",
-    "rnnt_loss", "rnnt_loss_mean", "ctc_loss_from_logits", "log_mel",
+    "rnnt_loss", "rnnt_loss_mean", "rnnt_loss_pruned",
+    "ctc_loss_from_logits", "log_mel",
     "greedy_decode", "recognize_greedy", "beam_search", "recognize_beam",
     "stream_transcribe", "stream_transcribe_beam", "error_rate",
     "CharTokenizer", "PhonemeTokenizer", "BpeTokenizer",

@@ -39,6 +39,11 @@ class TransducerConfig:
     # auxiliary CTC head on the encoder output (family staple: encoder
     # pretraining with CTC before switching to the RNN-T loss)
     ctc_head: bool = False
+    # Pruned two-pass RNN-T training (ops/rnnt_pruned.py, k2-style):
+    # > 0 adds trivial-joiner "simple" heads to the params and enables
+    # loss_impl="pruned" — the expensive joint runs only on a band of
+    # this width around the first pass's alignment. 0 = full lattice.
+    pruned_range: int = 0
     # Mixture-of-Experts joint (ops/moe.py): > 0 inserts a residual top-1
     # routed expert FFN on the joint activation. The expert axis is the
     # framework's expert-parallelism dimension (parallel "ep" mode).
@@ -91,8 +96,13 @@ class TrainConfig:
     fastemit_lambda: float = 0.0
     # accumulate gradients over k microbatches before each optimizer update
     grad_accum: int = 1
-    # RNN-T loss kernel: "auto" (Pallas on TPU, XLA elsewhere), "pallas", "xla"
+    # RNN-T loss kernel: "auto" (fused/Pallas on TPU, XLA elsewhere),
+    # "fused", "pallas", "xla", or "pruned" (two-pass pruned training;
+    # requires TransducerConfig.pruned_range > 0)
     loss_impl: str = "auto"
+    # weight of the trivial-joiner first-pass loss in the pruned
+    # objective: pruned + simple_loss_scale * simple (k2 default 0.5)
+    simple_loss_scale: float = 0.5
     # data-parallel mesh axis size (1 = single chip)
     data_parallel: int = 1
     # bucketing: (max_frames, max_labels) per bucket

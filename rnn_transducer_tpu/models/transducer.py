@@ -84,6 +84,16 @@ def init_params(key, cfg: TransducerConfig) -> Params:
         from rnn_transducer_tpu.ops.moe import init_moe_params
         params["moe"] = init_moe_params(keys[7], cfg.joint_experts,
                                         cfg.joint_dim, cfg.moe_hidden)
+    if cfg.pruned_range > 0:
+        # Trivial-joiner heads of the pruned two-pass loss
+        # (ops/rnnt_pruned.py): per-frame and per-label-position V-logit
+        # projections whose ADDITIVE combination drives the cheap first
+        # pass that picks the pruning band.
+        sk = jax.random.split(keys[6], 3)
+        params["simple"] = {
+            "am": _init_linear(sk[1], cfg.enc_out_dim, cfg.vocab_size),
+            "lm": _init_linear(sk[2], cfg.pred_hidden, cfg.vocab_size),
+        }
     return params
 
 

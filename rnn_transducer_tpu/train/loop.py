@@ -94,7 +94,8 @@ def init_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig) -> TrainStat
 def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             label_lens, loss_impl: str = "auto", dropout: float = 0.0,
             embed_dropout: float = 0.0, dropout_rng=None,
-            dropout_offset=0, fastemit: float = 0.0):
+            dropout_offset=0, fastemit: float = 0.0,
+            simple_loss_scale: float = 0.5):
     """Batch-mean RNN-T loss; per-utterance losses also returned.
 
     "fused" (default on TPU) never materializes the (B,T,U+1,V) logits:
@@ -122,6 +123,26 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             "xla" if loss_impl in ("auto", "fused") else loss_impl)(
             logits, labels, enc_lens, label_lens, cfg.blank, fastemit)
         return jnp.mean(per_utt) + cfg.moe_aux_weight * aux, per_utt
+    if loss_impl == "pruned":
+        # k2-style two-pass objective (ops/rnnt_pruned.py): cheap
+        # trivial-joiner first pass -> pruning band -> expensive joint on
+        # the (T, S) band only. Reported per-utterance losses are the
+        # pruned NLL bound.
+        if cfg.pruned_range <= 0:
+            raise ValueError("loss_impl='pruned' requires "
+                             "TransducerConfig.pruned_range > 0")
+        from rnn_transducer_tpu.ops.rnnt_pruned import pruned_two_pass_loss
+        enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens, **do)
+        pred_out, _ = m.predict(params, cfg, labels,
+                                embed_dropout=embed_dropout, **do)
+        f, g, w, b = m.joint_activations(params, cfg, enc_out, pred_out)
+        simple_pu, pruned_pu, _ = pruned_two_pass_loss(
+            params["simple"], f, g, w, b, enc_out, pred_out, labels,
+            enc_lens, label_lens, cfg.pruned_range, cfg.blank, cfg.cdtype,
+            fastemit)
+        total = (jnp.mean(pruned_pu)
+                 + simple_loss_scale * jnp.mean(simple_pu))
+        return total, pruned_pu
     if loss_impl == "auto":
         if jax.default_backend() == "tpu":
             from rnn_transducer_tpu.ops.rnnt_joint_fused import fused_supported
@@ -175,7 +196,8 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
     else:
         batch_loss = functools.partial(loss_fn, cfg=cfg,
                                        loss_impl=tcfg.loss_impl,
-                                       fastemit=tcfg.fastemit_lambda)
+                                       fastemit=tcfg.fastemit_lambda,
+                                       simple_loss_scale=tcfg.simple_loss_scale)
 
     has_dropout = (loss_kind == "rnnt"
                    and (tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0))

@@ -59,7 +59,13 @@ def parse_args(argv=None):
     p.add_argument("--max-frames", type=int, default=200)
     p.add_argument("--max-labels", type=int, default=20)
     p.add_argument("--loss-impl", default="auto",
-                   choices=["auto", "fused", "pallas", "xla"])
+                   choices=["auto", "fused", "pallas", "xla", "pruned"])
+    p.add_argument("--pruned-range", type=int, default=0,
+                   help="band width S of the pruned two-pass loss "
+                        "(k2-style); implies --loss-impl pruned when > 0")
+    p.add_argument("--simple-loss-scale", type=float, default=0.5,
+                   help="weight of the trivial-joiner first-pass loss in "
+                        "the pruned objective")
     p.add_argument("--spec-augment", action="store_true",
                    help="apply SpecAugment time/freq masking on features")
     p.add_argument("--sortagrad", action="store_true",
@@ -129,6 +135,11 @@ def main(argv=None):
     cfg = get_model_config(args.config)
     if args.ctc_pretrain_steps > 0 and not cfg.ctc_head:
         cfg = dataclasses.replace(cfg, ctc_head=True)
+    if args.pruned_range > 0:
+        cfg = dataclasses.replace(cfg, pruned_range=args.pruned_range)
+        args.loss_impl = "pruned"
+    elif args.loss_impl == "pruned" and cfg.pruned_range <= 0:
+        raise SystemExit("--loss-impl pruned requires --pruned-range N")
     tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                        warmup_steps=args.warmup_steps,
                        total_steps=max(args.steps, args.warmup_steps + 1),
@@ -138,7 +149,8 @@ def main(argv=None):
                        weight_noise_std=args.weight_noise,
                        dropout=args.dropout,
                        embed_dropout=args.embed_dropout,
-                       fastemit_lambda=args.fastemit_lambda)
+                       fastemit_lambda=args.fastemit_lambda,
+                       simple_loss_scale=args.simple_loss_scale)
     mlog = MetricsLogger(args.log_file)
 
     mp = args.model_parallel
@@ -167,6 +179,12 @@ def main(argv=None):
             # instead of silently ignoring the flag (ADVICE r2 pattern).
             raise SystemExit("--dropout/--embed-dropout are not supported "
                              "with --model-parallel")
+        if args.loss_impl == "pruned":
+            # The model-parallel joint+loss paths shard the full lattice
+            # (tp: vocab, sp: frames); the pruned band is not threaded
+            # through them — fail loudly rather than silently ignore.
+            raise SystemExit("--loss-impl pruned is not supported with "
+                             "--model-parallel")
         from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
         n_data = args.data_parallel or max(1, len(jax.devices()) // mp)
         mesh = tpx.make_mesh_2d(n_data, mp)
