@@ -27,6 +27,12 @@ class TransducerConfig:
     pred_layers: int = 1
     pred_hidden: int = 256
     embed_dim: int = 256
+    # "lstm" (reference staple) or "stateless" (k2/icefall-style bounded-
+    # context decoder: the output at position u is a projection of the
+    # embeddings of the last pred_context consumed labels — no recurrent
+    # state, decode state is just (pred_context - 1) label ids)
+    pred_type: str = "lstm"
+    pred_context: int = 2
     # joint
     joint_dim: int = 256
     vocab_size: int = 64  # including blank

@@ -63,11 +63,17 @@ def init_params(key, cfg: TransducerConfig) -> Params:
     embed_scale = 1.0
     embed = jax.random.normal(keys[1], (cfg.vocab_size, cfg.embed_dim)) * embed_scale
     pred = []
-    pk = jax.random.split(keys[2], cfg.pred_layers)
-    pin = cfg.embed_dim
-    for i in range(cfg.pred_layers):
-        pred.append(init_lstm_params(pk[i], pin, cfg.pred_hidden))
-        pin = cfg.pred_hidden
+    if cfg.pred_type == "stateless":
+        # bounded-context decoder (k2-style): one projection of the
+        # concatenated window embeddings; decode state = label-id buffer
+        pred.append(_init_linear(keys[2], cfg.pred_context * cfg.embed_dim,
+                                 cfg.pred_hidden))
+    else:
+        pk = jax.random.split(keys[2], cfg.pred_layers)
+        pin = cfg.embed_dim
+        for i in range(cfg.pred_layers):
+            pred.append(init_lstm_params(pk[i], pin, cfg.pred_hidden))
+            pin = cfg.pred_hidden
     # --- joint ---
     joint = {
         "enc_proj": _init_linear(keys[3], cfg.enc_out_dim, cfg.joint_dim),
@@ -217,6 +223,26 @@ def predict(params: Params, cfg: TransducerConfig, labels, *,
     x = params["embed"][inp]  # (B, U+1, E)
     if embed_dropout > 0.0 and rng is not None:
         x = _dropout(x, embed_dropout, rng, site=1000)
+    if cfg.pred_type == "stateless":
+        # window of the last pred_context inputs per position (blank-
+        # padded before the start), projected in one matmul
+        C = cfg.pred_context
+        pad = params["embed"][jnp.full((B, C - 1), cfg.blank,
+                                       jnp.int32)]
+        xp = jnp.concatenate([pad, x], axis=1)  # (B, U+C, E)
+        win = jnp.concatenate(
+            [xp[:, c: c + U + 1] for c in range(C)], axis=-1)
+        layer = params["predictor"][0]
+        out = (jnp.dot(win.astype(cfg.cdtype),
+                       layer["w"].astype(cfg.cdtype),
+                       preferred_element_type=jnp.float32)
+               + layer["b"].astype(jnp.float32))
+        # final decode state: ids of the C-1 most recent inputs
+        ids = jnp.concatenate(
+            [jnp.full((B, C - 1), cfg.blank, jnp.int32),
+             inp.astype(jnp.int32)], axis=1)[:, -(C - 1):] if C > 1 else \
+            jnp.zeros((B, 0), jnp.int32)
+        return out, ids
     states = []
     n = len(params["predictor"])
     for i, layer in enumerate(params["predictor"]):
@@ -231,8 +257,22 @@ def predict_step(params: Params, cfg: TransducerConfig, label, states):
     """Single step of the prediction network (for decoding).
 
     label: (B,) int32 (the last emitted label; blank id = start symbol).
-    states: list per layer of (h, c) each (B, H). Returns (out (B, H), states').
+    states: list per layer of (h, c) each (B, H) — or, for
+    pred_type="stateless", the (B, pred_context - 1) int32 buffer of the
+    most recent consumed label ids. Returns (out (B, H), states').
     """
+    if cfg.pred_type == "stateless":
+        C = cfg.pred_context
+        win = jnp.concatenate(
+            [states.astype(jnp.int32), label.astype(jnp.int32)[:, None]],
+            axis=1)  # (B, C)
+        x = params["embed"][win].reshape(label.shape[0],
+                                         C * cfg.embed_dim)
+        layer = params["predictor"][0]
+        out = (jnp.dot(x.astype(cfg.cdtype), layer["w"].astype(cfg.cdtype),
+                       preferred_element_type=jnp.float32)
+               + layer["b"].astype(jnp.float32))
+        return out, win[:, 1:]
     x = params["embed"][label]  # (B, E)
     new_states = []
     for layer, (h, c) in zip(params["predictor"], states):
@@ -248,6 +288,9 @@ def predict_step(params: Params, cfg: TransducerConfig, label, states):
 
 
 def init_pred_state(cfg: TransducerConfig, batch: int):
+    if cfg.pred_type == "stateless":
+        return jnp.full((batch, cfg.pred_context - 1), cfg.blank,
+                        jnp.int32)
     return [
         (jnp.zeros((batch, cfg.pred_hidden), jnp.float32),
          jnp.zeros((batch, cfg.pred_hidden), jnp.float32))

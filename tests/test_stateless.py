@@ -1,0 +1,143 @@
+"""Stateless (bounded-context) prediction network — the k2/icefall-style
+decoder variant: the output at position u is a projection of the
+embeddings of the last `pred_context` consumed labels; decode state is an
+int32 label-id buffer instead of LSTM (h, c).
+
+Anchors: batch form == step chain; context boundedness (perturbing a
+label changes outputs ONLY inside its context window); greedy / beam /
+streaming decode run unchanged on the id-buffer state; the model trains
+the toy task to exact match.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnn_transducer_tpu.models import transducer as m
+from rnn_transducer_tpu.models.config import TrainConfig, TransducerConfig
+
+CFG = TransducerConfig(input_dim=6, enc_layers=1, enc_hidden=32,
+                       pred_layers=1, pred_hidden=32, embed_dim=8,
+                       joint_dim=32, vocab_size=10,
+                       compute_dtype="float32",
+                       pred_type="stateless", pred_context=2)
+PARAMS = m.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_batch_equals_step_chain():
+    rng = np.random.default_rng(0)
+    B, U = 3, 6
+    labels = jnp.asarray(rng.integers(1, CFG.vocab_size, size=(B, U)),
+                         jnp.int32)
+    out_b, final_state = m.predict(PARAMS, CFG, labels)
+    assert out_b.shape == (B, U + 1, CFG.pred_hidden)
+
+    state = m.init_pred_state(CFG, B)
+    assert state.dtype == jnp.int32
+    inp = jnp.concatenate(
+        [jnp.full((B, 1), CFG.blank, jnp.int32), labels], axis=1)
+    outs = []
+    for u in range(U + 1):
+        o, state = m.predict_step(PARAMS, CFG, inp[:, u], state)
+        outs.append(o)
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs, 1)),
+                               np.asarray(out_b), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(state),
+                                  np.asarray(final_state))
+
+
+def test_context_boundedness():
+    """Perturbing labels[k] changes predict outputs only at positions
+    k+1 .. k+pred_context (inp index k+1's window span), nowhere else —
+    the property an LSTM predictor cannot have."""
+    rng = np.random.default_rng(1)
+    B, U = 2, 8
+    labels = np.asarray(rng.integers(1, CFG.vocab_size, size=(B, U)),
+                        np.int32)
+    base, _ = m.predict(PARAMS, CFG, jnp.asarray(labels))
+    k = 3
+    pert = labels.copy()
+    pert[:, k] = (pert[:, k] % (CFG.vocab_size - 1)) + 1
+    out, _ = m.predict(PARAMS, CFG, jnp.asarray(pert))
+    diff = np.abs(np.asarray(out) - np.asarray(base)).max(axis=-1)  # (B,U+1)
+    C = CFG.pred_context
+    affected = set(range(k + 1, min(k + 1 + C, U + 1)))
+    for u in range(U + 1):
+        if u in affected:
+            assert diff[:, u].max() > 1e-6, (u, diff[:, u])
+        else:
+            assert diff[:, u].max() == 0.0, (u, diff[:, u])
+
+
+def test_greedy_beam_streaming_decode():
+    from rnn_transducer_tpu.decode.beam import recognize_beam
+    from rnn_transducer_tpu.decode.greedy import recognize_greedy
+    from rnn_transducer_tpu.decode.streaming import stream_transcribe
+
+    rng = np.random.default_rng(2)
+    B, T = 2, 12
+    feats = jnp.asarray(rng.normal(size=(B, T, CFG.input_dim)), jnp.float32)
+    fl = jnp.full((B,), T, jnp.int32)
+
+    toks, lens = recognize_greedy(PARAMS, CFG, feats, fl, max_symbols=6)
+    assert toks.shape[0] == B
+
+    btoks, blens, bscores = recognize_beam(PARAMS, CFG, feats, fl,
+                                           max_symbols=6, beam=4,
+                                           expansions=2)
+    assert btoks.shape[:2] == (B, 4)
+
+    # streaming chunks == offline greedy
+    offline = [np.asarray(toks)[i, : int(lens[i])].tolist()
+               for i in range(B)]
+    stoks, slens = stream_transcribe(PARAMS, CFG, feats, fl,
+                                     chunk_frames=4, max_symbols=6)
+    got = [np.asarray(stoks)[i, : int(slens[i])].tolist()
+           for i in range(B)]
+    assert got == offline
+
+
+def test_trains_toy_task():
+    from rnn_transducer_tpu.decode.greedy import recognize_greedy
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    T_, U_, V_ = 16, 4, 6
+    cfg = TransducerConfig(input_dim=V_, enc_layers=1, enc_hidden=32,
+                           pred_layers=1, pred_hidden=32, embed_dim=16,
+                           joint_dim=32, vocab_size=V_,
+                           compute_dtype="float32",
+                           pred_type="stateless", pred_context=3)
+    tcfg = TrainConfig(batch_size=8, learning_rate=5e-3, warmup_steps=30,
+                       total_steps=900, loss_impl="xla")
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg))
+
+    def toy(rng, n):
+        feats = np.zeros((n, T_, V_), np.float32)
+        labels = rng.integers(1, V_, size=(n, U_)).astype(np.int32)
+        for i in range(n):
+            for u in range(U_):
+                feats[i, 4 * u: 4 * u + 4, labels[i, u]] = 1.0
+        feats += rng.normal(scale=0.05, size=feats.shape).astype(np.float32)
+        return jnp.asarray(feats), jnp.asarray(labels)
+
+    rng = np.random.default_rng(7)
+    fl = jnp.full((8,), T_, jnp.int32)
+    ll = jnp.full((8,), U_, jnp.int32)
+    for _ in range(900):
+        feats, labels = toy(rng, 8)
+        state, info = step(state, feats, fl, labels, ll)
+    assert np.isfinite(float(info["loss"]))
+
+    rng = np.random.default_rng(99)
+    feats, labels = toy(rng, 16)
+    toks, lens = recognize_greedy(state.params, cfg, feats,
+                                  jnp.full((16,), T_, jnp.int32),
+                                  max_symbols=8)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    exact = sum(list(toks[i, : int(lens[i])]) == list(np.asarray(labels)[i])
+                for i in range(16))
+    # measured: context=3 reaches 14/16; context=2 saturates at 12/16 at
+    # near-zero loss — the documented accuracy cost of the bounded context
+    assert exact >= 13, exact

@@ -99,6 +99,14 @@ def parse_args(argv=None):
                    help="tokenizer spec (char | phone | bpe:<model.json>); "
                         "stored inline in the checkpoint's meta.json so "
                         "recognize.py can emit text transcripts")
+    p.add_argument("--pred-type", default=None,
+                   choices=["lstm", "stateless"],
+                   help="prediction network type override: 'stateless' = "
+                        "k2-style bounded-context decoder (see "
+                        "--pred-context)")
+    p.add_argument("--pred-context", type=int, default=0,
+                   help="stateless decoder context size (labels of "
+                        "history per position; 0 = config default)")
     p.add_argument("--ctc-pretrain-steps", type=int, default=0,
                    help="warm up the encoder with CTC loss for N steps "
                         "before switching to the RNN-T loss")
@@ -135,6 +143,10 @@ def main(argv=None):
     cfg = get_model_config(args.config)
     if args.ctc_pretrain_steps > 0 and not cfg.ctc_head:
         cfg = dataclasses.replace(cfg, ctc_head=True)
+    if args.pred_type:
+        cfg = dataclasses.replace(cfg, pred_type=args.pred_type)
+    if args.pred_context > 0:
+        cfg = dataclasses.replace(cfg, pred_context=args.pred_context)
     if args.pruned_range > 0:
         cfg = dataclasses.replace(cfg, pruned_range=args.pruned_range)
         args.loss_impl = "pruned"
@@ -185,6 +197,11 @@ def main(argv=None):
             # through them — fail loudly rather than silently ignore.
             raise SystemExit("--loss-impl pruned is not supported with "
                              "--model-parallel")
+        if cfg.pred_type == "stateless" and args.parallel_mode == "tp":
+            # tp gate-shards the predictor LSTMs; the stateless decoder
+            # has no LSTM to shard (it is tiny — use sp/pp instead).
+            raise SystemExit("pred_type='stateless' is not supported with "
+                             "--parallel-mode tp")
         from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
         n_data = args.data_parallel or max(1, len(jax.devices()) // mp)
         mesh = tpx.make_mesh_2d(n_data, mp)
