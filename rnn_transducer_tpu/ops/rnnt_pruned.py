@@ -72,10 +72,18 @@ def simple_lp(am, lm, labels, blank):
     lse = (jnp.log(jnp.maximum(M, jnp.finfo(jnp.float32).tiny))
            + am_max + jnp.swapaxes(lm_max, 1, 2))
     lp_blank = am[:, :, blank][:, :, None] + lm[:, None, :, blank] - lse
-    # label at position u (u < U): am[t, y_u] + lm[u, y_u] - lse
+    # label at position u (u < U): am[t, y_u] + lm[u, y_u] - lse.
+    # A take_along_axis over the (lane) vocab axis lowers to a ~10x-
+    # slower dynamic gather on TPU; pick values exactly with an fp32
+    # one-hot MXU matmul (am) and a fused iota-compare reduce (lm).
     lab = labels.astype(jnp.int32)  # (B, U)
-    am_y = jnp.take_along_axis(am, lab[:, None, :].repeat(T, 1), axis=-1)
-    lm_y = jnp.take_along_axis(lm[:, :-1, :], lab[..., None], axis=-1)[..., 0]
+    U = lab.shape[1]
+    onehot = jax.nn.one_hot(lab, V, dtype=jnp.float32)  # (B, U, V)
+    am_y = jnp.einsum("btv,buv->btu", am, onehot,
+                      preferred_element_type=jnp.float32)
+    v_ids = jax.lax.broadcasted_iota(jnp.int32, (B, U, V), 2)
+    lm_y = jnp.sum(jnp.where(v_ids == lab[..., None], lm[:, :-1, :], 0.0),
+                   axis=-1)
     lp_y = am_y + lm_y[:, None, :] - lse[:, :, :-1]
     pad = jnp.full((B, T, 1), NEG_INF, lp_y.dtype)
     return lp_blank, jnp.concatenate([lp_y, pad], axis=-1)
@@ -307,8 +315,20 @@ rnnt_loss_banded.defvjp(_banded_fwd, _banded_bwd)
 # --------------------------- pruned joint + loss --------------------------
 
 def _pruned_lp_chunk(f_c, u_c, lab_w, g, w, b, blank, compute_dtype):
-    """One time-chunk of the band joint: (B, Tc, ...) -> lp pair."""
-    g_w = jnp.take_along_axis(g[:, None], u_c[..., None], axis=2)
+    """One time-chunk of the band joint: (B, Tc, ...) -> lp pair.
+
+    No take_along_axis anywhere: the predictor-row pick is an fp32
+    one-hot MXU matmul (whose transpose — dg — is another matmul instead
+    of a pathological scatter-add), and the label-score pick is a fused
+    iota-compare reduce over the already-resident lp tile.
+    """
+    B, Tc, S = u_c.shape
+    U1 = g.shape[1]
+    onehot_u = (u_c[..., None]
+                == jax.lax.broadcasted_iota(jnp.int32, (B, Tc, S, U1), 3)
+                ).astype(jnp.float32)
+    g_w = jnp.einsum("btsu,buj->btsj", onehot_u, g,
+                     preferred_element_type=jnp.float32)
     z = jnp.tanh(f_c[:, :, None, :] + g_w)  # (B, Tc, S, J)
     cd = compute_dtype
     logits = (jnp.einsum("btsj,jv->btsv", z.astype(cd), w.astype(cd),
@@ -316,7 +336,8 @@ def _pruned_lp_chunk(f_c, u_c, lab_w, g, w, b, blank, compute_dtype):
               + b.astype(jnp.float32))
     lp = jax.nn.log_softmax(logits, axis=-1)
     lpb_w = lp[..., blank]
-    lpy_w = jnp.take_along_axis(lp, lab_w[..., None], axis=-1)[..., 0]
+    v_ids = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 3)
+    lpy_w = jnp.sum(jnp.where(v_ids == lab_w[..., None], lp, 0.0), axis=-1)
     return lpb_w, lpy_w
 
 
