@@ -347,6 +347,19 @@ def _pruned_lp_chunk(f_c, u_c, lab_w, g, w, b, blank, compute_dtype):
 _CHUNK_BYTES = 128 * 1024 * 1024
 
 
+def _use_band_kernel() -> bool:
+    """Fused Pallas band kernels (ops/rnnt_band_fused.py): default on
+    TPU; RNNT_TPU_BAND_KERNEL=0/1 forces off/on (1 uses interpret mode
+    off-TPU — the cross-impl equality tests use this)."""
+    import os
+    v = os.environ.get("RNNT_TPU_BAND_KERNEL", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _pruned_lp(f, g, w, b, labels, s_begin, S, blank, compute_dtype):
     """Joint evaluated on the band only -> (lp_blank_w, lp_y_w) (B,T,S).
 
@@ -371,6 +384,31 @@ def _pruned_lp(f, g, w, b, labels, s_begin, S, blank, compute_dtype):
     lab_pad = jnp.concatenate(
         [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1)
     lab_w = jnp.take_along_axis(lab_pad[:, None].repeat(T, 1), u_c, axis=2)
+
+    # TPU path: fused Pallas band kernels (band logits never in HBM);
+    # the XLA chunked path remains the fallback / non-TPU reference.
+    from rnn_transducer_tpu.ops.rnnt_band_fused import (band_fused_supported,
+                                                        band_lp_fused)
+    Sp = -(-S // 8) * 8
+    if (_use_band_kernel()
+            and band_fused_supported(Sp, J, V, compute_dtype)):
+        if Sp != S:
+            u_p = jnp.concatenate(  # overhang rows: clipped, masked later
+                [u_c, jnp.broadcast_to(u_c[:, :, -1:], (B, T, Sp - S))],
+                axis=2)
+        else:
+            u_p = u_c
+        onehot_u = (u_p[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, (B, T, Sp, U1), 3)).astype(jnp.float32)
+        g_w = jnp.einsum("btsu,buj->btsj", onehot_u, g,
+                         preferred_element_type=jnp.float32)
+        lab_p = jnp.take_along_axis(lab_pad[:, None].repeat(T, 1),
+                                    jnp.clip(u_p, 0, U1 - 1), axis=2)
+        lpb_w, lpy_w = band_lp_fused(f, g_w, w, b, lab_p, blank,
+                                     compute_dtype)
+        lpb_w, lpy_w = lpb_w[:, :, :S], lpy_w[:, :, :S]
+        lpy_w = jnp.where(u_c < U, lpy_w, NEG_INF)
+        return lpb_w, lpy_w
 
     tc = max(1, min(T, _CHUNK_BYTES // max(1, B * S * V * 4)))
     body = jax.checkpoint(functools.partial(

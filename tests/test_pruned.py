@@ -223,6 +223,38 @@ def test_chunked_band_joint_matches_unchunked(monkeypatch):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_band_kernel_matches_xla_path(monkeypatch):
+    """The fused Pallas band kernels (interpret mode on CPU) produce the
+    same pruned loss and input grads as the chunked XLA path — including
+    an S not divisible by 8 (kernel pads the band with masked overhang
+    rows)."""
+    monkeypatch.setenv("RNNT_TPU_BAND_KERNEL", "0")
+    rng, labels, fl, ll = _inputs(8)
+    J = 8
+    f = jnp.asarray(rng.normal(size=(B, T, J)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, U1, J)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(J, V)) * 0.4, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
+    gb, gy = occupancies_from_lp(*_lp_pair(rng), fl, ll)
+    for S in (3, 4):
+        sb = prune_bounds(gb + gy, S, fl, ll)
+
+        def loss(f_, g_, w_, b_):
+            return jnp.sum(rnnt_loss_pruned(
+                f_, g_, w_, b_, labels, fl, ll, sb, S, BLANK, jnp.float32))
+
+        monkeypatch.setenv("RNNT_TPU_BAND_KERNEL", "0")
+        v_xla = float(loss(f, g, w, bias))
+        g_xla = jax.grad(loss, argnums=(0, 1, 2, 3))(f, g, w, bias)
+        monkeypatch.setenv("RNNT_TPU_BAND_KERNEL", "1")
+        v_k = float(loss(f, g, w, bias))
+        g_k = jax.grad(loss, argnums=(0, 1, 2, 3))(f, g, w, bias)
+        np.testing.assert_allclose(v_k, v_xla, rtol=1e-6, atol=1e-5)
+        for a, b_ in zip(g_xla, g_k):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=1e-5, atol=2e-5)
+
+
 def test_two_pass_trains_toy_task():
     """loss_impl='pruned' reaches exact-match greedy accuracy on the
     sustained-cue toy corpus (same task as the FastEmit suite)."""
@@ -268,3 +300,49 @@ def test_two_pass_trains_toy_task():
     exact = sum(list(toks[i, : int(lens[i])]) == list(np.asarray(labels)[i])
                 for i in range(16))
     assert exact >= 14, exact
+
+
+def test_pruned_dp_matches_single_device():
+    """loss_impl='pruned' under shard_map data parallelism: loss and
+    post-step params identical to the single-device step (prune_bounds
+    and the band gather are per-utterance, so sharding B is exact)."""
+    import pytest
+
+    from rnn_transducer_tpu.models.config import (TrainConfig,
+                                                  TransducerConfig)
+    from rnn_transducer_tpu.parallel.mesh import (make_mesh, replicate,
+                                                  shard_batch)
+    from rnn_transducer_tpu.train.loop import (TrainState, init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = TransducerConfig(input_dim=8, enc_layers=1, enc_hidden=32,
+                           pred_layers=1, pred_hidden=32, embed_dim=16,
+                           joint_dim=32, vocab_size=16,
+                           compute_dtype="float32", pruned_range=3)
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=50,
+                       loss_impl="pruned")
+    rng = np.random.default_rng(0)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, 8)), jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, 16, size=(8, 4)), jnp.int32),
+             jnp.full((8,), 4, jnp.int32))
+
+    def run(mesh):
+        state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+        b = batch
+        if mesh is not None:
+            state = TrainState(params=replicate(mesh, state.params),
+                               opt_state=replicate(mesh, state.opt_state),
+                               step=replicate(mesh, state.step))
+            b = shard_batch(mesh, b)
+        step = make_train_step(cfg, tcfg, mesh=mesh)
+        state, info = step(state, *b)
+        return jax.device_get(state.params), float(info["loss"])
+
+    p1, l1 = run(None)
+    p2, l2 = run(make_mesh(4))
+    np.testing.assert_allclose(l2, l1, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), p1, p2)
