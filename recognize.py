@@ -25,7 +25,8 @@ def parse_args(argv=None):
                         "--ckpt-dir's meta.json, else 'smoke'")
     p.add_argument("--data", default="synthetic")
     p.add_argument("--mode", default="greedy",
-                   choices=["greedy", "beam", "streaming", "streaming_beam"])
+                   choices=["greedy", "beam", "streaming", "streaming_beam",
+                            "ctc_greedy", "ctc_beam"])
     p.add_argument("--beam", type=int, default=8)
     p.add_argument("--expansions", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=8)
@@ -91,6 +92,12 @@ def main(argv=None):
                 f"{args.ckpt_dir}/meta.json: {saved_cfg}")
     else:
         cfg = saved_cfg if saved_cfg is not None else get_model_config("smoke")
+    if args.mode.startswith("ctc_") and not cfg.ctc_head:
+        if args.ckpt_dir:
+            raise SystemExit("--mode ctc_* needs a checkpoint trained with "
+                             "a CTC head (--ctc-pretrain-steps)")
+        import dataclasses
+        cfg = dataclasses.replace(cfg, ctc_head=True)  # synthetic smoke
     meta = ckpt.load_meta(args.ckpt_dir) if args.ckpt_dir else None
     if args.ckpt_dir:
         # Shared restore path (train/checkpoint.py): also merges
@@ -154,6 +161,27 @@ def main(argv=None):
                 out = beam_jit(params, lm_params if fuse else None, f, l)
                 frames = out[3][:, 0] if ts else None
                 return out[0][:, 0], out[1][:, 0], frames
+    elif args.mode == "ctc_greedy":
+        from rnn_transducer_tpu.decode.ctc import recognize_ctc
+        ctc_jit = jax.jit(lambda p, f, l: recognize_ctc(
+            p, cfg, f, l, mode="greedy", max_symbols=args.max_symbols,
+            with_timestamps=ts))
+        if ts:
+            decode = lambda f, l: ctc_jit(params, f, l)
+        else:
+            decode = lambda f, l: ctc_jit(params, f, l) + (None,)
+    elif args.mode == "ctc_beam":
+        from rnn_transducer_tpu.decode.ctc import recognize_ctc
+        if ts:
+            raise SystemExit("--timestamps is not supported with ctc_beam "
+                             "(prefix scores sum over alignments)")
+        ctc_beam_jit = jax.jit(lambda p, f, l: recognize_ctc(
+            p, cfg, f, l, mode="beam", beam=args.beam,
+            max_symbols=args.max_symbols))
+
+        def decode(f, l):
+            toks, lens, _ = ctc_beam_jit(params, f, l)
+            return toks[:, 0], lens[:, 0], None
     elif args.mode == "streaming_beam":
         from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam
 
