@@ -46,6 +46,11 @@ def parse_args(argv=None):
                         "fusion in beam / streaming_beam modes")
     p.add_argument("--lm-weight", type=float, default=0.3,
                    help="shallow-fusion weight on log P_lm per emission")
+    p.add_argument("--ilm-weight", type=float, default=0.0,
+                   help="internal-LM subtraction weight during fusion "
+                        "(density-ratio correction: label emissions also "
+                        "subtract this times the zeroed-encoder joint's "
+                        "log-prob)")
     p.add_argument("--lm-rescore", action="store_true",
                    help="use --lm-ckpt for one-pass N-best rescoring "
                         "instead of per-step shallow fusion (beam mode)")
@@ -146,7 +151,8 @@ def main(argv=None):
             p, cfg, f, l, beam=args.beam,
             max_symbols=args.max_symbols, expansions=args.expansions,
             with_timestamps=ts,
-            lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight)))
+            lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight,
+                                         args.ilm_weight)))
         if args.lm_rescore and lm_params is not None:
             from rnn_transducer_tpu.models.lm import rescore_nbest
             rescore_jit = jax.jit(lambda lmp, t, ln, s: rescore_nbest(
@@ -191,7 +197,7 @@ def main(argv=None):
                 beam=args.beam, max_symbols=args.max_symbols,
                 expansions=args.expansions, with_timestamps=ts,
                 lm=None if lm_params is None else
-                (lm_params, lm_cfg, args.lm_weight))
+                (lm_params, lm_cfg, args.lm_weight, args.ilm_weight))
             frames = out[3][:, 0] if ts else None
             return out[0][:, 0], out[1][:, 0], frames
     else:

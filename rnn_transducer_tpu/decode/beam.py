@@ -87,7 +87,7 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
     if lm is not None:
         from rnn_transducer_tpu.models.lm import (BOS_ID, init_lm_state,
                                                   lm_step)
-        lm_params, lm_cfg, _ = lm
+        lm_params, lm_cfg = lm[0], lm[1]
         lm_lp0, lm_st0 = lm_step(lm_params, lm_cfg,
                                  jnp.full((B * K,), BOS_ID, jnp.int32),
                                  init_lm_state(lm_cfg, B * K))
@@ -107,11 +107,18 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
       expansions: max label emissions per frame before a forced blank.
       beam_state: carried beams from a previous chunk (streaming); None
         starts fresh utterances.
-      lm: optional shallow fusion — (lm_params, LMConfig, weight). Each
-        label emission adds weight * log P_lm(label | prefix) to the beam
-        score; blank transitions are acoustic-only. The LM's per-beam
-        next-token log-probs + LSTM state ride in the beam carry, so
-        fusion also works across streaming chunks.
+      lm: optional shallow fusion — (lm_params, LMConfig, weight) or
+        (lm_params, LMConfig, weight, ilm_weight). Each label emission
+        adds weight * log P_lm(label | prefix) to the beam score; blank
+        transitions are acoustic-only. The LM's per-beam next-token
+        log-probs + LSTM state ride in the beam carry, so fusion also
+        works across streaming chunks. A nonzero ilm_weight additionally
+        SUBTRACTS ilm_weight * log P_ilm(label | prefix) — the model's
+        internal LM estimated by zeroing the encoder output at the joint
+        (Meng et al. 2021), renormalized over non-blank labels: the
+        density-ratio correction for out-of-domain external LMs. The ILM
+        score depends on the prefix alone, so subtraction stays exact
+        under prefix merging and across streaming chunks.
 
     Returns:
       tokens: (B, K, max_symbols) int32 blank-padded, best beam first.
@@ -125,7 +132,8 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
     P = (expansions + 1) * K  # candidate pool per utterance per frame
     if lm is not None:
         from rnn_transducer_tpu.models.lm import lm_step
-        lm_params, lm_cfg, lm_w = lm
+        lm_params, lm_cfg, lm_w, *_rest = lm
+        ilm_w = _rest[0] if _rest else 0.0
 
     def flat(x):  # (B, K, ...) -> (B*K, ...)
         return x.reshape((B * K,) + x.shape[2:])
@@ -186,6 +194,19 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
             ext = scores[:, :, None] + lp  # (B, K, V)
             if lm is not None:  # shallow fusion on label emissions
                 ext = ext + lm_w * outs["lm_lp"]
+                if ilm_w:
+                    # internal-LM estimate: the joint with the encoder
+                    # output zeroed (enc_proj bias kept), renormalized
+                    # over non-blank labels; depends on the prefix only.
+                    ilm_logits = m.joint_step(
+                        params, cfg, jnp.zeros_like(enc_tk),
+                        flat(outs["pred"]))
+                    ilm_lp = jax.nn.log_softmax(
+                        unflat(ilm_logits).at[:, :, cfg.blank]
+                        .set(NEG_INF), axis=-1)
+                    # blank column zeroed: it is masked to NEG_INF below
+                    # anyway, and -inf would poison the subtraction
+                    ext = ext - ilm_w * ilm_lp.at[:, :, cfg.blank].set(0.0)
             ext = ext.at[:, :, cfg.blank].set(NEG_INF)
             ext = jnp.where((lens >= U)[:, :, None], NEG_INF, ext)
             top_sc, top_idx = jax.lax.top_k(ext.reshape(B, K * V), K)

@@ -117,10 +117,10 @@ def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
             expansions=expansions, lm=None))
         lm_params = None
     else:
-        lm_params, lm_cfg, lm_w = lm
+        lm_params, lm_cfg, lm_w, *ilm = lm
         step = jax.jit(lambda p, lmp, s, x, l: stream_chunk_beam(
             p, cfg, s, x, l, beam=beam, max_symbols=max_symbols,
-            expansions=expansions, lm=(lmp, lm_cfg, lm_w)))
+            expansions=expansions, lm=(lmp, lm_cfg, lm_w, *ilm)))
     tokens = lens = scores = None
     for i in range(n_chunks):
         sl = feats[:, i * chunk_frames: (i + 1) * chunk_frames]

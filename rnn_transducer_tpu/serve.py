@@ -109,7 +109,7 @@ class BatchingEngine:
                     p, cfg, f, l, beam=beam, max_symbols=max_symbols,
                     expansions=expansions, with_confidence=True,
                     with_timestamps=True,
-                    lm=None if lmp is None else (lmp, lm[1], lm[2]))
+                    lm=None if lmp is None else (lmp, *lm[1:]))
             jitted = jax.jit(_beam)
             lm_params = lm[0] if lm else None
             self._decode = lambda p, f, l: jitted(p, lm_params, f, l)
@@ -269,7 +269,8 @@ class BatchingEngine:
 def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
                            mode: str = "greedy", beam: int = 8,
                            expansions: int = 3, lm_cfg=None,
-                           lm_weight: float = 0.3):
+                           lm_weight: float = 0.3,
+                           ilm_weight: float = 0.0):
     """Build the StreamingEngine's device step as a standalone function.
 
     Returns (init_state_fn, gstep) where
@@ -312,7 +313,7 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
 
         def init_state_fn(params, lm_params=None):
             lm_t = (None if lm_cfg is None
-                    else (lm_params, lm_cfg, lm_weight))
+                    else (lm_params, lm_cfg, lm_weight, ilm_weight))
             return init_stream_beam(params, cfg, S, beam=beam,
                                     max_symbols=max_symbols, lm=lm_t)
 
@@ -320,7 +321,8 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
             st, toks, tok_lens, scores = stream_chunk_beam(
                 p, cfg, state, chunks, lens, beam=beam,
                 max_symbols=max_symbols, expansions=expansions,
-                lm=None if lmp is None else (lmp, lm_cfg, lm_weight))
+                lm=None if lmp is None
+                else (lmp, lm_cfg, lm_weight, ilm_weight))
             return st, {"tokens": toks, "lens": tok_lens, "scores": scores,
                         "confidence": sorted_confidence(st.decode_state),
                         "frames": sorted_frames(st.decode_state)}
@@ -400,7 +402,8 @@ class StreamingEngine:
             cfg, slots=slots, max_symbols=max_symbols, mode=mode,
             beam=beam, expansions=expansions,
             lm_cfg=None if lm is None else lm[1],
-            lm_weight=0.3 if lm is None else lm[2])
+            lm_weight=0.3 if lm is None else lm[2],
+            ilm_weight=lm[3] if lm is not None and len(lm) > 3 else 0.0)
         if mode == "beam":
             self._init_state = init_state_fn(params, self._lm_params)
         else:

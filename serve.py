@@ -39,6 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--chunk-frames", type=int, default=32)
     p.add_argument("--lm-ckpt", default=None)
     p.add_argument("--lm-weight", type=float, default=0.3)
+    p.add_argument("--ilm-weight", type=float, default=0.0,
+                   help="internal-LM subtraction weight during fusion")
     p.add_argument("--exported-streaming", default=None,
                    help="streaming chunk-step artifact from "
                         "tools/export_model.py --mode streaming_*; skips "
@@ -105,7 +107,7 @@ def main(argv=None):
     if args.lm_ckpt:
         from rnn_transducer_tpu.models.lm import load_lm
         lm_params, lm_cfg = load_lm(args.lm_ckpt)
-        lm = (lm_params, lm_cfg, args.lm_weight)
+        lm = (lm_params, lm_cfg, args.lm_weight, args.ilm_weight)
     offline = BatchingEngine(
         params, cfg, mode=args.mode, beam=args.beam,
         max_symbols=args.max_symbols, frame_buckets=args.frame_buckets,
