@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    help="manifest input pipeline ('native' = C++ prefetch "
                         "threads, cpp/loader.cpp)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use-ema", action="store_true",
+                   help="decode with the checkpoint's Polyak-averaged "
+                        "params (train.py --ema-decay)")
     p.add_argument("--frame-hop-s", type=float, default=0.01,
                    help="seconds of audio per encoder input frame (for RTF)")
     p.add_argument("--lm-ckpt", default=None,
@@ -108,9 +111,10 @@ def main(argv=None):
         # Shared restore path (train/checkpoint.py): also merges
         # model-parallel shard checkpoints (meta['parallel']) into plain
         # params.
-        params, cfg, step, _ = ckpt.load_plain_params(args.ckpt_dir, cfg,
-                                                      seed=args.seed)
-        print(f"loaded checkpoint step {step}", file=sys.stderr)
+        params, cfg, step, _ = ckpt.load_plain_params(
+            args.ckpt_dir, cfg, seed=args.seed, prefer_ema=args.use_ema)
+        print(f"loaded checkpoint step {step}"
+              + (" (EMA params)" if args.use_ema else ""), file=sys.stderr)
     else:
         params = init_train_state(jax.random.PRNGKey(args.seed), cfg,
                                   TrainConfig()).params

@@ -100,6 +100,11 @@ class TrainConfig:
     # scales the emit-arc posterior gradient of the RNN-T loss by
     # (1 + lambda), pushing emissions earlier. 0.0 = exact NLL gradient.
     fastemit_lambda: float = 0.0
+    # Exponential moving average of the params (Polyak averaging): > 0
+    # keeps ema_t = decay * ema_{t-1} + (1-decay) * params_t alongside the
+    # train state (typical 0.999/0.9999); decode/export with --use-ema.
+    # 0.0 = off (TrainState.ema stays None; checkpoint layout unchanged).
+    ema_decay: float = 0.0
     # accumulate gradients over k microbatches before each optimizer update
     grad_accum: int = 1
     # RNN-T loss kernel: "auto" (fused/Pallas on TPU, XLA elsewhere),

@@ -99,8 +99,27 @@ def restore_checkpoint(ckpt_dir: str, target_tree: Any, step: int | None = None)
     return restored, step
 
 
+def saved_train_config(meta: dict):
+    """Reconstruct the TrainConfig recorded in meta.json (or defaults).
+
+    The restore target's pytree structure depends on TrainConfig fields
+    (grad_accum wraps the optimizer in MultiSteps; ema_decay adds the
+    TrainState.ema slot), so restoring against TrainConfig() would
+    structure-mismatch such checkpoints.
+    """
+    from rnn_transducer_tpu.models.config import TrainConfig
+    tc = meta.get("train_config")
+    if not tc:
+        return TrainConfig()
+    known = {f.name for f in dataclasses.fields(TrainConfig)}
+    kw = {k: v for k, v in tc.items() if k in known}
+    if "buckets" in kw:
+        kw["buckets"] = tuple(tuple(b) for b in kw["buckets"])
+    return TrainConfig(**kw)
+
+
 def load_plain_params(ckpt_dir: str, cfg=None, seed: int = 0,
-                      step: int | None = None):
+                      step: int | None = None, prefer_ema: bool = False):
     """Restore a checkpoint's params as a PLAIN single-device pytree.
 
     Handles both layouts: a plain TrainState checkpoint, and one written
@@ -112,8 +131,10 @@ def load_plain_params(ckpt_dir: str, cfg=None, seed: int = 0,
 
     cfg: the TransducerConfig; if None it must be recoverable from
     meta.json (self-describing checkpoint).
+    prefer_ema: return the Polyak-averaged params (training ran with
+    --ema-decay) instead of the live ones; errors if the checkpoint
+    carries no EMA.
     """
-    from rnn_transducer_tpu.models.config import TrainConfig
     from rnn_transducer_tpu.train.loop import TrainState, init_train_state
 
     meta = load_meta(ckpt_dir) or {}
@@ -123,27 +144,34 @@ def load_plain_params(ckpt_dir: str, cfg=None, seed: int = 0,
             raise FileNotFoundError(
                 f"{ckpt_dir}/meta.json has no model_config; pass cfg")
     key = jax.random.PRNGKey(seed)
+    tcfg = saved_train_config(meta)
     par = meta.get("parallel")
     if par and par.get("mp", 1) > 1:
+        if prefer_ema:
+            raise ValueError("model-parallel checkpoints carry no EMA "
+                             "(--ema-decay is rejected with "
+                             "--model-parallel)")
         from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
         mode, mp_n = par["mode"], int(par["mp"])
-        inits = {"tp": lambda: tpx.init_tp_train_state(key, cfg,
-                                                       TrainConfig(), mp_n),
-                 "pp": lambda: ppx.init_pp_train_state(key, cfg,
-                                                       TrainConfig(), mp_n),
-                 "ep": lambda: tpx.init_ep_train_state(key, cfg,
-                                                       TrainConfig(), mp_n),
-                 "sp": lambda: tpx.init_sp_train_state(key, cfg,
-                                                       TrainConfig())}
+        inits = {"tp": lambda: tpx.init_tp_train_state(key, cfg, tcfg, mp_n),
+                 "pp": lambda: ppx.init_pp_train_state(key, cfg, tcfg, mp_n),
+                 "ep": lambda: tpx.init_ep_train_state(key, cfg, tcfg, mp_n),
+                 "sp": lambda: tpx.init_sp_train_state(key, cfg, tcfg)}
         if mode not in inits:
             raise ValueError(f"unknown parallel mode {mode!r} in meta.json")
         state, got = restore_checkpoint(ckpt_dir, inits[mode](), step)
         merges = {"tp": tpx.merge_params_tp, "pp": ppx.merge_params_pp,
                   "ep": tpx.merge_params_ep, "sp": lambda p, c: p}
         return merges[mode](state.params, cfg), cfg, got, meta
-    state0 = init_train_state(key, cfg, TrainConfig())
+    state0 = init_train_state(key, cfg, tcfg)
     tree, got = restore_checkpoint(ckpt_dir, dataclasses.asdict(state0), step)
-    return TrainState(**tree).params, cfg, got, meta
+    state = TrainState(**tree)
+    if prefer_ema:
+        if state.ema is None:
+            raise ValueError(f"{ckpt_dir} carries no EMA params (train "
+                             "with --ema-decay > 0)")
+        return state.ema, cfg, got, meta
+    return state.params, cfg, got, meta
 
 
 def latest_step(ckpt_dir: str) -> int | None:

@@ -33,7 +33,7 @@ def select_rnnt_loss(impl: str = "auto"):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("params", "opt_state", "step"),
+    data_fields=("params", "opt_state", "step", "ema"),
     meta_fields=(),
 )
 @dataclasses.dataclass
@@ -41,6 +41,10 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array
+    # Polyak-averaged params (TrainConfig.ema_decay > 0), else None —
+    # None is an empty pytree node, so the default keeps existing
+    # checkpoints and TrainState(...) constructors working unchanged.
+    ema: Any = None
 
 
 def make_lr_schedule(tcfg: TrainConfig) -> optax.Schedule:
@@ -87,8 +91,12 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 def init_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig) -> TrainState:
     params = m.init_params(key, cfg)
     tx = make_optimizer(tcfg)
+    # ema starts as a COPY of the params: aliasing them would donate the
+    # same buffers twice in the (donated) train step.
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      ema=(jax.tree.map(jnp.copy, params)
+                           if tcfg.ema_decay > 0 else None))
 
 
 def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
@@ -251,13 +259,18 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
             st, grads = operand
             updates, opt_state = tx.update(grads, st.opt_state, st.params)
             params = optax.apply_updates(st.params, updates)
+            ema = st.ema
+            if tcfg.ema_decay > 0:
+                d = tcfg.ema_decay
+                ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                   st.ema, params)
             return TrainState(params=params, opt_state=opt_state,
-                              step=st.step + 1)
+                              step=st.step + 1, ema=ema)
 
         def skip_update(operand):
             st, _ = operand
             return TrainState(params=st.params, opt_state=st.opt_state,
-                              step=st.step + 1)
+                              step=st.step + 1, ema=st.ema)
 
         new_state = jax.lax.cond(ok, do_update, skip_update, (state, grads))
         return new_state, {"loss": loss, "grad_norm": gnorm,
@@ -283,7 +296,7 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
         grads = jax.lax.pmean(grads, "data")
         return apply(state, loss, grads)
 
-    state_spec = TrainState(params=P(), opt_state=P(), step=P())
+    state_spec = TrainState(params=P(), opt_state=P(), step=P(), ema=P())
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,

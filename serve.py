@@ -56,6 +56,8 @@ def parse_args(argv=None):
                         "partial results once this many input frames "
                         "pass without a decoder emission (10 ms/frame)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use-ema", action="store_true",
+                   help="serve the checkpoint's Polyak-averaged params")
     return p.parse_args(argv)
 
 
@@ -81,7 +83,7 @@ def load_model(args):
         # load_plain_params also merges model-parallel shard checkpoints
         # (meta['parallel']) back into plain serving params (ADVICE r2).
         params, cfg, step, meta = ckpt.load_plain_params(
-            args.ckpt_dir, cfg, seed=args.seed)
+            args.ckpt_dir, cfg, seed=args.seed, prefer_ema=args.use_ema)
         print(f"loaded checkpoint step {step}", file=sys.stderr)
         if meta.get("tokenizer"):
             tok = tokenizer_from_meta(meta["tokenizer"])

@@ -91,6 +91,10 @@ def parse_args(argv=None):
                         "net; the stacked-nn.LSTM(dropout=) staple)")
     p.add_argument("--embed-dropout", type=float, default=0.0,
                    help="dropout on the prediction net's label embeddings")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="Polyak averaging: keep an exponential moving "
+                        "average of the params (typical 0.999/0.9999); "
+                        "decode it with recognize.py --use-ema")
     p.add_argument("--fastemit-lambda", type=float, default=0.0,
                    help="FastEmit low-latency regularization: scales the "
                         "emit-arc posterior gradient by (1 + lambda) so "
@@ -162,7 +166,8 @@ def main(argv=None):
                        dropout=args.dropout,
                        embed_dropout=args.embed_dropout,
                        fastemit_lambda=args.fastemit_lambda,
-                       simple_loss_scale=args.simple_loss_scale)
+                       simple_loss_scale=args.simple_loss_scale,
+                       ema_decay=args.ema_decay)
     mlog = MetricsLogger(args.log_file)
 
     mp = args.model_parallel
@@ -196,6 +201,12 @@ def main(argv=None):
             # (tp: vocab, sp: frames); the pruned band is not threaded
             # through them — fail loudly rather than silently ignore.
             raise SystemExit("--loss-impl pruned is not supported with "
+                             "--model-parallel")
+        if args.ema_decay > 0.0:
+            # The tp/sp/pp/ep states carry their own (sharded) param
+            # pytrees without an EMA slot — fail loudly (ADVICE r2
+            # pattern) rather than silently train without the average.
+            raise SystemExit("--ema-decay is not supported with "
                              "--model-parallel")
         if cfg.pred_type == "stateless" and args.parallel_mode == "tp":
             # tp gate-shards the predictor LSTMs; the stateless decoder
@@ -265,7 +276,9 @@ def main(argv=None):
         if mesh is not None:
             state = TrainState(params=replicate(mesh, state.params),
                                opt_state=replicate(mesh, state.opt_state),
-                               step=replicate(mesh, state.step))
+                               step=replicate(mesh, state.step),
+                               ema=(replicate(mesh, state.ema)
+                                    if state.ema is not None else None))
         step_fn = make_train_step(cfg, tcfg, mesh=mesh)
         shard_train_batch = (
             (lambda b: shard_batch(mesh, b)) if mesh is not None
