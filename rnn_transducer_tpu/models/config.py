@@ -19,10 +19,18 @@ class TransducerConfig:
     # frontend / input
     input_dim: int = 80  # log-mel bins
     # encoder
+    # "lstm" (reference staple) or "conformer" (ops/conformer.py —
+    # matmul-dense second family; enc_hidden = d_model, enc_layers =
+    # blocks; inherently bidirectional, offline decode only)
+    enc_type: str = "lstm"
     enc_layers: int = 2
     enc_hidden: int = 256
     bidirectional: bool = False
     time_reduction: int = 1  # frame-stacking factor applied after layer 0
+    # conformer-only knobs
+    enc_heads: int = 8
+    enc_ff_mult: int = 4
+    enc_conv_kernel: int = 15
     # prediction network
     pred_layers: int = 1
     pred_hidden: int = 256
@@ -64,6 +72,8 @@ class TransducerConfig:
 
     @property
     def enc_out_dim(self) -> int:
+        if self.enc_type == "conformer":
+            return self.enc_hidden
         return self.enc_hidden * (2 if self.bidirectional else 1)
 
     @property
@@ -150,9 +160,20 @@ def config_libri960() -> TransducerConfig:
                             vocab_size=32, time_reduction=2)
 
 
+def config_libri100_conformer() -> TransducerConfig:
+    """Conformer-encoder twin of configs[2]: 8 blocks x d=512 (~ the
+    4x512 LSTM's parameter count), 4x input frame stacking."""
+    return TransducerConfig(enc_type="conformer", enc_layers=8,
+                            enc_hidden=512, enc_heads=8, enc_ff_mult=4,
+                            enc_conv_kernel=15, pred_layers=1,
+                            pred_hidden=512, embed_dim=512, joint_dim=512,
+                            vocab_size=1024, time_reduction=4)
+
+
 NAMED_CONFIGS = {
     "greedy_smoke": config_greedy_smoke,
     "timit": config_timit,
     "libri100": config_libri100,
     "libri960": config_libri960,
+    "libri100_conformer": config_libri100_conformer,
 }

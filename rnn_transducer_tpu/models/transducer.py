@@ -46,19 +46,36 @@ def init_params(key, cfg: TransducerConfig) -> Params:
     # --- encoder ---
     enc = []
     in_dim = cfg.input_dim
-    ek = jax.random.split(keys[0], cfg.enc_layers * 2)
-    for i in range(cfg.enc_layers):
-        if cfg.bidirectional:
+    ek = jax.random.split(keys[0], max(cfg.enc_layers * 2, 2))
+    if cfg.enc_type == "conformer":
+        # frame-stacked input projection + enc_layers conformer blocks
+        from rnn_transducer_tpu.ops.conformer import init_conformer_block
+        assert not cfg.bidirectional, (
+            "enc_type='conformer' is inherently bidirectional; leave "
+            "bidirectional=False")
+        d = cfg.enc_hidden
+        enc.append({"in_proj": _init_linear(
+            ek[0], cfg.input_dim * max(cfg.time_reduction, 1), d)})
+        bk = jax.random.split(ek[1], cfg.enc_layers)
+        for i in range(cfg.enc_layers):
+            enc.append(init_conformer_block(bk[i], d, cfg.enc_heads,
+                                            cfg.enc_ff_mult,
+                                            cfg.enc_conv_kernel))
+    elif cfg.bidirectional:
+        for i in range(cfg.enc_layers):
             enc.append({
                 "fwd": init_lstm_params(ek[2 * i], in_dim, cfg.enc_hidden),
                 "bwd": init_lstm_params(ek[2 * i + 1], in_dim, cfg.enc_hidden),
             })
             in_dim = 2 * cfg.enc_hidden
-        else:
+            if i == 0 and cfg.time_reduction > 1:
+                in_dim *= cfg.time_reduction
+    else:
+        for i in range(cfg.enc_layers):
             enc.append(init_lstm_params(ek[2 * i], in_dim, cfg.enc_hidden))
             in_dim = cfg.enc_hidden
-        if i == 0 and cfg.time_reduction > 1:
-            in_dim *= cfg.time_reduction
+            if i == 0 and cfg.time_reduction > 1:
+                in_dim *= cfg.time_reduction
     # --- prediction network ---
     embed_scale = 1.0
     embed = jax.random.normal(keys[1], (cfg.vocab_size, cfg.embed_dim)) * embed_scale
@@ -140,6 +157,26 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens, *,
     lens = feat_lens
     cd = cfg.cdtype
 
+    if cfg.enc_type == "conformer":
+        from rnn_transducer_tpu.ops.conformer import conformer_block
+        # frame stacking happens at the INPUT (conv-subsampling role),
+        # then one projection to d_model and enc_layers blocks
+        if cfg.time_reduction > 1:
+            x, lens = _time_reduce(x, lens, cfg.time_reduction)
+        proj = params["encoder"][0]["in_proj"]
+        x = (jnp.dot(x.astype(cd), proj["w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+             + proj["b"].astype(jnp.float32))
+        blk = lambda p, x: conformer_block(p, x, lens, cfg.enc_heads, cd)
+        if cfg.remat_encoder:
+            blk = jax.checkpoint(blk)
+        n = cfg.enc_layers
+        for i, block in enumerate(params["encoder"][1:]):
+            x = blk(block, x)
+            if dropout > 0.0 and rng is not None and i < n - 1:
+                x = _dropout(x, dropout, rng, site=i)
+        return mask_padding(x, lens), lens
+
     def run_layer(layer, x, lens):
         if cfg.bidirectional:
             return bilstm_layer(layer["fwd"], layer["bwd"], x, lens,
@@ -170,6 +207,9 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens, *,
 
 def init_enc_state(cfg: TransducerConfig, batch: int):
     """Per-layer (h, c) carry for streaming unidirectional encoders."""
+    assert cfg.enc_type == "lstm", (
+        "streaming requires the (unidirectional) LSTM encoder; the "
+        "conformer attends over the whole utterance")
     assert not cfg.bidirectional, "streaming requires a unidirectional encoder"
     return [
         (jnp.zeros((batch, cfg.enc_hidden), jnp.float32),
@@ -187,6 +227,8 @@ def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
     state past chunk_lens is garbage, which is harmless once the stream
     ends there. Returns (enc_out (B, C', De), enc_lens', new_enc_state).
     """
+    assert cfg.enc_type == "lstm", (
+        "streaming requires the (unidirectional) LSTM encoder")
     assert not cfg.bidirectional, "streaming requires a unidirectional encoder"
     C = feats.shape[1]
     if cfg.time_reduction > 1:

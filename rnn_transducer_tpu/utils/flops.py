@@ -22,10 +22,32 @@ def _lstm_layer_flops(batch: int, steps: int, in_dim: int, hidden: int) -> float
     return 2.0 * batch * steps * (in_dim * 4 * hidden + hidden * 4 * hidden)
 
 
+def _conformer_block_flops(batch: int, t: int, d: int, ff_mult: int,
+                           conv_kernel: int) -> float:
+    """One conformer block (ops/conformer.py): two half-FFNs, MHSA
+    (QKVO projections + the two (T, T) attention matmuls), conv module
+    (pointwise-GLU + depthwise + pointwise)."""
+    ffn = 2 * (2.0 * batch * t * d * ff_mult * d * 2)  # in+out, two FFNs
+    qkvo = 4 * 2.0 * batch * t * d * d
+    att = 2 * 2.0 * batch * t * t * d  # logits + weighted values
+    conv = (2.0 * batch * t * d * 2 * d  # pw1 (GLU)
+            + 2.0 * batch * t * conv_kernel * d  # depthwise
+            + 2.0 * batch * t * d * d)  # pw2
+    return ffn + qkvo + att + conv
+
+
 def encoder_flops(cfg: TransducerConfig, batch: int, frames: int) -> float:
     total = 0.0
     in_dim = cfg.input_dim
     t = frames
+    if cfg.enc_type == "conformer":
+        if cfg.time_reduction > 1:
+            t //= cfg.time_reduction
+            in_dim *= cfg.time_reduction
+        total = 2.0 * batch * t * in_dim * cfg.enc_hidden  # in_proj
+        total += cfg.enc_layers * _conformer_block_flops(
+            batch, t, cfg.enc_hidden, cfg.enc_ff_mult, cfg.enc_conv_kernel)
+        return total
     for i in range(cfg.enc_layers):
         layer = _lstm_layer_flops(batch, t, in_dim, cfg.enc_hidden)
         total += layer * (2 if cfg.bidirectional else 1)

@@ -208,6 +208,11 @@ def main(argv=None):
             # pattern) rather than silently train without the average.
             raise SystemExit("--ema-decay is not supported with "
                              "--model-parallel")
+        if cfg.enc_type != "lstm":
+            # tp gate-shards LSTM kernels and pp stages LSTM layers; the
+            # conformer encoder is not threaded through them.
+            raise SystemExit("enc_type='conformer' is not supported with "
+                             "--model-parallel (use data parallelism)")
         if cfg.pred_type == "stateless" and args.parallel_mode == "tp":
             # tp gate-shards the predictor LSTMs; the stateless decoder
             # has no LSTM to shard (it is tiny — use sp/pp instead).
