@@ -31,6 +31,12 @@ class TransducerConfig:
     enc_heads: int = 8
     enc_ff_mult: int = 4
     enc_conv_kernel: int = 15
+    # > 0 selects the CAUSAL/streamable conformer: every block attends
+    # only to [t - enc_att_left, t] (encoded frames) and the conv module
+    # pads left-only — encode_chunk then carries per-block caches and is
+    # bit-equal to the offline encode, so streaming/serving work exactly
+    # as with the unidirectional LSTM. 0 = full (offline) attention.
+    enc_att_left: int = 0
     # prediction network
     pred_layers: int = 1
     pred_hidden: int = 256

@@ -167,7 +167,8 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens, *,
         x = (jnp.dot(x.astype(cd), proj["w"].astype(cd),
                      preferred_element_type=jnp.float32)
              + proj["b"].astype(jnp.float32))
-        blk = lambda p, x: conformer_block(p, x, lens, cfg.enc_heads, cd)
+        blk = lambda p, x: conformer_block(p, x, lens, cfg.enc_heads, cd,
+                                           att_left=cfg.enc_att_left)
         if cfg.remat_encoder:
             blk = jax.checkpoint(blk)
         n = cfg.enc_layers
@@ -206,10 +207,20 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens, *,
 
 
 def init_enc_state(cfg: TransducerConfig, batch: int):
-    """Per-layer (h, c) carry for streaming unidirectional encoders."""
-    assert cfg.enc_type == "lstm", (
-        "streaming requires the (unidirectional) LSTM encoder; the "
-        "conformer attends over the whole utterance")
+    """Streaming encoder carry: per-layer (h, c) for the unidirectional
+    LSTM, or per-block attention/conv caches + a consumed-frame counter
+    for the causal conformer (cfg.enc_att_left > 0)."""
+    if cfg.enc_type == "conformer":
+        from rnn_transducer_tpu.ops.conformer import init_block_cache
+        assert cfg.enc_att_left > 0, (
+            "streaming a conformer requires enc_att_left > 0 (the causal/"
+            "windowed configuration); full attention needs the whole "
+            "utterance")
+        return {"n_seen": jnp.zeros((batch,), jnp.int32),
+                "blocks": [init_block_cache(batch, cfg.enc_hidden,
+                                            cfg.enc_att_left,
+                                            cfg.enc_conv_kernel)
+                           for _ in range(cfg.enc_layers)]}
     assert not cfg.bidirectional, "streaming requires a unidirectional encoder"
     return [
         (jnp.zeros((batch, cfg.enc_hidden), jnp.float32),
@@ -227,9 +238,6 @@ def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
     state past chunk_lens is garbage, which is harmless once the stream
     ends there. Returns (enc_out (B, C', De), enc_lens', new_enc_state).
     """
-    assert cfg.enc_type == "lstm", (
-        "streaming requires the (unidirectional) LSTM encoder")
-    assert not cfg.bidirectional, "streaming requires a unidirectional encoder"
     C = feats.shape[1]
     if cfg.time_reduction > 1:
         assert C % cfg.time_reduction == 0, (
@@ -237,6 +245,29 @@ def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
             f"{cfg.time_reduction}")
     x = mask_padding(feats.astype(jnp.float32), chunk_lens)
     lens = chunk_lens
+    cd = cfg.cdtype
+    if cfg.enc_type == "conformer":
+        from rnn_transducer_tpu.ops.conformer import conformer_block_chunk
+        assert cfg.enc_att_left > 0, (
+            "streaming a conformer requires enc_att_left > 0")
+        if cfg.time_reduction > 1:
+            x, lens = _time_reduce(x, lens, cfg.time_reduction)
+        proj = params["encoder"][0]["in_proj"]
+        x = (jnp.dot(x.astype(cd), proj["w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+             + proj["b"].astype(jnp.float32))
+        n_seen = enc_state["n_seen"]
+        new_blocks = []
+        for block, cache in zip(params["encoder"][1:],
+                                enc_state["blocks"]):
+            x, new_cache = conformer_block_chunk(
+                block, x, cache, n_seen, lens, cfg.enc_heads, cd,
+                cfg.enc_att_left)
+            new_blocks.append(new_cache)
+        new_state = {"n_seen": n_seen + lens.astype(jnp.int32),
+                     "blocks": new_blocks}
+        return mask_padding(x, lens), lens, new_state
+    assert not cfg.bidirectional, "streaming requires a unidirectional encoder"
     new_state = []
     for i, (layer, (h0, c0)) in enumerate(
             zip(params["encoder"], enc_state)):

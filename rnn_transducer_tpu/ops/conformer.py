@@ -95,31 +95,44 @@ def _ffn(p, x, cd):
     return _dense(p["out"], jax.nn.silu(_dense(p["in"], x, cd)), cd)
 
 
-def _mhsa(p, x, lens, heads, cd):
-    """Full self-attention with clipped relative position bias; padded
-    key positions are masked before the softmax."""
-    B, T, D = x.shape
+def _attend(p, q_in, kv_in, ages, key_ok, heads, cd):
+    """Shared attention core. q_in: (B, Tq, D); kv_in: (B, Tk, D);
+    ages: (Tq, Tk) signed query-key distance (query_pos - key_pos);
+    key_ok: (B, Tq, Tk) or (B, 1, Tk) validity mask."""
+    B, Tq, D = q_in.shape
+    Tk = kv_in.shape[1]
     dh = D // heads
-    split = lambda y: y.reshape(B, T, heads, dh)
-    q = split(_dense(p["q"], x, cd))
-    k = split(_dense(p["k"], x, cd))
-    v = split(_dense(p["v"], x, cd))
+    q = _dense(p["q"], q_in, cd).reshape(B, Tq, heads, dh)
+    k = _dense(p["k"], kv_in, cd).reshape(B, Tk, heads, dh)
+    v = _dense(p["v"], kv_in, cd).reshape(B, Tk, heads, dh)
     logits = jnp.einsum("bthd,bshd->bhts", q.astype(cd), k.astype(cd),
                         preferred_element_type=jnp.float32)
     logits = logits * (1.0 / math.sqrt(dh))
-    t_ids = jnp.arange(T, dtype=jnp.int32)
-    rel = jnp.clip(t_ids[:, None] - t_ids[None, :], -REL_CLIP, REL_CLIP)
-    logits = logits + p["rel"][:, rel + REL_CLIP][None]  # (1,H,T,T)
-    key_valid = t_ids[None, :] < lens.astype(jnp.int32)[:, None]  # (B, T)
-    logits = jnp.where(key_valid[:, None, None, :], logits, NEG_INF)
+    rel = jnp.clip(ages, -REL_CLIP, REL_CLIP)
+    logits = logits + p["rel"][:, rel + REL_CLIP][None]  # (1,H,Tq,Tk)
+    logits = jnp.where(key_ok[:, None], logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhts,bshd->bthd", w.astype(cd), v.astype(cd),
                      preferred_element_type=jnp.float32)
-    return _dense(p["o"], out.reshape(B, T, D), cd)
+    return _dense(p["o"], out.reshape(B, Tq, D), cd)
 
 
-def _conv_module(p, x, lens, cd):
-    """Pointwise-GLU -> depthwise conv (SAME) -> LN -> swish -> pointwise.
+def _mhsa(p, x, lens, heads, cd, att_left: int = 0):
+    """Self-attention with clipped relative position bias; padded key
+    positions are masked before the softmax. att_left > 0 restricts each
+    query to the causal window [t - att_left, t] (the streamable
+    configuration — ages outside [0, att_left] are masked)."""
+    B, T, D = x.shape
+    t_ids = jnp.arange(T, dtype=jnp.int32)
+    ages = t_ids[:, None] - t_ids[None, :]  # (T, T)
+    key_ok = (t_ids[None, :] < lens.astype(jnp.int32)[:, None])[:, None, :]
+    if att_left > 0:
+        key_ok = key_ok & ((ages >= 0) & (ages <= att_left))[None]
+    return _attend(p, x, x, ages, key_ok, heads, cd)
+
+
+def _conv_module(p, x, lens, cd, causal: bool = False):
+    """Pointwise-GLU -> depthwise conv -> LN -> swish -> pointwise.
 
     The GLU output is masked immediately before the depthwise conv —
     that is the only op whose window crosses frame boundaries, and the
@@ -130,20 +143,99 @@ def _conv_module(p, x, lens, cd):
     h = _dense(p["pw1"], x, cd)  # (B, T, 2D)
     h = h[..., :D] * jax.nn.sigmoid(h[..., D:])  # GLU
     h = mask_padding(h, lens)
+    return _dw_and_out(p, h, cd, causal=causal)
+
+
+def _dw_and_out(p, h, cd, causal: bool, valid_from: int = 0):
+    """Depthwise conv + LN + swish + pointwise-out over GLU activations.
+
+    causal pads K-1 zeros on the LEFT only (the streamable form — the
+    chunked path swaps that zero pad for carried history); valid_from
+    drops leading context frames from the output (chunked path)."""
+    D = h.shape[-1]
+    K = p["dw_w"].shape[0]
     # depthwise conv in f32: it is VPU work (2*T*K*D flops, no MXU win
     # from bf16) and mixed-dtype operands break the conv transpose rule
     kern = p["dw_w"].astype(jnp.float32)[:, None, :]  # (K, 1, D) WIO
+    pad = [(K - 1, 0)] if causal else [((K - 1) // 2, K // 2)]
     h = jax.lax.conv_general_dilated(
-        h, kern, window_strides=(1,), padding="SAME",
+        h, kern, window_strides=(1,), padding=pad,
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=D) + p["dw_b"].astype(jnp.float32)
+    if valid_from:
+        h = h[:, valid_from:]
     h = jax.nn.silu(_ln(p["ln"], h))
     return _dense(p["pw2"], h, cd)
 
 
-def conformer_block(p, x, lens, heads, cd):
+def conformer_block(p, x, lens, heads, cd, att_left: int = 0):
+    """One offline block. att_left > 0 selects the causal/streamable
+    form: windowed left-only attention + causal depthwise conv —
+    bit-equal to the chunked conformer_block_chunk path."""
     x = x + 0.5 * _ffn(p["ff1"], _ln(p["ln_ff1"], x), cd)
-    x = x + _mhsa(p["att"], _ln(p["ln_att"], x), lens, heads, cd)
-    x = x + _conv_module(p["conv"], _ln(p["ln_conv"], x), lens, cd)
+    x = x + _mhsa(p["att"], _ln(p["ln_att"], x), lens, heads, cd,
+                  att_left=att_left)
+    x = x + _conv_module(p["conv"], _ln(p["ln_conv"], x), lens, cd,
+                         causal=att_left > 0)
     x = x + 0.5 * _ffn(p["ff2"], _ln(p["ln_ff2"], x), cd)
     return _ln(p["ln_out"], x)
+
+
+# --------------------------- chunked/streaming ----------------------------
+
+def init_block_cache(batch: int, d: int, att_left: int, conv_kernel: int):
+    """Carried per-block state for chunked inference: the last att_left
+    post-macaron frames (attention keys/values are functions of these)
+    and the last conv_kernel-1 GLU activations (the causal depthwise
+    window). Zeros + the n_seen validity mask reproduce the offline
+    zero-padding exactly at stream start."""
+    return {"attn": jnp.zeros((batch, att_left, d), jnp.float32),
+            "conv": jnp.zeros((batch, conv_kernel - 1, d), jnp.float32)}
+
+
+def conformer_block_chunk(p, x, cache, n_seen, chunk_lens, heads, cd,
+                          att_left: int):
+    """One block over a chunk with carried history; ≡ the causal offline
+    block on the concatenated stream (tested bit-for-bit).
+
+    x: (B, C, D) chunk input; cache: init_block_cache pytree;
+    n_seen: (B,) frames consumed BEFORE this chunk; chunk_lens: (B,)
+    valid frames in this chunk (only the final chunk may be partial).
+    Returns (out (B, C, D), new_cache).
+    """
+    B, C, D = x.shape
+    W = att_left
+    x1 = x + 0.5 * _ffn(p["ff1"], _ln(p["ln_ff1"], x), cd)
+    # ---- attention over [history, chunk] ----
+    kv_src = jnp.concatenate([cache["attn"], x1], axis=1)  # (B, W+C, D)
+    kv_ln = _ln(p["ln_att"], kv_src)
+    q_in = kv_ln[:, W:]
+    i_ids = jnp.arange(C, dtype=jnp.int32)
+    j_ids = jnp.arange(W + C, dtype=jnp.int32)
+    ages = (W + i_ids)[:, None] - j_ids[None, :]  # (C, W+C)
+    win_ok = (ages >= 0) & (ages <= W)
+    # cache slot j holds global frame n_seen - W + j; chunk key j >= W is
+    # valid up to chunk_lens
+    exists = jnp.where(
+        j_ids[None, :] < W,
+        (n_seen.astype(jnp.int32)[:, None] - W + j_ids[None, :]) >= 0,
+        (j_ids[None, :] - W) < chunk_lens.astype(jnp.int32)[:, None])
+    key_ok = win_ok[None] & exists[:, None, :]  # (B, C, W+C)
+    x2 = x1 + _attend(p["att"], q_in, kv_ln, ages, key_ok, heads, cd)
+    # ---- conv module over [history GLU, chunk GLU] ----
+    h = _dense(p["conv"]["pw1"], _ln(p["ln_conv"], x2), cd)
+    h = h[..., :D] * jax.nn.sigmoid(h[..., D:])
+    h = mask_padding(h, chunk_lens)
+    K = p["conv"]["dw_w"].shape[0]
+    h_cat = jnp.concatenate([cache["conv"], h], axis=1)  # (B, K-1+C, D)
+    # VALID conv over the concatenation == causal conv on the stream
+    conv_out = _dw_and_out({"dw_w": p["conv"]["dw_w"],
+                            "dw_b": p["conv"]["dw_b"],
+                            "ln": p["conv"]["ln"],
+                            "pw2": p["conv"]["pw2"]},
+                           h_cat, cd, causal=True, valid_from=K - 1)
+    x3 = x2 + conv_out
+    x4 = x3 + 0.5 * _ffn(p["ff2"], _ln(p["ln_ff2"], x3), cd)
+    new_cache = {"attn": kv_src[:, -W:] if W else cache["attn"],
+                 "conv": h_cat[:, h_cat.shape[1] - (K - 1):]}
+    return _ln(p["ln_out"], x4), new_cache
