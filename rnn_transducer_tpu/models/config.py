@@ -176,10 +176,18 @@ def config_libri100_conformer() -> TransducerConfig:
                             vocab_size=1024, time_reduction=4)
 
 
+def config_libri100_conformer_stream() -> TransducerConfig:
+    """Causal/streamable conformer twin: 64-frame left attention window
+    per block (~2.5 s of audio at 4x stacking), causal conv."""
+    import dataclasses as _dc
+    return _dc.replace(config_libri100_conformer(), enc_att_left=64)
+
+
 NAMED_CONFIGS = {
     "greedy_smoke": config_greedy_smoke,
     "timit": config_timit,
     "libri100": config_libri100,
     "libri960": config_libri960,
     "libri100_conformer": config_libri100_conformer,
+    "libri100_conformer_stream": config_libri100_conformer_stream,
 }
