@@ -57,6 +57,14 @@ def parse_args(argv=None):
     p.add_argument("--lm-rescore", action="store_true",
                    help="use --lm-ckpt for one-pass N-best rescoring "
                         "instead of per-step shallow fusion (beam mode)")
+    p.add_argument("--boost-file", default=None,
+                   help="contextual-biasing phrase list for beam / "
+                        "streaming_beam modes: one phrase per line, "
+                        "optional <TAB><per-token boost>; phrases are "
+                        "encoded with the model tokenizer and boost beam "
+                        "scores while matching (decode/context.py)")
+    p.add_argument("--boost-score", type=float, default=2.0,
+                   help="default per-token boost for --boost-file phrases")
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer spec (char | phone | bpe:<model.json>) "
                         "for text output + word-level WER; defaults to the "
@@ -119,6 +127,36 @@ def main(argv=None):
         params = init_train_state(jax.random.PRNGKey(args.seed), cfg,
                                   TrainConfig()).params
 
+    # Tokenizer (CLI spec or the one stored in the checkpoint's meta.json);
+    # resolved up front — text output needs it at the end, --boost-file
+    # needs it now to encode phrases.
+    from rnn_transducer_tpu.data.tokenizer import (decode_to_text,
+                                                   tokenizer_from_meta,
+                                                   tokenizer_from_spec)
+    tok = None
+    if args.tokenizer:
+        tok = tokenizer_from_spec(args.tokenizer)
+    elif meta and meta.get("tokenizer"):
+        tok = tokenizer_from_meta(meta["tokenizer"])
+
+    context = None
+    if args.boost_file:
+        if args.mode not in ("beam", "streaming_beam"):
+            raise SystemExit("--boost-file requires --mode "
+                             "beam|streaming_beam")
+        if tok is None:
+            raise SystemExit("--boost-file needs a tokenizer (--tokenizer "
+                             "or a checkpoint with one in meta.json)")
+        from rnn_transducer_tpu.decode.context import (build_context_bias,
+                                                       load_boost_phrases)
+        phrases, boosts = load_boost_phrases(
+            args.boost_file, tok, default_boost=args.boost_score)
+        context = build_context_bias(phrases, cfg.vocab_size,
+                                     blank=cfg.blank, boosts=boosts)
+        print(f"boosting {len(phrases)} phrases from {args.boost_file} "
+              f"(default per-token boost {args.boost_score})",
+              file=sys.stderr)
+
     lm_params = lm_cfg = None
     if args.lm_ckpt:
         if args.mode not in ("beam", "streaming_beam"):
@@ -151,10 +189,10 @@ def main(argv=None):
             decode = lambda f, l: greedy_jit(params, f, l) + (None,)
     elif args.mode == "beam":
         fuse = None if (lm_params is None or args.lm_rescore) else "fuse"
-        beam_jit = jax.jit(lambda p, lmp, f, l: recognize_beam(
+        beam_jit = jax.jit(lambda p, lmp, cb, f, l: recognize_beam(
             p, cfg, f, l, beam=args.beam,
             max_symbols=args.max_symbols, expansions=args.expansions,
-            with_timestamps=ts,
+            with_timestamps=ts, context=cb,
             lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight,
                                          args.ilm_weight)))
         if args.lm_rescore and lm_params is not None:
@@ -163,12 +201,13 @@ def main(argv=None):
                 lmp, lm_cfg, t, ln, s, weight=args.lm_weight))
 
             def decode(f, l):
-                toks, lens, scores = beam_jit(params, None, f, l)
+                toks, lens, scores = beam_jit(params, None, context, f, l)
                 toks, lens, _ = rescore_jit(lm_params, toks, lens, scores)
                 return toks[:, 0], lens[:, 0], None
         else:
             def decode(f, l):
-                out = beam_jit(params, lm_params if fuse else None, f, l)
+                out = beam_jit(params, lm_params if fuse else None,
+                               context, f, l)
                 frames = out[3][:, 0] if ts else None
                 return out[0][:, 0], out[1][:, 0], frames
     elif args.mode == "ctc_greedy":
@@ -200,6 +239,7 @@ def main(argv=None):
                 params, cfg, f, l, chunk_frames=args.chunk_frames,
                 beam=args.beam, max_symbols=args.max_symbols,
                 expansions=args.expansions, with_timestamps=ts,
+                context=context,
                 lm=None if lm_params is None else
                 (lm_params, lm_cfg, args.lm_weight, args.ilm_weight))
             frames = out[3][:, 0] if ts else None
@@ -269,16 +309,8 @@ def main(argv=None):
     if args.mode == "beam":
         out["beam"] = args.beam
 
-    # Text output + word-level WER when a tokenizer is known (CLI spec or
-    # the one stored in the checkpoint's meta.json).
-    from rnn_transducer_tpu.data.tokenizer import (decode_to_text,
-                                                   tokenizer_from_meta,
-                                                   tokenizer_from_spec)
-    tok = None
-    if args.tokenizer:
-        tok = tokenizer_from_spec(args.tokenizer)
-    elif meta and meta.get("tokenizer"):
-        tok = tokenizer_from_meta(meta["tokenizer"])
+    # Text output + word-level WER when a tokenizer is known (resolved
+    # up front, before the decode loop).
     ref_texts = hyp_texts = None
     if tok is not None:
         ref_texts = [decode_to_text(tok, r) for r in refs]

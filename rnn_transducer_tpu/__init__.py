@@ -22,6 +22,7 @@ from rnn_transducer_tpu.data.tokenizer import (
     PhonemeTokenizer,
 )
 from rnn_transducer_tpu.decode.beam import beam_search, recognize_beam
+from rnn_transducer_tpu.decode.context import ContextBias, build_context_bias
 from rnn_transducer_tpu.decode.greedy import greedy_decode, recognize_greedy
 from rnn_transducer_tpu.decode.metrics import error_rate
 from rnn_transducer_tpu.decode.streaming import (
@@ -60,6 +61,7 @@ __all__ = [
     "rnnt_loss", "rnnt_loss_mean", "rnnt_loss_pruned",
     "ctc_loss_from_logits", "log_mel",
     "greedy_decode", "recognize_greedy", "beam_search", "recognize_beam",
+    "ContextBias", "build_context_bias",
     "stream_transcribe", "stream_transcribe_beam", "error_rate",
     "CharTokenizer", "PhonemeTokenizer", "BpeTokenizer",
     "LMConfig", "init_lm_params", "lm_step", "lm_loss", "load_lm",

@@ -59,11 +59,14 @@ def _hash_append(h, lab):
 
 
 def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
-                    beam: int = 8, max_symbols: int = 200, lm=None):
+                    beam: int = 8, max_symbols: int = 200, lm=None,
+                    context=None):
     """Initial beam carry: beam 0 = empty prefix, others dead. The same
     structure is threaded across frames — and across chunks for streaming
     beam decoding (decode/streaming.py). `lm` (see beam_search) adds the
-    fusion LM's per-beam next-token log-probs + LSTM state to the carry."""
+    fusion LM's per-beam next-token log-probs + LSTM state to the carry;
+    `context` (decode/context.py ContextBias) adds the per-beam trie node
+    id for phrase boosting."""
     B, K, U = batch, beam, max_symbols
     tokens0 = jnp.full((B, K, U), cfg.blank, jnp.int32)
     lens0 = jnp.zeros((B, K), jnp.int32)
@@ -93,12 +96,16 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
                                  init_lm_state(lm_cfg, B * K))
         outs["lm_lp"] = unflat(lm_lp0)
         states["lm"] = jax.tree.map(unflat, lm_st0)
+    if context is not None:
+        # trie state for contextual biasing: all beams start at the root;
+        # a (B, K) leaf, so the pool/merge/gather machinery carries it
+        outs["cb_node"] = jnp.zeros((B, K), jnp.int32)
     return (tokens0, lens0, scores0, hash0, outs, states)
 
 
 def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
                 beam: int = 8, max_symbols: int = 200, expansions: int = 3,
-                beam_state=None, lm=None):
+                beam_state=None, lm=None, context=None):
     """Beam-search decode a batch of encoded utterances.
 
     Args:
@@ -119,6 +126,14 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
         density-ratio correction for out-of-domain external LMs. The ILM
         score depends on the prefix alone, so subtraction stays exact
         under prefix merging and across streaming chunks.
+      context: optional contextual biasing — a decode/context.py
+        ContextBias (compiled phrase trie). Label emissions add
+        context.delta[node, label] and advance the per-beam trie node;
+        RETURNED scores (and their sort order) subtract any dangling
+        partial-match boost, while the carried state keeps the raw
+        score so a later streaming chunk can still complete the phrase.
+        The node is a function of the prefix alone — exact under prefix
+        merging. Pass the tables as traced jit arguments.
 
     Returns:
       tokens: (B, K, max_symbols) int32 blank-padded, best beam first.
@@ -143,7 +158,7 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
 
     if beam_state is None:
         beam_state = init_beam_state(params, cfg, B, beam=K, max_symbols=U,
-                                     lm=lm)
+                                     lm=lm, context=context)
     tokens0, lens0, scores0, hash0, outs0, states0 = beam_state
 
     def frame_step(t, carry):
@@ -207,6 +222,8 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
                     # blank column zeroed: it is masked to NEG_INF below
                     # anyway, and -inf would poison the subtraction
                     ext = ext - ilm_w * ilm_lp.at[:, :, cfg.blank].set(0.0)
+            if context is not None:  # phrase boosting on label emissions
+                ext = ext + context.delta[outs["cb_node"]]  # (B, K, V)
             ext = ext.at[:, :, cfg.blank].set(NEG_INF)
             ext = jnp.where((lens >= U)[:, :, None], NEG_INF, ext)
             top_sc, top_idx = jax.lax.top_k(ext.reshape(B, K * V), K)
@@ -237,6 +254,9 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
                 params, cfg, flat(lab), jax.tree.map(flat, g_states["pred"]))
             new_outs = {"pred": unflat(new_pred), "conf": g_conf,
                         "frame": g_frame, "foff": g_foff}
+            if context is not None:  # consume the label in the boost trie
+                g_node = jnp.take_along_axis(outs["cb_node"], src, axis=1)
+                new_outs["cb_node"] = context.next_node[g_node, lab]
             new_states = {"pred": jax.tree.map(unflat, new_pred_states)}
             if lm is not None:
                 new_lm_lp, new_lm_st = lm_step(
@@ -294,7 +314,9 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
     outs_f["foff"] = outs_f["foff"] + enc_lens[:, None]
     carry = carry[:4] + (outs_f,) + carry[5:]
     tokens, lens, scores = carry[0], carry[1], carry[2]
-    # sort beams by score descending
+    # sort beams by REPORTED score descending (with biasing: raw carried
+    # score minus any dangling partial-phrase boost)
+    scores = _reported_scores(carry, context)
     order = jnp.argsort(-scores, axis=-1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
     lens = jnp.take_along_axis(lens, order, axis=1)
@@ -302,26 +324,40 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
     return tokens, lens, scores, carry
 
 
-def sorted_confidence(beam_state):
+def _reported_scores(beam_state, context=None):
+    """Carried scores adjusted for reporting: with contextual biasing,
+    subtract the unlocked (dangling partial-match) boost so hypotheses
+    stuck mid-phrase don't outrank by bonus they haven't earned. The
+    carry keeps the RAW score (a later streaming chunk may complete the
+    phrase)."""
+    scores, outs = beam_state[2], beam_state[4]
+    if context is not None:
+        scores = scores - context.accum[outs["cb_node"]]
+    return scores
+
+
+def sorted_confidence(beam_state, context=None):
     """Per-token acoustic emission log-probs of each beam, sorted in the
     same best-first order as beam_search's returned tokens (argsort of
-    the carried scores is stable, so the order matches exactly)."""
-    _, _, scores, _, outs, _ = beam_state
-    order = jnp.argsort(-scores, axis=-1)
+    the reported scores is stable, so the order matches exactly). Pass
+    the same `context` given to beam_search."""
+    outs = beam_state[4]
+    order = jnp.argsort(-_reported_scores(beam_state, context), axis=-1)
     return jnp.take_along_axis(outs["conf"], order[:, :, None], axis=1)
 
 
-def sorted_frames(beam_state):
+def sorted_frames(beam_state, context=None):
     """Per-token global encoder-frame emission indices of each beam
-    (timestamps), in the same best-first order as the returned tokens."""
-    _, _, scores, _, outs, _ = beam_state
-    order = jnp.argsort(-scores, axis=-1)
+    (timestamps), in the same best-first order as the returned tokens.
+    Pass the same `context` given to beam_search."""
+    outs = beam_state[4]
+    order = jnp.argsort(-_reported_scores(beam_state, context), axis=-1)
     return jnp.take_along_axis(outs["frame"], order[:, :, None], axis=1)
 
 
 def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
                    beam: int = 8, max_symbols: int = 200,
-                   expansions: int = 3, lm=None,
+                   expansions: int = 3, lm=None, context=None,
                    with_confidence: bool = False,
                    with_timestamps: bool = False):
     """Features -> N-best label sequences (reference `beam_search` API).
@@ -333,10 +369,11 @@ def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
     tokens, lens, scores, carry = beam_search(
         params, cfg, enc_out, enc_lens, beam=beam,
-        max_symbols=max_symbols, expansions=expansions, lm=lm)
+        max_symbols=max_symbols, expansions=expansions, lm=lm,
+        context=context)
     out = (tokens, lens, scores)
     if with_confidence:
-        out = out + (sorted_confidence(carry),)
+        out = out + (sorted_confidence(carry, context),)
     if with_timestamps:
-        out = out + (sorted_frames(carry),)
+        out = out + (sorted_frames(carry, context),)
     return out

@@ -71,26 +71,31 @@ def stream_chunk(params, cfg: TransducerConfig, state: StreamState,
 
 def init_stream_beam(params, cfg: TransducerConfig, batch: int, *,
                      beam: int = 8, max_symbols: int = 200,
-                     lm=None) -> StreamState:
+                     lm=None, context=None) -> StreamState:
     from rnn_transducer_tpu.decode.beam import init_beam_state
     return StreamState(
         enc_state=m.init_enc_state(cfg, batch),
         decode_state=init_beam_state(params, cfg, batch, beam=beam,
-                                     max_symbols=max_symbols, lm=lm))
+                                     max_symbols=max_symbols, lm=lm,
+                                     context=context))
 
 
 def stream_chunk_beam(params, cfg: TransducerConfig, state: StreamState,
                       feats_chunk, chunk_lens, *, beam: int = 8,
-                      max_symbols: int = 200, expansions: int = 3, lm=None):
+                      max_symbols: int = 200, expansions: int = 3, lm=None,
+                      context=None):
     """Streaming beam search: beams (with prefix merging) carry across
-    chunks. Returns (state', tokens (B,K,U), lens (B,K), scores (B,K))."""
+    chunks; `context` phrase boosting (decode/context.py) carries its
+    trie node in the beam state, so partial matches span chunk
+    boundaries. Returns (state', tokens (B,K,U), lens (B,K),
+    scores (B,K))."""
     from rnn_transducer_tpu.decode.beam import beam_search
     enc_out, enc_lens, enc_state = m.encode_chunk(
         params, cfg, feats_chunk, chunk_lens, state.enc_state)
     tokens, lens, scores, beam_state = beam_search(
         params, cfg, enc_out, enc_lens, beam=beam,
         max_symbols=max_symbols, expansions=expansions,
-        beam_state=state.decode_state, lm=lm)
+        beam_state=state.decode_state, lm=lm, context=context)
     return (StreamState(enc_state=enc_state, decode_state=beam_state),
             tokens, lens, scores)
 
@@ -98,7 +103,8 @@ def stream_chunk_beam(params, cfg: TransducerConfig, state: StreamState,
 def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
                            chunk_frames: int, *, beam: int = 8,
                            max_symbols: int = 200, expansions: int = 3,
-                           lm=None, with_timestamps: bool = False):
+                           lm=None, context=None,
+                           with_timestamps: bool = False):
     """Whole padded batch through the streaming beam path (cf.
     stream_transcribe). Returns (tokens (B,K,U), lens, scores) plus,
     with_timestamps=True, per-token (B,K,U) emission frame indices."""
@@ -108,28 +114,31 @@ def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
     if pad:
         feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
     state = init_stream_beam(params, cfg, B, beam=beam,
-                             max_symbols=max_symbols, lm=lm)
-    # LM params must be a traced jit argument, not a closure capture
-    # (captured weights get inlined into the compiled program).
+                             max_symbols=max_symbols, lm=lm, context=context)
+    # LM params / context tables must be traced jit arguments, not
+    # closure captures (captured arrays get inlined into the program).
     if lm is None:
-        step = jax.jit(lambda p, lmp, s, x, l: stream_chunk_beam(
+        step = jax.jit(lambda p, lmp, cb, s, x, l: stream_chunk_beam(
             p, cfg, s, x, l, beam=beam, max_symbols=max_symbols,
-            expansions=expansions, lm=None))
+            expansions=expansions, lm=None, context=cb))
         lm_params = None
     else:
         lm_params, lm_cfg, lm_w, *ilm = lm
-        step = jax.jit(lambda p, lmp, s, x, l: stream_chunk_beam(
+        step = jax.jit(lambda p, lmp, cb, s, x, l: stream_chunk_beam(
             p, cfg, s, x, l, beam=beam, max_symbols=max_symbols,
-            expansions=expansions, lm=(lmp, lm_cfg, lm_w, *ilm)))
+            expansions=expansions, lm=(lmp, lm_cfg, lm_w, *ilm),
+            context=cb))
     tokens = lens = scores = None
     for i in range(n_chunks):
         sl = feats[:, i * chunk_frames: (i + 1) * chunk_frames]
         cl = jnp.clip(feat_lens.astype(jnp.int32) - i * chunk_frames, 0,
                       chunk_frames)
-        state, tokens, lens, scores = step(params, lm_params, state, sl, cl)
+        state, tokens, lens, scores = step(params, lm_params, context,
+                                           state, sl, cl)
     if with_timestamps:
         from rnn_transducer_tpu.decode.beam import sorted_frames
-        return tokens, lens, scores, sorted_frames(state.decode_state)
+        return tokens, lens, scores, sorted_frames(state.decode_state,
+                                                   context)
     return tokens, lens, scores
 
 

@@ -41,6 +41,14 @@ def parse_args(argv=None):
     p.add_argument("--lm-weight", type=float, default=0.3)
     p.add_argument("--ilm-weight", type=float, default=0.0,
                    help="internal-LM subtraction weight during fusion")
+    p.add_argument("--boost-file", default=None,
+                   help="contextual-biasing phrase list (beam mode): one "
+                        "phrase per line, optional <TAB><per-token boost>; "
+                        "encoded with the checkpoint's tokenizer and "
+                        "boosted in both the offline and streaming beam "
+                        "engines (decode/context.py)")
+    p.add_argument("--boost-score", type=float, default=2.0,
+                   help="default per-token boost for --boost-file phrases")
     p.add_argument("--exported-streaming", default=None,
                    help="streaming chunk-step artifact from "
                         "tools/export_model.py --mode streaming_*; skips "
@@ -110,10 +118,29 @@ def main(argv=None):
         from rnn_transducer_tpu.models.lm import load_lm
         lm_params, lm_cfg = load_lm(args.lm_ckpt)
         lm = (lm_params, lm_cfg, args.lm_weight, args.ilm_weight)
+    context = None
+    if args.boost_file:
+        if args.mode != "beam":
+            raise SystemExit("--boost-file requires --mode beam")
+        if tok is None:
+            raise SystemExit("--boost-file needs a checkpoint with a "
+                             "tokenizer in meta.json")
+        from rnn_transducer_tpu.decode.context import (build_context_bias,
+                                                       load_boost_phrases)
+        phrases, boosts = load_boost_phrases(
+            args.boost_file, tok, default_boost=args.boost_score)
+        context = build_context_bias(phrases, cfg.vocab_size,
+                                     blank=cfg.blank, boosts=boosts)
+        print(f"boosting {len(phrases)} phrases from {args.boost_file}",
+              file=sys.stderr)
+        if args.exported_streaming:
+            raise SystemExit("--exported-streaming artifacts are no-bias "
+                             "graphs; drop --boost-file or the artifact")
     offline = BatchingEngine(
         params, cfg, mode=args.mode, beam=args.beam,
         max_symbols=args.max_symbols, frame_buckets=args.frame_buckets,
-        max_batch=args.max_batch, window_ms=args.window_ms, lm=lm)
+        max_batch=args.max_batch, window_ms=args.window_ms, lm=lm,
+        context=context)
     streaming = None
     if args.stream_slots > 0 and not cfg.bidirectional:
         exported_step = None
@@ -146,7 +173,7 @@ def main(argv=None):
         streaming = StreamingEngine(
             params, cfg, slots=args.stream_slots,
             chunk_frames=args.chunk_frames, max_symbols=args.max_symbols,
-            mode=args.mode, beam=args.beam, lm=lm,
+            mode=args.mode, beam=args.beam, lm=lm, context=context,
             exported_step=exported_step,
             endpoint_frames=args.endpoint_frames)
     print("warming up (one compile per bucket)...", file=sys.stderr)

@@ -396,3 +396,49 @@ def test_streaming_endpointing():
         eng.close_session(sid)
     finally:
         eng.close()
+
+
+def test_engines_with_contextual_biasing_match_direct():
+    """Offline + streaming beam engines with a ContextBias reproduce the
+    direct biased decodes exactly (tables ride through the engine paths)."""
+    from rnn_transducer_tpu.decode.beam import recognize_beam
+    from rnn_transducer_tpu.decode.context import build_context_bias
+
+    bias = build_context_bias([[1, 2], [3, 4, 5]], CFG.vocab_size,
+                              boosts=[1.5, 2.5])
+    a = _feats(16, 90)
+    toks, lens, scores = recognize_beam(
+        PARAMS, CFG, jnp.asarray(a[None]), jnp.asarray([16], jnp.int32),
+        beam=3, max_symbols=MAXSYM, expansions=2, context=bias)
+    want = np.asarray(toks)[0, 0, : int(lens[0, 0])].tolist()
+
+    eng = BatchingEngine(PARAMS, CFG, mode="beam", beam=3, expansions=2,
+                         max_symbols=MAXSYM, frame_buckets=(16,),
+                         max_batch=2, window_ms=1.0, context=bias)
+    try:
+        out = eng.submit_full(a)
+        assert out["tokens"] == want
+        np.testing.assert_allclose(out["score"],
+                                   float(np.asarray(scores)[0, 0]),
+                                   atol=1e-3)
+    finally:
+        eng.close()
+
+    seng = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=8,
+                           max_symbols=MAXSYM, window_ms=10.0,
+                           mode="beam", beam=3, expansions=2, context=bias)
+    try:
+        seng.warmup()
+        sid = seng.open_session()
+        for t0 in range(0, 16, 8):
+            seng.feed(sid, a[t0: t0 + 8])
+        assert seng.close_session(sid) == want
+    finally:
+        seng.close()
+
+    # biasing is beam-only
+    import pytest
+    with pytest.raises(ValueError):
+        BatchingEngine(PARAMS, CFG, mode="greedy", context=bias)
+    with pytest.raises(ValueError):
+        StreamingEngine(PARAMS, CFG, slots=1, mode="greedy", context=bias)
