@@ -42,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--use-ema", action="store_true",
                    help="decode with the checkpoint's Polyak-averaged "
                         "params (train.py --ema-decay)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="post-training weight quantization for decode: "
+                        "symmetric per-channel int8 on every 2-D weight "
+                        "(ops/quant.py) — 4x smaller weights, checkpoint "
+                        "unchanged")
     p.add_argument("--frame-hop-s", type=float, default=0.01,
                    help="seconds of audio per encoder input frame (for RTF)")
     p.add_argument("--lm-ckpt", default=None,
@@ -126,6 +131,13 @@ def main(argv=None):
     else:
         params = init_train_state(jax.random.PRNGKey(args.seed), cfg,
                                   TrainConfig()).params
+    if args.quantize == "int8":
+        from rnn_transducer_tpu.ops.quant import (quantize_params,
+                                                  quantized_bytes)
+        params = quantize_params(params)
+        qb, fb = quantized_bytes(params)
+        print(f"int8 weights: {qb / 1e6:.1f} MB "
+              f"(fp32 {fb / 1e6:.1f} MB)", file=sys.stderr)
 
     # Tokenizer (CLI spec or the one stored in the checkpoint's meta.json);
     # resolved up front — text output needs it at the end, --boost-file

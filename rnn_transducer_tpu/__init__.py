@@ -49,6 +49,8 @@ from rnn_transducer_tpu.models.lm import (
     load_lm,
 )
 from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
+from rnn_transducer_tpu.ops.quant import (QTensor, dequantize_tensor,
+                                          quantize_params, quantize_tensor)
 from rnn_transducer_tpu.ops.logmel import log_mel
 from rnn_transducer_tpu.ops.rnnt_loss import rnnt_loss, rnnt_loss_mean
 from rnn_transducer_tpu.ops.rnnt_pruned import rnnt_loss_pruned
@@ -62,6 +64,7 @@ __all__ = [
     "ctc_loss_from_logits", "log_mel",
     "greedy_decode", "recognize_greedy", "beam_search", "recognize_beam",
     "ContextBias", "build_context_bias",
+    "QTensor", "quantize_tensor", "dequantize_tensor", "quantize_params",
     "stream_transcribe", "stream_transcribe_beam", "error_rate",
     "CharTokenizer", "PhonemeTokenizer", "BpeTokenizer",
     "LMConfig", "init_lm_params", "lm_step", "lm_loss", "load_lm",

@@ -28,6 +28,7 @@ from rnn_transducer_tpu.ops.lstm import (
     lstm_layer,
     mask_padding,
 )
+from rnn_transducer_tpu.ops.quant import maybe_dequant_tree
 
 Params = dict[str, Any]
 
@@ -153,6 +154,7 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens, *,
     layer's output except the last — the stacked-nn.LSTM(dropout=...)
     semantics of the reference family (SURVEY.md §B).
     """
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
     x = mask_padding(feats.astype(jnp.float32), feat_lens)
     lens = feat_lens
     cd = cfg.cdtype
@@ -238,6 +240,7 @@ def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
     state past chunk_lens is garbage, which is harmless once the stream
     ends there. Returns (enc_out (B, C', De), enc_lens', new_enc_state).
     """
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
     C = feats.shape[1]
     if cfg.time_reduction > 1:
         assert C % cfg.time_reduction == 0, (
@@ -290,6 +293,7 @@ def predict(params: Params, cfg: TransducerConfig, labels, *,
     dropout/embed_dropout (train-time, rng required): inter-layer dropout
     between prediction LSTMs and dropout on the label embeddings.
     """
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
     B, U = labels.shape
     bos = jnp.full((B, 1), cfg.blank, labels.dtype)
     inp = jnp.concatenate([bos, labels], axis=1)  # (B, U+1)
@@ -334,6 +338,7 @@ def predict_step(params: Params, cfg: TransducerConfig, label, states):
     pred_type="stateless", the (B, pred_context - 1) int32 buffer of the
     most recent consumed label ids. Returns (out (B, H), states').
     """
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
     if cfg.pred_type == "stateless":
         C = cfg.pred_context
         win = jnp.concatenate(
@@ -400,6 +405,7 @@ def joint(params: Params, cfg: TransducerConfig, enc_out, pred_out,
     top-1 MoE FFN (ops/moe.py) runs on the lattice activations;
     `with_aux=True` also returns its load-balance loss.
     """
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
     jp = params["joint"]
     cd = cfg.cdtype
     f = (jnp.dot(enc_out.astype(cd), jp["enc_proj"]["w"].astype(cd),
@@ -420,6 +426,7 @@ def joint(params: Params, cfg: TransducerConfig, enc_out, pred_out,
 
 def joint_step(params: Params, cfg: TransducerConfig, enc_t, pred_u):
     """Joint for single (t, u) positions: enc_t (B, De), pred_u (B, Dp) -> (B, V)."""
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
     jp = params["joint"]
     cd = cfg.cdtype
     f = (jnp.dot(enc_t.astype(cd), jp["enc_proj"]["w"].astype(cd),
@@ -443,6 +450,7 @@ def joint_activations(params: Params, cfg: TransducerConfig, enc_out,
     f = enc_proj(enc_out) + b, g = pred_proj(pred_out) + b: everything the
     fused Pallas kernel needs to build logits tiles on-chip.
     """
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
     jp = params["joint"]
     cd = cfg.cdtype
     f = (jnp.dot(enc_out.astype(cd), jp["enc_proj"]["w"].astype(cd),
@@ -456,6 +464,7 @@ def joint_activations(params: Params, cfg: TransducerConfig, enc_out,
 
 def ctc_logits(params: Params, cfg: TransducerConfig, enc_out):
     """CTC head: encoder output -> (B, T', V) logits (fp32)."""
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
     head = params["ctc_head"]
     cd = cfg.cdtype
     return (jnp.dot(enc_out.astype(cd), head["w"].astype(cd),

@@ -66,6 +66,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use-ema", action="store_true",
                    help="serve the checkpoint's Polyak-averaged params")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="post-training weight quantization: symmetric "
+                        "per-channel int8 on every 2-D weight "
+                        "(ops/quant.py)")
     return p.parse_args(argv)
 
 
@@ -98,6 +102,13 @@ def load_model(args):
     else:
         params = init_train_state(jax.random.PRNGKey(args.seed), cfg,
                                   TrainConfig()).params
+    if args.quantize == "int8":
+        from rnn_transducer_tpu.ops.quant import (quantize_params,
+                                                  quantized_bytes)
+        params = quantize_params(params)
+        qb, fb = quantized_bytes(params)
+        print(f"int8 weights: {qb / 1e6:.1f} MB (fp32 {fb / 1e6:.1f} MB)",
+              file=sys.stderr)
     return params, cfg, tok
 
 
