@@ -154,7 +154,10 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens, *,
     layer's output except the last — the stacked-nn.LSTM(dropout=...)
     semantics of the reference family (SURVEY.md §B).
     """
-    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
+    # int8 serving params (ops/quant.py): w_hh stays QUANTIZED so the
+    # fused Pallas LSTM can run its int8 recurrent kernel; ops/lstm.py
+    # dequantizes it at use everywhere else.
+    params = maybe_dequant_tree(params, keep=("w_hh",))
     x = mask_padding(feats.astype(jnp.float32), feat_lens)
     lens = feat_lens
     cd = cfg.cdtype
@@ -240,7 +243,7 @@ def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
     state past chunk_lens is garbage, which is harmless once the stream
     ends there. Returns (enc_out (B, C', De), enc_lens', new_enc_state).
     """
-    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
+    params = maybe_dequant_tree(params, keep=("w_hh",))  # see encode()
     C = feats.shape[1]
     if cfg.time_reduction > 1:
         assert C % cfg.time_reduction == 0, (

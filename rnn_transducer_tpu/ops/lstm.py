@@ -28,6 +28,23 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from rnn_transducer_tpu.ops.quant import QTensor, dequantize_tensor
+
+
+def _whh(params, compute_dtype):
+    """Recurrent weights in the compute dtype; encode() keeps w_hh as an
+    int8 QTensor (ops/quant.py) so the Pallas path can consume it raw —
+    the scan/cell paths dequantize here (hoisted out of scans by XLA)."""
+    w = params["w_hh"]
+    if isinstance(w, QTensor):
+        return dequantize_tensor(w, compute_dtype)
+    return w.astype(compute_dtype)
+
+
+def hidden_dim(params) -> int:
+    w = params["w_hh"]
+    return (w.q if isinstance(w, QTensor) else w).shape[0]
+
 
 def init_lstm_params(key, input_dim: int, hidden_dim: int,
                      dtype=jnp.float32) -> dict[str, Any]:
@@ -47,7 +64,7 @@ def lstm_cell(params, x_proj, h, c, compute_dtype=jnp.bfloat16):
     H = h.shape[-1]
     gates = x_proj + jnp.dot(
         h.astype(compute_dtype),
-        params["w_hh"].astype(compute_dtype),
+        _whh(params, compute_dtype),
         preferred_element_type=jnp.float32,
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)  # torch gate order: i, f, g, o
@@ -69,7 +86,7 @@ def lstm_layer(params, x, h0=None, c0=None, *, compute_dtype=jnp.bfloat16,
     shapes; "scan"/"pallas" force a path.
     """
     B, T, _ = x.shape
-    H = params["w_hh"].shape[0]
+    H = hidden_dim(params)
     if impl != "scan":
         from rnn_transducer_tpu.ops import lstm_pallas
         # Auto-dispatch only for long sequences: for short ones (e.g. the
@@ -77,6 +94,11 @@ def lstm_layer(params, x, h0=None, c0=None, *, compute_dtype=jnp.bfloat16,
         # dgates output in VMEM, which can exceed the 16 MB budget at
         # large H — and the scan path is already fast there.
         long_enough = B * T * 4 * H * 4 > 24 * 1024 * 1024
+        # int8 QTensor w_hh (serving params): inference-only, no dgates
+        # output — the long-sequence guard (a backward-path VMEM concern)
+        # doesn't apply, so short streaming chunks also take the kernel.
+        if isinstance(params["w_hh"], QTensor):
+            long_enough = True
         if impl == "pallas" or (
                 impl == "auto" and jax.default_backend() == "tpu"
                 and lstm_pallas.supported(B, H) and long_enough):

@@ -483,6 +483,95 @@ def _lstm_core_bwd_v2(acts, w_hh, h0, c0, hs, cs, dhs, dhT, dcT, cdtype):
     return dx, dw_hh, dh0, dc0
 
 
+# ---------------- int8 (W8A8) inference core: quantized serving ----------
+#
+# Decode-path variant for ops/quant.py int8 params: W_hh stays int8 IN
+# VMEM (half the bf16 residency — H=1024 is 4 MB instead of 8) and the
+# recurrent matmul runs int8 x int8 -> int32 on the MXU (2x the bf16
+# rate on v5e). h is re-quantized each step with a dynamic per-block
+# symmetric scale: |h| < 1 always (h = o * tanh(c)), but typical
+# magnitudes are much smaller, so scaling by the live max keeps the full
+# 8-bit resolution. Inference only — training never sees QTensor params.
+
+def _fwd_kernel_v2_q(tile_t, x_ref, h0_ref, c0_ref, wq_ref, sc_ref,
+                     hs_ref, cs_ref, h_s, c_s):
+    t_idx = pl.program_id(1)
+    H = h0_ref.shape[1]
+
+    @pl.when(t_idx == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    def step(i, carry):
+        h, c = carry
+        amax = jnp.maximum(jnp.max(jnp.abs(h)), 1e-6)
+        hq = jnp.round(h * (127.0 / amax)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            hq, wq_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        # combined dequant: (hq * amax/127) @ (wq * scale_col)
+        gates = x_ref[0, i, :, :] + acc.astype(jnp.float32) * (
+            sc_ref[:] * (amax / 127.0))
+        i_, f_, g_, o_ = _split4(gates, H)
+        i_s = jax.nn.sigmoid(i_)
+        f_s = jax.nn.sigmoid(f_)
+        g_t = jnp.tanh(g_)
+        o_s = jax.nn.sigmoid(o_)
+        c = f_s * c + i_s * g_t
+        h = o_s * jnp.tanh(c)
+        hs_ref[0, i, :, :] = h
+        cs_ref[0, i, :, :] = c
+        return h, c
+
+    h, c = jax.lax.fori_loop(0, tile_t, step, (h_s[:], c_s[:]))
+    h_s[:] = h
+    c_s[:] = c
+
+
+def _lstm_core_fwd_v2_q(x_proj, wq, scale, h0, c0):
+    """Time-major int8-weight inference forward. wq: (H, 4H) int8,
+    scale: (1, 4H) f32 per-output-channel (w ≈ wq * scale)."""
+    B, T, H4 = x_proj.shape
+    H = H4 // 4
+    BT, tile_t = _tile_bt_v2(B, H)
+    nB = B // BT
+    nT = -(-T // tile_t)
+    Tp = nT * tile_t
+    if Tp != T:
+        x_proj = jnp.pad(x_proj, ((0, 0), (0, Tp - T), (0, 0)))
+    x4 = x_proj.reshape(nB, BT, Tp, H4).transpose(0, 2, 1, 3)
+    out_shape = jax.ShapeDtypeStruct((nB, Tp, BT, H), jnp.float32)
+    out_spec = pl.BlockSpec((1, tile_t, BT, H), lambda b, t: (b, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    hs, cs = pl.pallas_call(
+        functools.partial(_fwd_kernel_v2_q, tile_t),
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((1, tile_t, BT, H4), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((BT, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x4, h0, c0, wq, scale)
+    hs = hs.transpose(0, 2, 1, 3).reshape(B, Tp, H)[:, :T]
+    cs = cs.transpose(0, 2, 1, 3).reshape(B, Tp, H)[:, :T]
+    return hs, cs
+
+
 # ------------------------------ public op --------------------------------
 
 def _fwd_dispatch(x_proj, w_hh, h0, c0, cdtype, with_acts=True):
@@ -574,18 +663,38 @@ def lstm_layer_pallas(params, x, h0=None, c0=None, *,
     """Drop-in replacement for ops.lstm.lstm_layer on aligned shapes.
 
     x: (B, T, I) -> (outputs (B, T, H) fp32, (h_T, c_T)).
+
+    An int8 QTensor w_hh (ops/quant.py serving params) dispatches to the
+    W8A8 inference core: int8 W_hh resident in VMEM, int8 MXU matmuls.
     """
+    from rnn_transducer_tpu.ops.quant import QTensor, dequantize_tensor
     B, T, _ = x.shape
-    H = params["w_hh"].shape[0]
+    w_hh = params["w_hh"]
+    quantized = isinstance(w_hh, QTensor)
+    H = (w_hh.q if quantized else w_hh).shape[0]
+    w_ih, b = params["w_ih"], params["b"]
+    if isinstance(w_ih, QTensor):  # streamed once per call: bf16 MXU fine
+        w_ih = dequantize_tensor(w_ih)
+    if quantized:
+        if not _interpret() and 4 * H * H > 12 * 1024 * 1024:
+            from rnn_transducer_tpu.ops.lstm import lstm_layer
+            return lstm_layer(params, x, h0, c0,
+                              compute_dtype=compute_dtype, impl="scan")
+        x_proj = _proj(x, w_ih, b, jnp.dtype(compute_dtype))
+        if h0 is None:
+            h0 = jnp.zeros((B, H), jnp.float32)
+        if c0 is None:
+            c0 = jnp.zeros((B, H), jnp.float32)
+        hs, cs = _lstm_core_fwd_v2_q(x_proj, w_hh.q, w_hh.scale, h0, c0)
+        return hs, (hs[:, T - 1], cs[:, T - 1])
     if not _interpret() and not _w_hh_fits_vmem(H, compute_dtype):
         from rnn_transducer_tpu.ops.lstm import lstm_layer
         return lstm_layer(params, x, h0, c0, compute_dtype=compute_dtype,
                           impl="scan")
-    x_proj = _proj(x, params["w_ih"], params["b"],
-                   jnp.dtype(compute_dtype))
+    x_proj = _proj(x, w_ih, b, jnp.dtype(compute_dtype))
     if h0 is None:
         h0 = jnp.zeros((B, H), jnp.float32)
     if c0 is None:
         c0 = jnp.zeros((B, H), jnp.float32)
-    hs, hT, cT = _lstm_core(x_proj, params["w_hh"], h0, c0, compute_dtype)
+    hs, hT, cT = _lstm_core(x_proj, w_hh, h0, c0, compute_dtype)
     return hs, (hT, cT)

@@ -86,18 +86,30 @@ def quantize_params(params, *, min_size: int = 0):
     return jax.tree_util.tree_map_with_path(walk, params)
 
 
-def maybe_dequant_tree(params, dtype=jnp.float32):
+def maybe_dequant_tree(params, dtype=jnp.float32, *, keep=()):
     """Dequantize every QTensor leaf; identity for unquantized trees.
 
     Called at the model's public entrypoints so all decode paths accept
     quantized params. O(1) host check when nothing is quantized.
+
+    keep: leaf names (dict keys) whose QTensors stay QUANTIZED — the
+    encoder entrypoints keep "w_hh" so the fused Pallas LSTM can run its
+    int8 kernel on the still-int8 recurrent weights (ops/lstm.py
+    dequantizes them at use on the scan fallback).
     """
     leaves = jax.tree.leaves(params, is_leaf=_is_q)
     if not any(_is_q(x) for x in leaves):
         return params
-    return jax.tree.map(
-        lambda x: dequantize_tensor(x, dtype) if _is_q(x) else x,
-        params, is_leaf=_is_q)
+
+    def walk(path, x):
+        if not _is_q(x):
+            return x
+        name = jax.tree_util.keystr(path[-1:]) if path else ""
+        if any(k in name for k in keep):
+            return x
+        return dequantize_tensor(x, dtype)
+
+    return jax.tree_util.tree_map_with_path(walk, params, is_leaf=_is_q)
 
 
 def quantized_bytes(params) -> tuple[int, int]:

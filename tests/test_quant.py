@@ -201,3 +201,39 @@ def test_cli_quantize(tmp_path, capsys):
                     "--max-symbols", "6"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mode"] == "greedy" and "wer" in out
+
+
+def test_int8_pallas_inference_kernel_matches_scan():
+    """W8A8 Pallas inference core (interpret mode) vs the scan reference
+    running on the SAME dequantized weights — the only difference is the
+    kernel's dynamic per-step int8 re-quantization of h."""
+    from rnn_transducer_tpu.ops.lstm import init_lstm_params, lstm_layer
+
+    rng = np.random.default_rng(4)
+    I, H, B, T = 12, 16, 8, 24
+    params = init_lstm_params(jax.random.PRNGKey(4), I, H)
+    qw_hh = quantize_tensor(params["w_hh"], channel_axis=-1)
+    qw_ih = quantize_tensor(params["w_ih"], channel_axis=-1)
+    deq = {"w_ih": dequantize_tensor(qw_ih),
+           "w_hh": dequantize_tensor(qw_hh), "b": params["b"]}
+    qp = {"w_ih": qw_ih, "w_hh": qw_hh, "b": params["b"]}
+    x = jnp.asarray(rng.normal(size=(B, T, I)), jnp.float32)
+
+    ref, (hT, cT) = lstm_layer(deq, x, compute_dtype=jnp.float32,
+                               impl="scan")
+    got, (hTq, cTq) = lstm_layer(qp, x, compute_dtype=jnp.float32,
+                                 impl="pallas")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
+    np.testing.assert_allclose(np.asarray(hTq), np.asarray(hT), atol=0.05)
+    np.testing.assert_allclose(np.asarray(cTq), np.asarray(cT), atol=0.08)
+    # final state == last output row (inference contract)
+    np.testing.assert_array_equal(np.asarray(hTq),
+                                  np.asarray(got[:, -1]))
+    # carried-state chunking (the streaming path) stays consistent
+    g1, (h1, c1) = lstm_layer(qp, x[:, :16], compute_dtype=jnp.float32,
+                              impl="pallas")
+    g2, (h2, c2) = lstm_layer(qp, x[:, 16:], h1, c1,
+                              compute_dtype=jnp.float32, impl="pallas")
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([g1, g2], 1)),
+                               np.asarray(got), atol=1e-6)
