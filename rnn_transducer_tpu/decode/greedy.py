@@ -36,14 +36,21 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
       tokens: (B, max_symbols) int32, blank-padded.
       lengths: (B,) number of emitted labels.
       decode_state: carry for the next chunk — (u, tokens, confs, frames,
-        frame_off, pred_out, pred_states); confs[b, i] is the emitted
-        token's log-probability (per-token confidence) and frames[b, i]
-        the GLOBAL encoder-frame index it was emitted at (timestamps;
-        frame_off accumulates frames consumed by earlier chunks), both 0
-        past the length.
+        frame_off, pred_out, pred_states, t_over); confs[b, i] is the
+        emitted token's log-probability (per-token confidence) and
+        frames[b, i] the GLOBAL encoder-frame index it was emitted at
+        (timestamps; frame_off accumulates frames consumed by earlier
+        chunks), both 0 past the length. t_over carries a multi-blank
+        duration jump past the chunk end into the next chunk (always 0
+        for standard models).
     """
     B, T, _ = enc_out.shape
     enc_lens = enc_lens.astype(jnp.int32)
+    V = cfg.vocab_size
+    multiblank = bool(cfg.big_blank_durations)
+    if multiblank:
+        from rnn_transducer_tpu.ops.rnnt_multiblank import duration_table
+        durs = duration_table(V, cfg.big_blank_durations, cfg.n_classes)
 
     if decode_state is None:
         pred0, states0 = _pred_step(params, cfg,
@@ -54,9 +61,10 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         confs_init = jnp.zeros((B, max_symbols), jnp.float32)
         frames_init = jnp.zeros((B, max_symbols), jnp.int32)
         foff_init = jnp.zeros((B,), jnp.int32)
+        t_over_init = jnp.zeros((B,), jnp.int32)
     else:
         (u_init, tokens_init, confs_init, frames_init, foff_init,
-         pred0, states0) = decode_state
+         pred0, states0, t_over_init) = decode_state
         assert tokens_init.shape == (B, max_symbols)
 
     def cond(carry):
@@ -70,7 +78,8 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         enc_t = jnp.take_along_axis(enc_out, t_safe[:, None, None], axis=1)[:, 0]
         logits = m.joint_step(params, cfg, enc_t, pred_out)  # (B, V)
         k = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        advance_t = (k == cfg.blank) | done
+        is_blank = (k == cfg.blank) | (k >= V)  # big blanks are blanks
+        advance_t = is_blank | done
         emit = ~advance_t
         # Emit: write token + its log-prob at position u, bump u, step
         # the predictor.
@@ -88,19 +97,23 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
                 emit.reshape((B,) + (1,) * (new.ndim - 1)), new, old),
             new_states, states)
         u = u + emit.astype(jnp.int32)
-        t = t + advance_t.astype(jnp.int32)
+        # a winning big blank skips its whole duration in one step; done
+        # rows freeze t so the carried overshoot (t_over) stays exact
+        adv = durs[k] if multiblank else jnp.int32(1)
+        t = t + jnp.where(done, 0, jnp.where(is_blank, adv, 0))
         done = (t >= enc_lens) | (u >= max_symbols)
         return (t, u, done, tokens, confs, frames, pred_out, states)
 
-    t0 = jnp.zeros((B,), jnp.int32)
+    t0 = t_over_init  # frames already consumed by a jump past the last chunk
     done0 = (t0 >= enc_lens) | (u_init >= max_symbols)
     carry = jax.lax.while_loop(
         cond, body,
         (t0, u_init, done0, tokens_init, confs_init, frames_init,
          pred0, states0))
-    _, u, _, tokens, confs, frames, pred_out, states = carry
+    t, u, _, tokens, confs, frames, pred_out, states = carry
+    t_over = jnp.maximum(t - enc_lens, 0)
     return tokens, u, (u, tokens, confs, frames, foff_init + enc_lens,
-                       pred_out, states)
+                       pred_out, states, t_over)
 
 
 def _pred_step(params, cfg, label, states):

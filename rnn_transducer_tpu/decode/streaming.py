@@ -50,6 +50,7 @@ def init_stream(params, cfg: TransducerConfig, batch: int,
         jnp.zeros((batch,), jnp.int32),  # global frame offset
         pred0,
         states0,
+        jnp.zeros((batch,), jnp.int32),  # multi-blank jump overshoot
     )
     return StreamState(enc_state=enc_state, decode_state=decode_state)
 

@@ -51,6 +51,14 @@ class TransducerConfig:
     joint_dim: int = 256
     vocab_size: int = 64  # including blank
     blank: int = 0
+    # Multi-blank transducer (NeMo-family variant): extra blank symbols
+    # that consume this many frames each (e.g. (2, 4, 8)) occupy the last
+    # len(...) joint output columns (ids vocab_size + k). Greedy decoding
+    # SKIPS duration frames when a big blank wins — 2-4x fewer decode
+    # steps on blank-dominated audio; the loss marginalizes over the
+    # extra transitions (ops/rnnt_multiblank.py). Trains at the xla loss
+    # tier; beam search is frame-synchronous and rejects these models.
+    big_blank_durations: tuple = ()
     # numerics
     compute_dtype: str = "bfloat16"  # matmul dtype; params/cell state fp32
     # rematerialize encoder layers in the backward pass (trade FLOPs for
@@ -75,6 +83,11 @@ class TransducerConfig:
     @property
     def moe_hidden(self) -> int:
         return self.joint_expert_hidden or 2 * self.joint_dim
+
+    @property
+    def n_classes(self) -> int:
+        """Joint output columns: vocab plus one per big-blank duration."""
+        return self.vocab_size + len(self.big_blank_durations)
 
     @property
     def enc_out_dim(self) -> int:

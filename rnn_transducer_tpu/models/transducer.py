@@ -96,7 +96,7 @@ def init_params(key, cfg: TransducerConfig) -> Params:
     joint = {
         "enc_proj": _init_linear(keys[3], cfg.enc_out_dim, cfg.joint_dim),
         "pred_proj": _init_linear(keys[4], cfg.pred_hidden, cfg.joint_dim),
-        "out": _init_linear(keys[5], cfg.joint_dim, cfg.vocab_size),
+        "out": _init_linear(keys[5], cfg.joint_dim, cfg.n_classes),
     }
     params = {"encoder": enc, "embed": embed, "predictor": pred,
               "joint": joint}

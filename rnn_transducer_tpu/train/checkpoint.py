@@ -60,7 +60,12 @@ def load_model_config(ckpt_dir: str):
     if not meta or "model_config" not in meta:
         return None
     from rnn_transducer_tpu.models.config import TransducerConfig
-    return TransducerConfig(**meta["model_config"])
+    d = dict(meta["model_config"])
+    # JSON roundtrips tuples as lists; restore tuple fields so config
+    # equality checks against freshly-built configs hold
+    if "big_blank_durations" in d:
+        d["big_blank_durations"] = tuple(d["big_blank_durations"])
+    return TransducerConfig(**d)
 
 
 def save_checkpoint(ckpt_dir: str, step: int, state_tree: Any,

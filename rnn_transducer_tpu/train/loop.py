@@ -119,6 +119,25 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
         rngs = jax.vmap(jax.random.fold_in,
                         in_axes=(None, 0))(dropout_rng, idx)
     do = dict(dropout=dropout, rng=rngs)
+    if cfg.big_blank_durations:
+        # multi-blank transducer (ops/rnnt_multiblank.py): the extra
+        # duration transitions exist only in the dedicated lattice solver
+        # — logits materialize (the xla tier); fused/pallas/pruned kernels
+        # and FastEmit don't model the jump arcs.
+        if loss_impl not in ("auto", "xla"):
+            raise ValueError("multi-blank models train with "
+                             "loss_impl='auto'|'xla' (got "
+                             f"{loss_impl!r})")
+        if fastemit:
+            raise ValueError("fastemit_lambda is not supported with "
+                             "multi-blank models")
+        from rnn_transducer_tpu.ops.rnnt_multiblank import \
+            rnnt_loss_multiblank
+        logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels,
+                                     embed_dropout=embed_dropout, **do)
+        per_utt = rnnt_loss_multiblank(logits, labels, enc_lens, label_lens,
+                                       cfg.big_blank_durations, cfg.blank)
+        return jnp.mean(per_utt), per_utt
     if cfg.joint_experts > 0:
         # MoE joint: the logits must materialize through the routed joint
         # (the fused joint+loss kernel computes dense logits on-chip), and

@@ -111,6 +111,12 @@ def parse_args(argv=None):
     p.add_argument("--pred-context", type=int, default=0,
                    help="stateless decoder context size (labels of "
                         "history per position; 0 = config default)")
+    p.add_argument("--big-blanks", default=None,
+                   help="multi-blank transducer: comma-separated big-blank "
+                        "frame durations (e.g. '2,4,8') appended as extra "
+                        "joint output classes; greedy decode skips that "
+                        "many frames when one wins (trains at the xla "
+                        "loss tier)")
     p.add_argument("--ctc-pretrain-steps", type=int, default=0,
                    help="warm up the encoder with CTC loss for N steps "
                         "before switching to the RNN-T loss")
@@ -151,6 +157,13 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, pred_type=args.pred_type)
     if args.pred_context > 0:
         cfg = dataclasses.replace(cfg, pred_context=args.pred_context)
+    if args.big_blanks:
+        durs = tuple(int(d) for d in args.big_blanks.split(","))
+        if any(d <= 1 for d in durs):
+            raise SystemExit("--big-blanks durations must be > 1")
+        cfg = dataclasses.replace(cfg, big_blank_durations=durs)
+        if args.loss_impl not in ("auto", "xla"):
+            raise SystemExit("--big-blanks requires --loss-impl auto|xla")
     if args.pruned_range > 0:
         cfg = dataclasses.replace(cfg, pruned_range=args.pruned_range)
         args.loss_impl = "pruned"
