@@ -114,10 +114,84 @@ def measure_decode(cfg=None, params=None):
     return results
 
 
-def main():
-    for r in measure_decode():
-        print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
-                          for k, v in r.items()}))
+def measure_encode(cfg=None, params=None, B: int = 8, T: int = 500):
+    """Slope-timed encoder forward (the int8 serving kernel's hot path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_transducer_tpu.models import transducer as m
+    from rnn_transducer_tpu.models.config import config_greedy_smoke
+
+    if cfg is None:
+        cfg = config_greedy_smoke()
+    if params is None:
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    frame_s = 0.01
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)), jnp.float32)
+    fl = jnp.asarray(np.full((B,), T, np.int32))
+
+    def mk(n):
+        def run(f):
+            def body(i, acc):
+                enc, _ = m.encode(params, cfg, f + acc * 1e-20, fl)
+                return acc + jnp.mean(enc) * 1e-9
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return run
+
+    ts, ns = [], (2, 12)
+    for n in ns:
+        f = jax.jit(mk(n))
+        jax.device_get(f(feats))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(f(feats))
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    dev_s = (ts[1] - ts[0]) / (ns[1] - ns[0])
+    return {"mode": f"encode_b{B}", "device_ms": dev_s * 1e3,
+            "rtf": dev_s / (B * T * frame_s)}
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="also benchmark with int8-quantized weights "
+                        "(ops/quant.py) — rows tagged _int8")
+    p.add_argument("--config", default=None,
+                   help="named config (default greedy_smoke)")
+    args = p.parse_args(argv)
+    cfg = params = None
+    if args.config:
+        import jax
+
+        from rnn_transducer_tpu.models import transducer as mm
+        from rnn_transducer_tpu.models.config import NAMED_CONFIGS
+        cfg = NAMED_CONFIGS[args.config]()
+        params = mm.init_params(jax.random.PRNGKey(0), cfg)
+
+    emit = lambda r: print(json.dumps(
+        {k: (round(v, 5) if isinstance(v, float) else v)
+         for k, v in r.items()}))
+    for r in measure_decode(cfg, params):
+        emit(r)
+    emit(measure_encode(cfg, params))
+    if args.quantize == "int8":
+        import jax
+
+        from rnn_transducer_tpu.models import transducer as mm
+        from rnn_transducer_tpu.models.config import config_greedy_smoke
+        from rnn_transducer_tpu.ops.quant import quantize_params
+        if cfg is None:
+            cfg = config_greedy_smoke()
+            params = mm.init_params(jax.random.PRNGKey(0), cfg)
+        qp = quantize_params(params)
+        for r in measure_decode(cfg, qp):
+            emit({**r, "mode": r["mode"] + "_int8"})
+        r = measure_encode(cfg, qp)
+        emit({**r, "mode": r["mode"] + "_int8"})
 
 
 if __name__ == "__main__":
