@@ -67,11 +67,11 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
     fusion LM's per-beam next-token log-probs + LSTM state to the carry;
     `context` (decode/context.py ContextBias) adds the per-beam trie node
     id for phrase boosting."""
-    if cfg.big_blank_durations:
+    if cfg.big_blank_durations or cfg.tdt_durations:
         raise ValueError(
             "beam search is frame-synchronous and does not support "
-            "multi-blank models (duration jumps desynchronize the beams); "
-            "decode greedily")
+            "multi-blank/TDT models (duration jumps desynchronize the "
+            "beams); decode greedily")
     B, K, U = batch, beam, max_symbols
     tokens0 = jnp.full((B, K, U), cfg.blank, jnp.int32)
     lens0 = jnp.zeros((B, K), jnp.int32)

@@ -48,9 +48,12 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
     enc_lens = enc_lens.astype(jnp.int32)
     V = cfg.vocab_size
     multiblank = bool(cfg.big_blank_durations)
+    tdt = bool(cfg.tdt_durations)
     if multiblank:
         from rnn_transducer_tpu.ops.rnnt_multiblank import duration_table
         durs = duration_table(V, cfg.big_blank_durations, cfg.n_classes)
+    if tdt:
+        dvals = jnp.asarray(cfg.tdt_durations, jnp.int32)
 
     if decode_state is None:
         pred0, states0 = _pred_step(params, cfg,
@@ -76,7 +79,11 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
         # Current encoder frame per utterance (clamped gather keeps it safe).
         t_safe = jnp.minimum(t, enc_lens - 1)
         enc_t = jnp.take_along_axis(enc_out, t_safe[:, None, None], axis=1)[:, 0]
-        logits = m.joint_step(params, cfg, enc_t, pred_out)  # (B, V)
+        if tdt:
+            logits, dur_logits = m.joint_step_tdt(params, cfg, enc_t,
+                                                  pred_out)
+        else:
+            logits = m.joint_step(params, cfg, enc_t, pred_out)  # (B, V)
         k = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         is_blank = (k == cfg.blank) | (k >= V)  # big blanks are blanks
         advance_t = is_blank | done
@@ -97,10 +104,18 @@ def greedy_decode(params, cfg: TransducerConfig, enc_out, enc_lens,
                 emit.reshape((B,) + (1,) * (new.ndim - 1)), new, old),
             new_states, states)
         u = u + emit.astype(jnp.int32)
-        # a winning big blank skips its whole duration in one step; done
-        # rows freeze t so the carried overshoot (t_over) stays exact
-        adv = durs[k] if multiblank else jnp.int32(1)
-        t = t + jnp.where(done, 0, jnp.where(is_blank, adv, 0))
+        # done rows freeze t so the carried overshoot (t_over) stays exact
+        if tdt:
+            # TDT: EVERY emission (token or blank) advances t by its
+            # predicted duration; a duration-0 blank would self-loop, so
+            # it is forced to 1 (the loss masks that arc out anyway)
+            d = dvals[jnp.argmax(dur_logits, axis=-1)]
+            d = jnp.where(is_blank & (d == 0), 1, d)
+            t = t + jnp.where(done, 0, d)
+        else:
+            # a winning (big) blank skips its whole duration in one step
+            adv = durs[k] if multiblank else jnp.int32(1)
+            t = t + jnp.where(done, 0, jnp.where(is_blank, adv, 0))
         done = (t >= enc_lens) | (u >= max_symbols)
         return (t, u, done, tokens, confs, frames, pred_out, states)
 

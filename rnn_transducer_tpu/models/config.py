@@ -59,6 +59,15 @@ class TransducerConfig:
     # extra transitions (ops/rnnt_multiblank.py). Trains at the xla loss
     # tier; beam search is frame-synchronous and rejects these models.
     big_blank_durations: tuple = ()
+    # Token-and-duration transducer (TDT, Xu et al. 2023): a second joint
+    # head predicts how many frames each emission (token OR blank)
+    # consumes, from this duration set (e.g. (0, 1, 2, 3, 4); blank may
+    # not take duration 0). The loss marginalizes tokens x durations
+    # (ops/rnnt_tdt.py); greedy decode advances by the argmax duration —
+    # it never stalls on a frame, the variant's decode-speed point.
+    # Trains at the xla tier; beam search rejects TDT models. Mutually
+    # exclusive with big_blank_durations.
+    tdt_durations: tuple = ()
     # numerics
     compute_dtype: str = "bfloat16"  # matmul dtype; params/cell state fp32
     # rematerialize encoder layers in the backward pass (trade FLOPs for

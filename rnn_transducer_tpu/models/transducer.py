@@ -98,6 +98,16 @@ def init_params(key, cfg: TransducerConfig) -> Params:
         "pred_proj": _init_linear(keys[4], cfg.pred_hidden, cfg.joint_dim),
         "out": _init_linear(keys[5], cfg.joint_dim, cfg.n_classes),
     }
+    if cfg.tdt_durations:
+        if cfg.big_blank_durations:
+            raise ValueError("tdt_durations and big_blank_durations are "
+                             "mutually exclusive")
+        if cfg.joint_experts > 0:
+            raise ValueError("TDT with an MoE joint is not supported")
+        # TDT duration head: same joint activation, |durations| logits
+        joint["dur"] = _init_linear(jax.random.fold_in(keys[5], 1),
+                                    cfg.joint_dim,
+                                    len(cfg.tdt_durations))
     params = {"encoder": enc, "embed": embed, "predictor": pred,
               "joint": joint}
     if cfg.ctc_head:
@@ -444,6 +454,53 @@ def joint_step(params: Params, cfg: TransducerConfig, enc_t, pred_u):
     return (jnp.dot(z.astype(cd), jp["out"]["w"].astype(cd),
                     preferred_element_type=jnp.float32)
             + jp["out"]["b"].astype(jnp.float32))
+
+
+def joint_tdt(params: Params, cfg: TransducerConfig, enc_out, pred_out):
+    """TDT joint: token logits + duration logits off one shared activation.
+
+    enc_out: (B, T, De), pred_out: (B, U+1, Dp) ->
+    (logits (B, T, U+1, V), dur_logits (B, T, U+1, D)), both fp32.
+    """
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
+    jp = params["joint"]
+    cd = cfg.cdtype
+    f = (jnp.dot(enc_out.astype(cd), jp["enc_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["enc_proj"]["b"].astype(jnp.float32))
+    g = (jnp.dot(pred_out.astype(cd), jp["pred_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["pred_proj"]["b"].astype(jnp.float32))
+    z = jnp.tanh(f[:, :, None, :] + g[:, None, :, :])
+    logits = (jnp.dot(z.astype(cd), jp["out"]["w"].astype(cd),
+                      preferred_element_type=jnp.float32)
+              + jp["out"]["b"].astype(jnp.float32))
+    dur = (jnp.dot(z.astype(cd), jp["dur"]["w"].astype(cd),
+                   preferred_element_type=jnp.float32)
+           + jp["dur"]["b"].astype(jnp.float32))
+    return logits, dur
+
+
+def joint_step_tdt(params: Params, cfg: TransducerConfig, enc_t, pred_u):
+    """TDT joint for single positions: (B, De), (B, Dp) ->
+    (logits (B, V), dur_logits (B, D))."""
+    params = maybe_dequant_tree(params)  # int8 serving params (ops/quant.py)
+    jp = params["joint"]
+    cd = cfg.cdtype
+    f = (jnp.dot(enc_t.astype(cd), jp["enc_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["enc_proj"]["b"].astype(jnp.float32))
+    g = (jnp.dot(pred_u.astype(cd), jp["pred_proj"]["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + jp["pred_proj"]["b"].astype(jnp.float32))
+    z = jnp.tanh(f + g)
+    logits = (jnp.dot(z.astype(cd), jp["out"]["w"].astype(cd),
+                      preferred_element_type=jnp.float32)
+              + jp["out"]["b"].astype(jnp.float32))
+    dur = (jnp.dot(z.astype(cd), jp["dur"]["w"].astype(cd),
+                   preferred_element_type=jnp.float32)
+           + jp["dur"]["b"].astype(jnp.float32))
+    return logits, dur
 
 
 def joint_activations(params: Params, cfg: TransducerConfig, enc_out,

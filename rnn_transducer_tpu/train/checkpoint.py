@@ -63,8 +63,9 @@ def load_model_config(ckpt_dir: str):
     d = dict(meta["model_config"])
     # JSON roundtrips tuples as lists; restore tuple fields so config
     # equality checks against freshly-built configs hold
-    if "big_blank_durations" in d:
-        d["big_blank_durations"] = tuple(d["big_blank_durations"])
+    for k in ("big_blank_durations", "tdt_durations"):
+        if k in d:
+            d[k] = tuple(d[k])
     return TransducerConfig(**d)
 
 

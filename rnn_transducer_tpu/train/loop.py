@@ -119,6 +119,25 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
         rngs = jax.vmap(jax.random.fold_in,
                         in_axes=(None, 0))(dropout_rng, idx)
     do = dict(dropout=dropout, rng=rngs)
+    if cfg.tdt_durations:
+        # TDT (ops/rnnt_tdt.py): tokens x durations marginalized on the
+        # consumed-frames grid; logits + duration logits materialize
+        # (the xla tier) — fused/pallas/pruned and FastEmit don't model
+        # the duration factor.
+        if loss_impl not in ("auto", "xla"):
+            raise ValueError("TDT models train with loss_impl='auto'|"
+                             f"'xla' (got {loss_impl!r})")
+        if fastemit:
+            raise ValueError("fastemit_lambda is not supported with TDT "
+                             "models")
+        from rnn_transducer_tpu.ops.rnnt_tdt import rnnt_loss_tdt
+        enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens, **do)
+        pred_out, _ = m.predict(params, cfg, labels,
+                                embed_dropout=embed_dropout, **do)
+        logits, dur_logits = m.joint_tdt(params, cfg, enc_out, pred_out)
+        per_utt = rnnt_loss_tdt(logits, dur_logits, labels, enc_lens,
+                                label_lens, cfg.tdt_durations, cfg.blank)
+        return jnp.mean(per_utt), per_utt
     if cfg.big_blank_durations:
         # multi-blank transducer (ops/rnnt_multiblank.py): the extra
         # duration transitions exist only in the dedicated lattice solver

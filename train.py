@@ -111,6 +111,12 @@ def parse_args(argv=None):
     p.add_argument("--pred-context", type=int, default=0,
                    help="stateless decoder context size (labels of "
                         "history per position; 0 = config default)")
+    p.add_argument("--tdt-durations", default=None,
+                   help="token-and-duration transducer: comma-separated "
+                        "duration set (e.g. '0,1,2,3,4') predicted by a "
+                        "second joint head; greedy decode advances by the "
+                        "predicted duration after every emission (trains "
+                        "at the xla loss tier)")
     p.add_argument("--big-blanks", default=None,
                    help="multi-blank transducer: comma-separated big-blank "
                         "frame durations (e.g. '2,4,8') appended as extra "
@@ -164,6 +170,12 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, big_blank_durations=durs)
         if args.loss_impl not in ("auto", "xla"):
             raise SystemExit("--big-blanks requires --loss-impl auto|xla")
+    if args.tdt_durations:
+        durs = tuple(int(d) for d in args.tdt_durations.split(","))
+        cfg = dataclasses.replace(cfg, tdt_durations=durs)
+        if args.loss_impl not in ("auto", "xla"):
+            raise SystemExit("--tdt-durations requires --loss-impl "
+                             "auto|xla")
     if args.pruned_range > 0:
         cfg = dataclasses.replace(cfg, pruned_range=args.pruned_range)
         args.loss_impl = "pruned"
