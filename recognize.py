@@ -62,6 +62,12 @@ def parse_args(argv=None):
     p.add_argument("--lm-rescore", action="store_true",
                    help="use --lm-ckpt for one-pass N-best rescoring "
                         "instead of per-step shallow fusion (beam mode)")
+    p.add_argument("--ngram", default=None,
+                   help="n-gram LM artifact (tools/train_ngram.py) for "
+                        "shallow fusion in beam / streaming_beam modes; "
+                        "composable with --lm-ckpt and --boost-file")
+    p.add_argument("--ngram-weight", type=float, default=0.3,
+                   help="shallow-fusion weight on the n-gram log-prob")
     p.add_argument("--boost-file", default=None,
                    help="contextual-biasing phrase list for beam / "
                         "streaming_beam modes: one phrase per line, "
@@ -169,6 +175,19 @@ def main(argv=None):
               f"(default per-token boost {args.boost_score})",
               file=sys.stderr)
 
+    ngram = None
+    if args.ngram:
+        if args.mode not in ("beam", "streaming_beam"):
+            raise SystemExit("--ngram requires --mode beam|streaming_beam")
+        from rnn_transducer_tpu.models.ngram import load_ngram
+        ng_lm = load_ngram(args.ngram)
+        if ng_lm.lp.shape[1] != cfg.vocab_size:
+            raise SystemExit(f"n-gram vocab {ng_lm.lp.shape[1]} != model "
+                             f"vocab {cfg.vocab_size}")
+        ngram = (ng_lm, args.ngram_weight)
+        print(f"n-gram fusion: {args.ngram} ({ng_lm.lp.shape[0]} states) "
+              f"weight={args.ngram_weight}", file=sys.stderr)
+
     lm_params = lm_cfg = None
     if args.lm_ckpt:
         if args.mode not in ("beam", "streaming_beam"):
@@ -201,10 +220,10 @@ def main(argv=None):
             decode = lambda f, l: greedy_jit(params, f, l) + (None,)
     elif args.mode == "beam":
         fuse = None if (lm_params is None or args.lm_rescore) else "fuse"
-        beam_jit = jax.jit(lambda p, lmp, cb, f, l: recognize_beam(
+        beam_jit = jax.jit(lambda p, lmp, cb, ng, f, l: recognize_beam(
             p, cfg, f, l, beam=args.beam,
             max_symbols=args.max_symbols, expansions=args.expansions,
-            with_timestamps=ts, context=cb,
+            with_timestamps=ts, context=cb, ngram=ng,
             lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight,
                                          args.ilm_weight)))
         if args.lm_rescore and lm_params is not None:
@@ -213,13 +232,14 @@ def main(argv=None):
                 lmp, lm_cfg, t, ln, s, weight=args.lm_weight))
 
             def decode(f, l):
-                toks, lens, scores = beam_jit(params, None, context, f, l)
+                toks, lens, scores = beam_jit(params, None, context, ngram,
+                                              f, l)
                 toks, lens, _ = rescore_jit(lm_params, toks, lens, scores)
                 return toks[:, 0], lens[:, 0], None
         else:
             def decode(f, l):
                 out = beam_jit(params, lm_params if fuse else None,
-                               context, f, l)
+                               context, ngram, f, l)
                 frames = out[3][:, 0] if ts else None
                 return out[0][:, 0], out[1][:, 0], frames
     elif args.mode == "ctc_greedy":
@@ -251,7 +271,7 @@ def main(argv=None):
                 params, cfg, f, l, chunk_frames=args.chunk_frames,
                 beam=args.beam, max_symbols=args.max_symbols,
                 expansions=args.expansions, with_timestamps=ts,
-                context=context,
+                context=context, ngram=ngram,
                 lm=None if lm_params is None else
                 (lm_params, lm_cfg, args.lm_weight, args.ilm_weight))
             frames = out[3][:, 0] if ts else None

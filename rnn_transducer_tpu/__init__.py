@@ -23,6 +23,7 @@ from rnn_transducer_tpu.data.tokenizer import (
 )
 from rnn_transducer_tpu.decode.beam import beam_search, recognize_beam
 from rnn_transducer_tpu.decode.context import ContextBias, build_context_bias
+from rnn_transducer_tpu.models.ngram import NgramLM, train_ngram
 from rnn_transducer_tpu.decode.greedy import greedy_decode, recognize_greedy
 from rnn_transducer_tpu.decode.metrics import error_rate
 from rnn_transducer_tpu.decode.streaming import (
@@ -65,6 +66,7 @@ __all__ = [
     "greedy_decode", "recognize_greedy", "beam_search", "recognize_beam",
     "ContextBias", "build_context_bias",
     "QTensor", "quantize_tensor", "dequantize_tensor", "quantize_params",
+    "NgramLM", "train_ngram",
     "stream_transcribe", "stream_transcribe_beam", "error_rate",
     "CharTokenizer", "PhonemeTokenizer", "BpeTokenizer",
     "LMConfig", "init_lm_params", "lm_step", "lm_loss", "load_lm",

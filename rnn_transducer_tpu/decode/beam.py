@@ -60,7 +60,7 @@ def _hash_append(h, lab):
 
 def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
                     beam: int = 8, max_symbols: int = 200, lm=None,
-                    context=None):
+                    context=None, ngram=None):
     """Initial beam carry: beam 0 = empty prefix, others dead. The same
     structure is threaded across frames — and across chunks for streaming
     beam decoding (decode/streaming.py). `lm` (see beam_search) adds the
@@ -105,12 +105,14 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
         # trie state for contextual biasing: all beams start at the root;
         # a (B, K) leaf, so the pool/merge/gather machinery carries it
         outs["cb_node"] = jnp.zeros((B, K), jnp.int32)
+    if ngram is not None:  # (models/ngram.py NgramLM, weight)
+        outs["ng_state"] = jnp.full((B, K), ngram[0].start, jnp.int32)
     return (tokens0, lens0, scores0, hash0, outs, states)
 
 
 def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
                 beam: int = 8, max_symbols: int = 200, expansions: int = 3,
-                beam_state=None, lm=None, context=None):
+                beam_state=None, lm=None, context=None, ngram=None):
     """Beam-search decode a batch of encoded utterances.
 
     Args:
@@ -139,6 +141,12 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
         score so a later streaming chunk can still complete the phrase.
         The node is a function of the prefix alone — exact under prefix
         merging. Pass the tables as traced jit arguments.
+      ngram: optional backoff n-gram shallow fusion — (models/ngram.py
+        NgramLM, weight). Label emissions add weight * lp[state, label]
+        (backoff pre-resolved into the dense table) and advance the
+        per-beam context state; exact under prefix merging and across
+        streaming chunks, composable with `lm` and `context`. Pass the
+        tables as traced jit arguments.
 
     Returns:
       tokens: (B, K, max_symbols) int32 blank-padded, best beam first.
@@ -163,7 +171,7 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
 
     if beam_state is None:
         beam_state = init_beam_state(params, cfg, B, beam=K, max_symbols=U,
-                                     lm=lm, context=context)
+                                     lm=lm, context=context, ngram=ngram)
     tokens0, lens0, scores0, hash0, outs0, states0 = beam_state
 
     def frame_step(t, carry):
@@ -229,6 +237,8 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
                     ext = ext - ilm_w * ilm_lp.at[:, :, cfg.blank].set(0.0)
             if context is not None:  # phrase boosting on label emissions
                 ext = ext + context.delta[outs["cb_node"]]  # (B, K, V)
+            if ngram is not None:  # n-gram shallow fusion
+                ext = ext + ngram[1] * ngram[0].lp[outs["ng_state"]]
             ext = ext.at[:, :, cfg.blank].set(NEG_INF)
             ext = jnp.where((lens >= U)[:, :, None], NEG_INF, ext)
             top_sc, top_idx = jax.lax.top_k(ext.reshape(B, K * V), K)
@@ -262,6 +272,9 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
             if context is not None:  # consume the label in the boost trie
                 g_node = jnp.take_along_axis(outs["cb_node"], src, axis=1)
                 new_outs["cb_node"] = context.next_node[g_node, lab]
+            if ngram is not None:  # advance the n-gram context state
+                g_ng = jnp.take_along_axis(outs["ng_state"], src, axis=1)
+                new_outs["ng_state"] = ngram[0].next_state[g_ng, lab]
             new_states = {"pred": jax.tree.map(unflat, new_pred_states)}
             if lm is not None:
                 new_lm_lp, new_lm_st = lm_step(
@@ -362,7 +375,7 @@ def sorted_frames(beam_state, context=None):
 
 def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
                    beam: int = 8, max_symbols: int = 200,
-                   expansions: int = 3, lm=None, context=None,
+                   expansions: int = 3, lm=None, context=None, ngram=None,
                    with_confidence: bool = False,
                    with_timestamps: bool = False):
     """Features -> N-best label sequences (reference `beam_search` API).
@@ -375,7 +388,7 @@ def recognize_beam(params, cfg: TransducerConfig, feats, feat_lens, *,
     tokens, lens, scores, carry = beam_search(
         params, cfg, enc_out, enc_lens, beam=beam,
         max_symbols=max_symbols, expansions=expansions, lm=lm,
-        context=context)
+        context=context, ngram=ngram)
     out = (tokens, lens, scores)
     if with_confidence:
         out = out + (sorted_confidence(carry, context),)

@@ -72,19 +72,19 @@ def stream_chunk(params, cfg: TransducerConfig, state: StreamState,
 
 def init_stream_beam(params, cfg: TransducerConfig, batch: int, *,
                      beam: int = 8, max_symbols: int = 200,
-                     lm=None, context=None) -> StreamState:
+                     lm=None, context=None, ngram=None) -> StreamState:
     from rnn_transducer_tpu.decode.beam import init_beam_state
     return StreamState(
         enc_state=m.init_enc_state(cfg, batch),
         decode_state=init_beam_state(params, cfg, batch, beam=beam,
                                      max_symbols=max_symbols, lm=lm,
-                                     context=context))
+                                     context=context, ngram=ngram))
 
 
 def stream_chunk_beam(params, cfg: TransducerConfig, state: StreamState,
                       feats_chunk, chunk_lens, *, beam: int = 8,
                       max_symbols: int = 200, expansions: int = 3, lm=None,
-                      context=None):
+                      context=None, ngram=None):
     """Streaming beam search: beams (with prefix merging) carry across
     chunks; `context` phrase boosting (decode/context.py) carries its
     trie node in the beam state, so partial matches span chunk
@@ -96,7 +96,8 @@ def stream_chunk_beam(params, cfg: TransducerConfig, state: StreamState,
     tokens, lens, scores, beam_state = beam_search(
         params, cfg, enc_out, enc_lens, beam=beam,
         max_symbols=max_symbols, expansions=expansions,
-        beam_state=state.decode_state, lm=lm, context=context)
+        beam_state=state.decode_state, lm=lm, context=context,
+        ngram=ngram)
     return (StreamState(enc_state=enc_state, decode_state=beam_state),
             tokens, lens, scores)
 
@@ -104,7 +105,7 @@ def stream_chunk_beam(params, cfg: TransducerConfig, state: StreamState,
 def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
                            chunk_frames: int, *, beam: int = 8,
                            max_symbols: int = 200, expansions: int = 3,
-                           lm=None, context=None,
+                           lm=None, context=None, ngram=None,
                            with_timestamps: bool = False):
     """Whole padded batch through the streaming beam path (cf.
     stream_transcribe). Returns (tokens (B,K,U), lens, scores) plus,
@@ -115,27 +116,28 @@ def stream_transcribe_beam(params, cfg: TransducerConfig, feats, feat_lens,
     if pad:
         feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
     state = init_stream_beam(params, cfg, B, beam=beam,
-                             max_symbols=max_symbols, lm=lm, context=context)
-    # LM params / context tables must be traced jit arguments, not
-    # closure captures (captured arrays get inlined into the program).
+                             max_symbols=max_symbols, lm=lm,
+                             context=context, ngram=ngram)
+    # LM params / context / n-gram tables must be traced jit arguments,
+    # not closure captures (captured arrays get inlined into the program).
     if lm is None:
-        step = jax.jit(lambda p, lmp, cb, s, x, l: stream_chunk_beam(
+        step = jax.jit(lambda p, lmp, cb, ng, s, x, l: stream_chunk_beam(
             p, cfg, s, x, l, beam=beam, max_symbols=max_symbols,
-            expansions=expansions, lm=None, context=cb))
+            expansions=expansions, lm=None, context=cb, ngram=ng))
         lm_params = None
     else:
         lm_params, lm_cfg, lm_w, *ilm = lm
-        step = jax.jit(lambda p, lmp, cb, s, x, l: stream_chunk_beam(
+        step = jax.jit(lambda p, lmp, cb, ng, s, x, l: stream_chunk_beam(
             p, cfg, s, x, l, beam=beam, max_symbols=max_symbols,
             expansions=expansions, lm=(lmp, lm_cfg, lm_w, *ilm),
-            context=cb))
+            context=cb, ngram=ng))
     tokens = lens = scores = None
     for i in range(n_chunks):
         sl = feats[:, i * chunk_frames: (i + 1) * chunk_frames]
         cl = jnp.clip(feat_lens.astype(jnp.int32) - i * chunk_frames, 0,
                       chunk_frames)
         state, tokens, lens, scores = step(params, lm_params, context,
-                                           state, sl, cl)
+                                           ngram, state, sl, cl)
     if with_timestamps:
         from rnn_transducer_tpu.decode.beam import sorted_frames
         return tokens, lens, scores, sorted_frames(state.decode_state,
