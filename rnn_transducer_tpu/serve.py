@@ -78,7 +78,8 @@ class BatchingEngine:
     def __init__(self, params, cfg, *, mode: str = "greedy", beam: int = 8,
                  expansions: int = 3, max_symbols: int = 100,
                  frame_buckets=(200, 400, 800), max_batch: int = 8,
-                 window_ms: float = 5.0, lm=None, context=None):
+                 window_ms: float = 5.0, lm=None, context=None,
+                 ngram=None):
         import jax
 
         from rnn_transducer_tpu.decode.beam import recognize_beam
@@ -100,23 +101,24 @@ class BatchingEngine:
 
         self.mode = mode
         if mode == "greedy":
-            if context is not None:
-                raise ValueError("contextual biasing requires mode='beam'")
+            if context is not None or ngram is not None:
+                raise ValueError("contextual biasing / n-gram fusion "
+                                 "require mode='beam'")
             self._decode = jax.jit(lambda p, f, l: recognize_greedy(
                 p, cfg, f, l, max_symbols=max_symbols,
                 with_confidence=True, with_timestamps=True))
         elif mode == "beam":
-            def _beam(p, lmp, cb, f, l):
+            def _beam(p, lmp, cb, ng, f, l):
                 return recognize_beam(
                     p, cfg, f, l, beam=beam, max_symbols=max_symbols,
                     expansions=expansions, with_confidence=True,
-                    with_timestamps=True, context=cb,
+                    with_timestamps=True, context=cb, ngram=ng,
                     lm=None if lmp is None else (lmp, *lm[1:]))
             jitted = jax.jit(_beam)
             lm_params = lm[0] if lm else None
-            # context tables ride as traced args (not closure captures)
+            # context/n-gram tables ride as traced args (not captures)
             self._decode = lambda p, f, l: jitted(p, lm_params, context,
-                                                  f, l)
+                                                  ngram, f, l)
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
@@ -274,7 +276,8 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
                            mode: str = "greedy", beam: int = 8,
                            expansions: int = 3, lm_cfg=None,
                            lm_weight: float = 0.3,
-                           ilm_weight: float = 0.0, context=None):
+                           ilm_weight: float = 0.0, context=None,
+                           ngram=None):
     """Build the StreamingEngine's device step as a standalone function.
 
     Returns (init_state_fn, gstep) where
@@ -290,11 +293,12 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
     Factored out of StreamingEngine so tools/export_model.py can export
     the exact serving graph (VERDICT r2: serving cold start).
 
-    `context` (beam mode): a ContextBias of CONCRETE arrays for phrase
-    boosting. Unlike params/LM weights it is captured in the closure and
-    inlined into the compiled program (the gstep signature is shared
-    with exported artifacts) — fine for phrase lists up to a few MB of
-    tables; exported streaming artifacts don't support it.
+    `context` / `ngram` (beam mode): ContextBias / (NgramLM, weight) of
+    CONCRETE arrays for phrase boosting / n-gram fusion. Unlike
+    params/LM weights they are captured in the closure and inlined into
+    the compiled program (the gstep signature is shared with exported
+    artifacts) — fine up to a few MB of tables; exported streaming
+    artifacts don't support them.
     """
     import jax
     import jax.numpy as jnp
@@ -308,8 +312,9 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
 
     S = slots
     if mode == "greedy":
-        if context is not None:
-            raise ValueError("contextual biasing requires mode='beam'")
+        if context is not None or ngram is not None:
+            raise ValueError("contextual biasing / n-gram fusion require "
+                             "mode='beam'")
 
         def init_state_fn(params):
             return init_stream(params, cfg, S, max_symbols)
@@ -329,13 +334,13 @@ def make_masked_chunk_step(cfg, *, slots: int, max_symbols: int = 200,
                     else (lm_params, lm_cfg, lm_weight, ilm_weight))
             return init_stream_beam(params, cfg, S, beam=beam,
                                     max_symbols=max_symbols, lm=lm_t,
-                                    context=context)
+                                    context=context, ngram=ngram)
 
         def chunk_step(p, lmp, state, chunks, lens):
             st, toks, tok_lens, scores = stream_chunk_beam(
                 p, cfg, state, chunks, lens, beam=beam,
                 max_symbols=max_symbols, expansions=expansions,
-                context=context,
+                context=context, ngram=ngram,
                 lm=None if lmp is None
                 else (lmp, lm_cfg, lm_weight, ilm_weight))
             return st, {"tokens": toks, "lens": tok_lens, "scores": scores,
@@ -377,7 +382,7 @@ class StreamingEngine:
                  chunk_frames: int = 32, max_symbols: int = 200,
                  window_ms: float = 5.0, session_ttl_s: float = 600.0,
                  mode: str = "greedy", beam: int = 8, expansions: int = 3,
-                 lm=None, context=None, exported_step=None,
+                 lm=None, context=None, ngram=None, exported_step=None,
                  endpoint_frames=None):
         """exported_step: optional prebuilt chunk step with the
         make_masked_chunk_step gstep signature (e.g. deserialized from
@@ -415,12 +420,13 @@ class StreamingEngine:
         self._lm_params = lm[0] if lm else None
 
         S = slots
-        if context is not None and exported_step is not None:
-            raise ValueError("exported streaming artifacts are no-bias "
-                             "graphs; drop the context or the artifact")
+        if (context is not None or ngram is not None) \
+                and exported_step is not None:
+            raise ValueError("exported streaming artifacts are no-bias/"
+                             "no-ngram graphs; drop them or the artifact")
         init_state_fn, gstep = make_masked_chunk_step(
             cfg, slots=slots, max_symbols=max_symbols, mode=mode,
-            beam=beam, expansions=expansions, context=context,
+            beam=beam, expansions=expansions, context=context, ngram=ngram,
             lm_cfg=None if lm is None else lm[1],
             lm_weight=0.3 if lm is None else lm[2],
             ilm_weight=lm[3] if lm is not None and len(lm) > 3 else 0.0)

@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--lm-weight", type=float, default=0.3)
     p.add_argument("--ilm-weight", type=float, default=0.0,
                    help="internal-LM subtraction weight during fusion")
+    p.add_argument("--ngram", default=None,
+                   help="n-gram LM artifact (tools/train_ngram.py) fused "
+                        "in both beam engines")
+    p.add_argument("--ngram-weight", type=float, default=0.3)
     p.add_argument("--boost-file", default=None,
                    help="contextual-biasing phrase list (beam mode): one "
                         "phrase per line, optional <TAB><per-token boost>; "
@@ -129,6 +133,21 @@ def main(argv=None):
         from rnn_transducer_tpu.models.lm import load_lm
         lm_params, lm_cfg = load_lm(args.lm_ckpt)
         lm = (lm_params, lm_cfg, args.lm_weight, args.ilm_weight)
+    ngram = None
+    if args.ngram:
+        if args.mode != "beam":
+            raise SystemExit("--ngram requires --mode beam")
+        from rnn_transducer_tpu.models.ngram import load_ngram
+        ng_lm = load_ngram(args.ngram)
+        if ng_lm.lp.shape[1] != cfg.vocab_size:
+            raise SystemExit(f"n-gram vocab {ng_lm.lp.shape[1]} != model "
+                             f"vocab {cfg.vocab_size}")
+        ngram = (ng_lm, args.ngram_weight)
+        print(f"n-gram fusion: {args.ngram} ({ng_lm.lp.shape[0]} states)",
+              file=sys.stderr)
+        if args.exported_streaming:
+            raise SystemExit("--exported-streaming artifacts are no-ngram "
+                             "graphs; drop --ngram or the artifact")
     context = None
     if args.boost_file:
         if args.mode != "beam":
@@ -151,7 +170,7 @@ def main(argv=None):
         params, cfg, mode=args.mode, beam=args.beam,
         max_symbols=args.max_symbols, frame_buckets=args.frame_buckets,
         max_batch=args.max_batch, window_ms=args.window_ms, lm=lm,
-        context=context)
+        context=context, ngram=ngram)
     streaming = None
     if args.stream_slots > 0 and not cfg.bidirectional:
         exported_step = None
@@ -185,7 +204,7 @@ def main(argv=None):
             params, cfg, slots=args.stream_slots,
             chunk_frames=args.chunk_frames, max_symbols=args.max_symbols,
             mode=args.mode, beam=args.beam, lm=lm, context=context,
-            exported_step=exported_step,
+            ngram=ngram, exported_step=exported_step,
             endpoint_frames=args.endpoint_frames)
     print("warming up (one compile per bucket)...", file=sys.stderr)
     offline.warmup()

@@ -253,3 +253,43 @@ def test_trainer_cli(tmp_path, capsys):
     assert info["sequences"] == 2
     lm = load_ngram(out)
     assert lm.lp.shape == (info["states"], 6)
+
+
+def test_serving_engines_with_ngram_match_direct():
+    from rnn_transducer_tpu.serve import BatchingEngine, StreamingEngine
+    cfg = _cfg(vocab=8)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, input_dim=8, enc_hidden=32,
+                              pred_hidden=32, joint_dim=32, embed_dim=16)
+    params = m.init_params(jax.random.PRNGKey(3), cfg)
+    lm = train_ngram([[1, 2, 3], [4, 5]], order=2, vocab_size=8)
+    ngram = (lm, 0.6)
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(16, cfg.input_dim)).astype(np.float32)
+    toks, lens, scores = recognize_beam(
+        params, cfg, jnp.asarray(a[None]), jnp.asarray([16], jnp.int32),
+        beam=3, max_symbols=8, expansions=2, ngram=ngram)
+    want = np.asarray(toks)[0, 0, : int(lens[0, 0])].tolist()
+
+    eng = BatchingEngine(params, cfg, mode="beam", beam=3, expansions=2,
+                         max_symbols=8, frame_buckets=(16,), max_batch=2,
+                         window_ms=1.0, ngram=ngram)
+    try:
+        assert eng.submit(a) == want
+    finally:
+        eng.close()
+
+    seng = StreamingEngine(params, cfg, slots=2, chunk_frames=8,
+                           max_symbols=8, window_ms=10.0, mode="beam",
+                           beam=3, expansions=2, ngram=ngram)
+    try:
+        sid = seng.open_session()
+        for t0 in range(0, 16, 8):
+            seng.feed(sid, a[t0: t0 + 8])
+        assert seng.close_session(sid) == want
+    finally:
+        seng.close()
+
+    import pytest
+    with pytest.raises(ValueError):
+        BatchingEngine(params, cfg, mode="greedy", ngram=ngram)
