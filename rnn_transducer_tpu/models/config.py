@@ -152,6 +152,14 @@ class TrainConfig:
     # weight of the trivial-joiner first-pass loss in the pruned
     # objective: pruned + simple_loss_scale * simple (k2 default 0.5)
     simple_loss_scale: float = 0.5
+    # MWER discriminative fine-tuning (train/mwer.py; train.py
+    # --mwer-steps runs this loss for the LAST N steps): N-best beam
+    # width, per-frame expansions, hypothesis length cap, and an
+    # optional interpolated NLL stabilizer.
+    mwer_beam: int = 4
+    mwer_expansions: int = 2
+    mwer_max_symbols: int = 64
+    mwer_nll_weight: float = 0.0
     # data-parallel mesh axis size (1 = single chip)
     data_parallel: int = 1
     # bucketing: (max_frames, max_labels) per bucket

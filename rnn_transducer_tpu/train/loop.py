@@ -239,6 +239,13 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
     tx = make_optimizer(tcfg)
     if loss_kind == "ctc":
         batch_loss = functools.partial(ctc_loss_fn, cfg=cfg)
+    elif loss_kind == "mwer":
+        from rnn_transducer_tpu.train.mwer import mwer_loss_fn
+        batch_loss = functools.partial(
+            mwer_loss_fn, cfg=cfg, beam=tcfg.mwer_beam,
+            expansions=tcfg.mwer_expansions,
+            max_symbols=tcfg.mwer_max_symbols,
+            nll_weight=tcfg.mwer_nll_weight)
     else:
         batch_loss = functools.partial(loss_fn, cfg=cfg,
                                        loss_impl=tcfg.loss_impl,

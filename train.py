@@ -123,6 +123,14 @@ def parse_args(argv=None):
                         "joint output classes; greedy decode skips that "
                         "many frames when one wins (trains at the xla "
                         "loss tier)")
+    p.add_argument("--mwer-steps", type=int, default=0,
+                   help="run MWER discriminative fine-tuning (expected-WER "
+                        "risk over the live N-best, train/mwer.py) for the "
+                        "LAST N steps")
+    p.add_argument("--mwer-beam", type=int, default=4)
+    p.add_argument("--mwer-nll-weight", type=float, default=0.0,
+                   help="interpolate this much NLL into the MWER objective "
+                        "(stabilizer)")
     p.add_argument("--ctc-pretrain-steps", type=int, default=0,
                    help="warm up the encoder with CTC loss for N steps "
                         "before switching to the RNN-T loss")
@@ -192,7 +200,9 @@ def main(argv=None):
                        embed_dropout=args.embed_dropout,
                        fastemit_lambda=args.fastemit_lambda,
                        simple_loss_scale=args.simple_loss_scale,
-                       ema_decay=args.ema_decay)
+                       ema_decay=args.ema_decay,
+                       mwer_beam=args.mwer_beam,
+                       mwer_nll_weight=args.mwer_nll_weight)
     mlog = MetricsLogger(args.log_file)
 
     mp = args.model_parallel
@@ -214,6 +224,9 @@ def main(argv=None):
         # 2-D (data, model) mesh: tp / sp / pp (docs/PARALLELISM.md).
         if args.ctc_pretrain_steps > 0:
             raise SystemExit("--ctc-pretrain-steps is not supported with "
+                             "--model-parallel")
+        if args.mwer_steps > 0:
+            raise SystemExit("--mwer-steps is not supported with "
                              "--model-parallel")
         if args.dropout > 0.0 or args.embed_dropout > 0.0:
             # The model-parallel loss paths (parallel/tp.py) run their own
@@ -318,6 +331,11 @@ def main(argv=None):
         # the first N steps optimize CTC on the auxiliary encoder head.
         ctc_step_fn = (make_train_step(cfg, tcfg, mesh=mesh, loss_kind="ctc")
                        if args.ctc_pretrain_steps > 0 else None)
+        # MWER fine-tuning phase: the LAST N steps optimize the expected
+        # WER over the live N-best (train/mwer.py) with the same optimizer.
+        mwer_step_fn = (make_train_step(cfg, tcfg, mesh=mesh,
+                                        loss_kind="mwer")
+                        if args.mwer_steps > 0 else None)
 
     dev_batch = None
     skip_first = 0
@@ -452,13 +470,18 @@ def main(argv=None):
         batch = shard_train_batch(batch)
         phase_ctc = (ctc_step_fn is not None
                      and start_step + i < args.ctc_pretrain_steps)
-        state, info = (ctc_step_fn if phase_ctc else step_fn)(state, *batch)
+        phase_mwer = (mwer_step_fn is not None and not phase_ctc
+                      and start_step + i >= args.steps - args.mwer_steps)
+        state, info = (ctc_step_fn if phase_ctc
+                       else mwer_step_fn if phase_mwer
+                       else step_fn)(state, *batch)
         utts += feats.shape[0]
         step_no = start_step + i + 1
         if step_no % args.log_every == 0:
             dt = time.perf_counter() - t_start
             mlog.log(step=step_no,
-                     phase="ctc" if phase_ctc else "rnnt",
+                     phase=("ctc" if phase_ctc
+                            else "mwer" if phase_mwer else "rnnt"),
                      loss=round(float(info["loss"]), 4),
                      grad_norm=round(float(info["grad_norm"]), 4),
                      utt_per_sec=round(utts / dt, 2))
