@@ -260,3 +260,36 @@ def test_guards():
     with pytest.raises(ValueError, match="mutually exclusive"):
         m.init_params(jax.random.PRNGKey(0),
                       _cfg(durs=(0, 1), big_blank_durations=(2,)))
+
+def test_data_parallel_matches_single_device():
+    """TDT loss under the shard_map DP train step == single device."""
+    from rnn_transducer_tpu.parallel.mesh import (make_mesh, replicate,
+                                                  shard_batch)
+    from rnn_transducer_tpu.train.loop import (TrainState, init_train_state,
+                                               make_train_step)
+    cfg = _cfg(durs=(0, 1, 2))
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=5,
+                       total_steps=100, loss_impl="xla")
+    rng = np.random.default_rng(2)
+    feats = rng.normal(size=(8, 10, cfg.input_dim)).astype(np.float32)
+    fl = np.full((8,), 10, np.int32)
+    labels = rng.integers(1, cfg.vocab_size, (8, 3)).astype(np.int32)
+    ll = np.full((8,), 3, np.int32)
+    batch = tuple(jnp.asarray(x) for x in (feats, fl, labels, ll))
+
+    state1 = init_train_state(jax.random.PRNGKey(2), cfg, tcfg)
+    state1, info1 = make_train_step(cfg, tcfg)(state1, *batch)
+
+    mesh = make_mesh(8)
+    state8 = init_train_state(jax.random.PRNGKey(2), cfg, tcfg)
+    state8 = TrainState(params=replicate(mesh, state8.params),
+                        opt_state=replicate(mesh, state8.opt_state),
+                        step=replicate(mesh, state8.step))
+    state8, info8 = make_train_step(cfg, tcfg, mesh=mesh)(
+        state8, *shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(info8["loss"]), float(info1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
