@@ -60,6 +60,7 @@ QUICK_MODULES = {
     "test_streaming.py",
     "test_tensor_parallel.py",
     "test_text_output.py",
+    "test_wer_report.py",
 }
 
 

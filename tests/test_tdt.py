@@ -293,3 +293,31 @@ def test_data_parallel_matches_single_device():
                     jax.tree.leaves(state8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_train_recognize_cli_roundtrip(tmp_path, capsys):
+    """--tdt-durations through train -> checkpoint (tuple restored from
+    meta.json) -> recognize greedy/streaming."""
+    import json
+    import recognize
+    import train
+    ck = str(tmp_path / "ck")
+    train.main(["--config", "smoke", "--steps", "2", "--batch-size", "2",
+                "--max-frames", "24", "--max-labels", "4",
+                "--tdt-durations", "0,1,2", "--data-parallel", "1",
+                "--ckpt-dir", ck])
+    capsys.readouterr()
+    from rnn_transducer_tpu.train import checkpoint as ckpt
+    cfg2 = ckpt.load_model_config(ck)
+    assert cfg2.tdt_durations == (0, 1, 2)  # tuple, not list
+    recognize.main(["--ckpt-dir", ck, "--mode", "greedy",
+                    "--data", "synthetic", "--batches", "1",
+                    "--batch-size", "2", "--max-symbols", "6"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "greedy" and "wer" in out
+    recognize.main(["--ckpt-dir", ck, "--mode", "streaming",
+                    "--data", "synthetic", "--batches", "1",
+                    "--batch-size", "2", "--max-symbols", "6",
+                    "--chunk-frames", "8"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "streaming"
