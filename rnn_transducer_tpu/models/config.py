@@ -94,6 +94,15 @@ class TransducerConfig:
         return self.joint_expert_hidden or 2 * self.joint_dim
 
     @property
+    def streamable(self) -> bool:
+        """Whether encode_chunk supports this encoder (serve.py gates its
+        streaming engine on this): unidirectional LSTMs, or causal
+        conformers (enc_att_left > 0)."""
+        if self.enc_type == "conformer":
+            return self.enc_att_left > 0
+        return not self.bidirectional
+
+    @property
     def n_classes(self) -> int:
         """Joint output columns: vocab plus one per big-blank duration."""
         return self.vocab_size + len(self.big_blank_durations)

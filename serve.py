@@ -172,7 +172,9 @@ def main(argv=None):
         max_batch=args.max_batch, window_ms=args.window_ms, lm=lm,
         context=context, ngram=ngram)
     streaming = None
-    if args.stream_slots > 0 and not cfg.bidirectional:
+    # streaming needs a streamable encoder (uni LSTM or causal conformer):
+    # an offline-only checkpoint serves batch endpoints with streaming off
+    if args.stream_slots > 0 and cfg.streamable:
         exported_step = None
         if args.exported_streaming:
             import json as _json
