@@ -109,6 +109,8 @@ def greedy_decode_fused(params, cfg: TransducerConfig, enc_out, enc_lens,
     """Latency-path greedy decode. Same outputs as greedy.greedy_decode's
     first two results (tokens (B, U_max), lengths (B,))."""
     assert supported(cfg), "use decode.greedy for non-aligned configs"
+    from rnn_transducer_tpu.ops.quant import maybe_dequant_tree
+    params = maybe_dequant_tree(params)  # int8 serving params
     B, T, De = enc_out.shape
     jp = params["joint"]
     cd = cfg.cdtype

@@ -228,6 +228,12 @@ def main(argv=None):
         if args.mwer_steps > 0:
             raise SystemExit("--mwer-steps is not supported with "
                              "--model-parallel")
+        if cfg.big_blank_durations or cfg.tdt_durations:
+            # The tp/sp joint+loss paths shard the standard lattice; the
+            # multi-blank/TDT transitions are not threaded through them.
+            raise SystemExit("--big-blanks/--tdt-durations are not "
+                             "supported with --model-parallel (use data "
+                             "parallelism)")
         if args.dropout > 0.0 or args.embed_dropout > 0.0:
             # The model-parallel loss paths (parallel/tp.py) run their own
             # forward; dropout is not threaded through them — fail loudly
