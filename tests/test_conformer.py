@@ -151,7 +151,7 @@ def test_beam_decode_and_streaming_guard():
     toks, lens, scores = recognize_beam(params, cfg, feats, fl, beam=3,
                                         max_symbols=6, expansions=2)
     assert toks.shape == (2, 3, 6)
-    with pytest.raises(AssertionError, match="streaming requires"):
+    with pytest.raises(AssertionError, match="requires enc_att_left"):
         m.init_enc_state(cfg, 2)
 
 

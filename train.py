@@ -309,6 +309,7 @@ def main(argv=None):
                 return tpx.merge_params_ep(p, cfg)
             return p
         ctc_step_fn = None
+        mwer_step_fn = None
     else:
         n_dev = args.data_parallel or len(jax.devices())
         mesh = make_mesh(n_dev) if n_dev > 1 else None
