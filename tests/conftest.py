@@ -71,3 +71,20 @@ def pytest_collection_modifyitems(config, items):
         name = os.path.basename(str(item.fspath))
         lane = "quick" if name in QUICK_MODULES else "slow"
         item.add_marker(getattr(pytest.mark, lane))
+
+
+# The full suite compiles thousands of XLA CPU programs in one process;
+# with the r3 test volume the accumulated live executables eventually
+# segfault LLVM mid-compile near the end of the run (reproduced at
+# ~280/318 tests; any late-suite subset alone is clean). Dropping the
+# jit/executable caches at module boundaries bounds the resident JIT
+# state; within-module compilation reuse (where it matters) is kept.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
