@@ -28,6 +28,31 @@ sequential merged beam search exactly (verified against a literal host
 implementation in tests); small caps trade a tiny amount of search
 accuracy for a fixed iteration count, as in latency-controlled RNN-T.
 
+Multi-blank and TDT models (duration jumps) are supported via a per-beam
+WAKE TIME carried in the beam state: a hypothesis that consumes d > 1
+frames in one transition (a big blank, or a TDT emission with predicted
+duration d) sets wake = t + d and then SLEEPS — at frames t < wake it
+deposits itself into the candidate pool unchanged (no blank cost, no
+label extensions) and competes with the hypotheses that are catching up
+frame by frame. The search stays frame-synchronous, so pruning compares
+hypotheses that have consumed the same prefix of the utterance, and the
+streaming chunk-carry stays EXACT (wake is re-based at chunk boundaries
+exactly like the frame offset). Prefix merging requires equal wake in
+addition to equal labels: two paths to the same prefix at different
+lattice positions have different futures and must not be combined. For
+standard models every live hypothesis has wake == t, so the machinery
+reduces bit-for-bit to the plain frame-synchronous search.
+
+TDT label extensions marginalize nothing: each of the top-K (beam,
+label) candidates forks into one pool candidate per nonzero duration
+(score + duration log-prob, wake = t + d) plus, when duration 0 is in
+the set, a live continuation that may emit again at the same frame
+(bounded by `expansions`, exactly like standard multi-label frames).
+The top-K label selection is taken over acoustic+fusion scores before
+the duration fork — the duration log-probs are shared per (beam, frame),
+so per-beam label ranking is unaffected (the host-reference tests
+implement the identical decomposition).
+
 Optional external-LM shallow fusion (`lm=(params, LMConfig, weight)`,
 models/lm.py): label emissions add weight * log P_lm(label | prefix); the
 LM's next-token log-probs and LSTM state ride in the beam carry exactly
@@ -58,6 +83,24 @@ def _hash_append(h, lab):
     return h * mult + (lab.astype(jnp.uint32) + 1)[..., None]
 
 
+def _pad_cols(x, n):
+    """Zero-pad the last dim of (B, K, V) to n columns (multi-blank: the
+    fusion LM / biasing tables score true labels only; the padded
+    big-blank columns are masked to NEG_INF before the top-k anyway)."""
+    if x.shape[-1] >= n:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, n - x.shape[-1])))
+
+
+def _mask_nonlabels(x, cfg, vocab, val):
+    """Set the blank column — and, for multi-blank models, the big-blank
+    columns (>= vocab) — of (B, K, C) to val."""
+    x = x.at[:, :, cfg.blank].set(val)
+    if x.shape[-1] > vocab:
+        x = x.at[:, :, vocab:].set(val)
+    return x
+
+
 def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
                     beam: int = 8, max_symbols: int = 200, lm=None,
                     context=None, ngram=None):
@@ -67,11 +110,6 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
     fusion LM's per-beam next-token log-probs + LSTM state to the carry;
     `context` (decode/context.py ContextBias) adds the per-beam trie node
     id for phrase boosting."""
-    if cfg.big_blank_durations or cfg.tdt_durations:
-        raise ValueError(
-            "beam search is frame-synchronous and does not support "
-            "multi-blank/TDT models (duration jumps desynchronize the "
-            "beams); decode greedily")
     B, K, U = batch, beam, max_symbols
     tokens0 = jnp.full((B, K, U), cfg.blank, jnp.int32)
     lens0 = jnp.zeros((B, K), jnp.int32)
@@ -87,10 +125,14 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
     # "frame": the GLOBAL encoder-frame index each token was emitted at
     # (timestamps); "foff" accumulates frames consumed by earlier chunks
     # (uniform across beams, so merging representatives is exact).
+    # "wake": the chunk-local frame index at which this beam next
+    # consumes a frame (> t while sleeping through a multi-blank/TDT
+    # duration jump; always == t for standard models).
     outs = {"pred": unflat(pred0),
             "conf": jnp.zeros((B, K, U), jnp.float32),
             "frame": jnp.zeros((B, K, U), jnp.int32),
-            "foff": jnp.zeros((B, K), jnp.int32)}
+            "foff": jnp.zeros((B, K), jnp.int32),
+            "wake": jnp.zeros((B, K), jnp.int32)}
     states = {"pred": jax.tree.map(unflat, states0)}
     if lm is not None:
         from rnn_transducer_tpu.models.lm import (BOS_ID, init_lm_state,
@@ -157,11 +199,20 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
     B, T, De = enc_out.shape
     K, U = beam, max_symbols
     enc_lens = enc_lens.astype(jnp.int32)
-    P = (expansions + 1) * K  # candidate pool per utterance per frame
     if lm is not None:
         from rnn_transducer_tpu.models.lm import lm_step
         lm_params, lm_cfg, lm_w, *_rest = lm
         ilm_w = _rest[0] if _rest else 0.0
+    V = cfg.vocab_size
+    multiblank = bool(cfg.big_blank_durations)
+    tdt = bool(cfg.tdt_durations)
+    if multiblank:
+        # (joint column, frame advance) per blank class: the standard
+        # blank plus one big blank per configured duration
+        blank_arcs = [(cfg.blank, 1)] + [
+            (V + k, int(d)) for k, d in enumerate(cfg.big_blank_durations)]
+    if tdt:
+        dvals = tuple(int(d) for d in cfg.tdt_durations)
 
     def flat(x):  # (B, K, ...) -> (B*K, ...)
         return x.reshape((B * K,) + x.shape[2:])
@@ -181,69 +232,83 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
         )[:, 0]  # (B, De)
         enc_tk = jnp.repeat(enc_t, K, axis=0)  # (B*K, De) beam-broadcast
 
-        # Fixed-size candidate pool (filled round by round).
-        pool_tokens = jnp.zeros((B, P, U), jnp.int32)
-        pool_lens = jnp.zeros((B, P), jnp.int32)
-        pool_scores = jnp.full((B, P), NEG_INF, jnp.float32)
-        pool_hash = jnp.zeros((B, P, 2), jnp.uint32)
-        pool_outs = jax.tree.map(
-            lambda s: jnp.zeros((B, P) + s.shape[2:], s.dtype), outs)
-        pool_states = jax.tree.map(
-            lambda s: jnp.zeros((B, P) + s.shape[2:], s.dtype), states)
+        # Candidate pool: a list of (B, K, ...) blocks, concatenated after
+        # the expansion rounds. Block 0 is the SELF-DEPOSIT of sleeping
+        # beams (mid duration-jump: wake > t): they persist unchanged and
+        # pay nothing at this frame. For standard models every live beam
+        # has wake == t, so this block is all-NEG_INF and the pool reduces
+        # to the plain per-round blank deposits.
+        asleep = outs["wake"] > t  # (B, K)
+        cand = [(tokens, lens, jnp.where(asleep, scores, NEG_INF), hashes,
+                 outs, states)]
 
-        live = (tokens, lens, scores, hashes, outs, states)
-        pool = (pool_tokens, pool_lens, pool_scores, pool_hash, pool_outs,
-                pool_states)
+        def with_wake(outs_d, lens_like, d):
+            """outs with wake = t + d (this candidate sleeps d frames)."""
+            o = dict(outs_d)
+            o["wake"] = jnp.full_like(lens_like, d) + t
+            return o
 
-        def deposit(pool, live, e, live_scores_as):
-            """Write the live set's blank-finalization into pool slots [eK, (e+1)K)."""
-            (p_tok, p_len, p_sc, p_h, p_pr, p_st) = pool
-            (l_tok, l_len, _, l_h, l_pr, l_st) = live
-            sl = slice(e * K, (e + 1) * K)
-            p_tok = p_tok.at[:, sl].set(l_tok)
-            p_len = p_len.at[:, sl].set(l_len)
-            p_sc = p_sc.at[:, sl].set(live_scores_as)
-            p_h = p_h.at[:, sl].set(l_h)
-            p_pr = jax.tree.map(lambda p, l: p.at[:, sl].set(l), p_pr, l_pr)
-            p_st = jax.tree.map(lambda p, l: p.at[:, sl].set(l), p_st, l_st)
-            return (p_tok, p_len, p_sc, p_h, p_pr, p_st)
+        live = (tokens, lens, jnp.where(asleep, NEG_INF, scores), hashes,
+                outs, states)
 
         for e in range(expansions + 1):
             tokens, lens, scores, hashes, outs, states = live
-            logits = m.joint_step(params, cfg, enc_tk, flat(outs["pred"]))
-            lp = jax.nn.log_softmax(logits, axis=-1)  # (B*K, V)
-            lp = unflat(lp)  # (B, K, V)
-            blank_sc = scores + lp[:, :, cfg.blank]
-            pool = deposit(pool, live, e, blank_sc)
+            if tdt:
+                logits, dur_logits = m.joint_step_tdt(
+                    params, cfg, enc_tk, flat(outs["pred"]))
+                dlp = unflat(jax.nn.log_softmax(dur_logits, axis=-1))
+            else:
+                logits = m.joint_step(params, cfg, enc_tk,
+                                      flat(outs["pred"]))  # (B*K, C)
+            lp = unflat(jax.nn.log_softmax(logits, axis=-1))  # (B, K, C)
+            C = lp.shape[-1]  # vocab + big-blank classes
+            # --- blank transitions: consume d frames, sleep until t+d ----
+            if tdt:
+                for i, d in enumerate(dvals):
+                    if d == 0:
+                        continue  # a duration-0 blank would self-loop
+                    sc = scores + lp[:, :, cfg.blank] + dlp[:, :, i]
+                    cand.append((tokens, lens, sc, hashes,
+                                 with_wake(outs, lens, d), states))
+            elif multiblank:
+                for col, d in blank_arcs:
+                    sc = scores + lp[:, :, col]
+                    cand.append((tokens, lens, sc, hashes,
+                                 with_wake(outs, lens, d), states))
+            else:
+                sc = scores + lp[:, :, cfg.blank]
+                cand.append((tokens, lens, sc, hashes,
+                             with_wake(outs, lens, 1), states))
             if e == expansions:
                 break  # final round: forced blank only
-            # --- label extensions, one top-k over K*V per utterance -------
-            V = lp.shape[-1]
-            ext = scores[:, :, None] + lp  # (B, K, V)
+            # --- label extensions, one top-k over K*C per utterance -------
+            ext = scores[:, :, None] + lp  # (B, K, C)
             if lm is not None:  # shallow fusion on label emissions
-                ext = ext + lm_w * outs["lm_lp"]
+                ext = ext + lm_w * _pad_cols(outs["lm_lp"], C)
                 if ilm_w:
                     # internal-LM estimate: the joint with the encoder
                     # output zeroed (enc_proj bias kept), renormalized
-                    # over non-blank labels; depends on the prefix only.
+                    # over non-blank LABELS; depends on the prefix only.
                     ilm_logits = m.joint_step(
                         params, cfg, jnp.zeros_like(enc_tk),
                         flat(outs["pred"]))
-                    ilm_lp = jax.nn.log_softmax(
-                        unflat(ilm_logits).at[:, :, cfg.blank]
-                        .set(NEG_INF), axis=-1)
-                    # blank column zeroed: it is masked to NEG_INF below
-                    # anyway, and -inf would poison the subtraction
-                    ext = ext - ilm_w * ilm_lp.at[:, :, cfg.blank].set(0.0)
+                    masked = _mask_nonlabels(unflat(ilm_logits), cfg, V,
+                                             NEG_INF)
+                    ilm_lp = jax.nn.log_softmax(masked, axis=-1)
+                    # blank/big-blank columns zeroed: they are masked to
+                    # NEG_INF below anyway, and -inf would poison the
+                    # subtraction
+                    ext = ext - ilm_w * _mask_nonlabels(ilm_lp, cfg, V, 0.0)
             if context is not None:  # phrase boosting on label emissions
-                ext = ext + context.delta[outs["cb_node"]]  # (B, K, V)
+                ext = ext + _pad_cols(context.delta[outs["cb_node"]], C)
             if ngram is not None:  # n-gram shallow fusion
-                ext = ext + ngram[1] * ngram[0].lp[outs["ng_state"]]
-            ext = ext.at[:, :, cfg.blank].set(NEG_INF)
+                ext = ext + ngram[1] * _pad_cols(
+                    ngram[0].lp[outs["ng_state"]], C)
+            ext = _mask_nonlabels(ext, cfg, V, NEG_INF)
             ext = jnp.where((lens >= U)[:, :, None], NEG_INF, ext)
-            top_sc, top_idx = jax.lax.top_k(ext.reshape(B, K * V), K)
-            src = top_idx // V  # (B, K) source beam
-            lab = (top_idx % V).astype(jnp.int32)
+            top_sc, top_idx = jax.lax.top_k(ext.reshape(B, K * C), K)
+            src = top_idx // C  # (B, K) source beam
+            lab = (top_idx % C).astype(jnp.int32)
             g_tok = jnp.take_along_axis(tokens, src[:, :, None], axis=1)
             g_len = jnp.take_along_axis(lens, src, axis=1)
             g_hash = jnp.take_along_axis(hashes, src[:, :, None], axis=1)
@@ -256,7 +321,7 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
             g_states = jax.tree.map(gather_src, states)
             # per-token confidence: the emission's acoustic log-prob
             # lp[b, src, lab], written at the append position
-            conf_val = jnp.take_along_axis(lp.reshape(B, K * V), top_idx,
+            conf_val = jnp.take_along_axis(lp.reshape(B, K * C), top_idx,
                                            axis=1)  # (B, K)
             g_conf = jnp.where(write, conf_val[:, :, None],
                                gather_src(outs["conf"]))
@@ -268,7 +333,9 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
             new_pred, new_pred_states = m.predict_step(
                 params, cfg, flat(lab), jax.tree.map(flat, g_states["pred"]))
             new_outs = {"pred": unflat(new_pred), "conf": g_conf,
-                        "frame": g_frame, "foff": g_foff}
+                        "frame": g_frame, "foff": g_foff,
+                        "wake": jnp.take_along_axis(outs["wake"], src,
+                                                    axis=1)}
             if context is not None:  # consume the label in the boost trie
                 g_node = jnp.take_along_axis(outs["cb_node"], src, axis=1)
                 new_outs["cb_node"] = context.next_node[g_node, lab]
@@ -282,18 +349,50 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
                     jax.tree.map(flat, g_states["lm"]))
                 new_outs["lm_lp"] = unflat(new_lm_lp)
                 new_states["lm"] = jax.tree.map(unflat, new_lm_st)
-            live = (g_tok, jnp.minimum(g_len + 1, U), top_sc, g_hash,
-                    new_outs, new_states)
+            g_len1 = jnp.minimum(g_len + 1, U)
+            if tdt:
+                # every TDT emission consumes its predicted duration: fork
+                # the top-K candidates over the duration set — d > 0 goes
+                # to the pool (sleeps until t+d), d == 0 continues live
+                # and may emit again at this frame (expansions-capped)
+                dsel = jnp.take_along_axis(dlp, src[:, :, None], axis=1)
+                for i, d in enumerate(dvals):
+                    if d == 0:
+                        continue
+                    cand.append((g_tok, g_len1, top_sc + dsel[:, :, i],
+                                 g_hash, with_wake(new_outs, g_len1, d),
+                                 new_states))
+                if 0 in dvals:
+                    live_sc = top_sc + dsel[:, :, dvals.index(0)]
+                else:
+                    live_sc = jnp.full_like(top_sc, NEG_INF)
+                live = (g_tok, g_len1, live_sc, g_hash, new_outs,
+                        new_states)
+            else:
+                live = (g_tok, g_len1, top_sc, g_hash, new_outs,
+                        new_states)
 
         # --- prefix merge over the pool --------------------------------
         # Equality via the carried rolling hash: O(P^2) compares instead of
         # the O(P^2 * U) all-pairs token-tensor compare; exact up to a
-        # ~2^-64 two-lane hash collision.
-        p_tok, p_len, p_sc, p_h, p_pr, p_st = pool
+        # ~2^-64 two-lane hash collision. Equal wake is also required:
+        # same prefix at a different lattice position is a different
+        # hypothesis (only relevant for multi-blank/TDT duration jumps —
+        # for standard models every finite candidate has wake == t+1).
+        p_tok = jnp.concatenate([c[0] for c in cand], axis=1)
+        p_len = jnp.concatenate([c[1] for c in cand], axis=1)
+        p_sc = jnp.concatenate([c[2] for c in cand], axis=1)
+        p_h = jnp.concatenate([c[3] for c in cand], axis=1)
+        p_pr = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                            *[c[4] for c in cand])
+        p_st = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                            *[c[5] for c in cand])
+        P = p_sc.shape[1]
         same_len = p_len[:, :, None] == p_len[:, None, :]
         same_hash = jnp.all(p_h[:, :, None, :] == p_h[:, None, :, :],
                             axis=-1)  # (B, P, P) — hash lanes, not tokens
-        eq = same_len & same_hash  # (B, P, P)
+        same_wake = p_pr["wake"][:, :, None] == p_pr["wake"][:, None, :]
+        eq = same_len & same_hash & same_wake  # (B, P, P)
         # logsumexp of scores over each equivalence class
         sc_b = jnp.where(eq, p_sc[:, None, :], NEG_INF)  # (B, P, P)
         mx = jnp.max(sc_b, axis=-1)
@@ -330,6 +429,11 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
     # (streaming: the next chunk's emissions stamp later timestamps)
     outs_f = dict(carry[4])
     outs_f["foff"] = outs_f["foff"] + enc_lens[:, None]
+    # re-base wake to the next chunk's frame numbering: a beam mid
+    # duration-jump at the chunk boundary sleeps through the first
+    # (wake - enc_len) frames of the next chunk (0 for standard models;
+    # the clamp only touches dead beams)
+    outs_f["wake"] = jnp.maximum(outs_f["wake"] - enc_lens[:, None], 0)
     carry = carry[:4] + (outs_f,) + carry[5:]
     tokens, lens, scores = carry[0], carry[1], carry[2]
     # sort beams by REPORTED score descending (with biasing: raw carried

@@ -79,9 +79,8 @@ def mwer_loss_from_hyps(params, cfg, enc_out, enc_lens, hyps, hyp_lens,
     enc_rep = jnp.repeat(enc_out, K, axis=0)
     enc_lens_rep = jnp.repeat(enc_lens, K, axis=0)
     pred_out, _ = m.predict(params, cfg, flat(hyps))
-    logits = m.joint(params, cfg, enc_rep, pred_out)
-    logp = -rnnt_loss(logits, flat(hyps), enc_lens_rep, flat(hyp_lens),
-                      cfg.blank).reshape(B, K)
+    logp = -_seq_nll(params, cfg, enc_rep, pred_out, flat(hyps),
+                     enc_lens_rep, flat(hyp_lens)).reshape(B, K)
     logp = jnp.where(valid, logp, NEG_INF)
     p_hat = jax.nn.softmax(logp, axis=-1)  # renormalized over the N-best
 
@@ -92,12 +91,30 @@ def mwer_loss_from_hyps(params, cfg, enc_out, enc_lens, hyps, hyp_lens,
     per_utt = jnp.sum(p_hat * wers, axis=-1)  # expected edit count
     loss = jnp.mean(per_utt)
     if nll_weight:
-        ref_logits = m.joint(
-            params, cfg, enc_out, m.predict(params, cfg, labels)[0])
-        nll = rnnt_loss(ref_logits, labels, enc_lens, label_lens,
-                        cfg.blank)
+        nll = _seq_nll(params, cfg, enc_out,
+                       m.predict(params, cfg, labels)[0], labels,
+                       enc_lens, label_lens)
         loss = loss + nll_weight * jnp.mean(nll)
     return loss, per_utt
+
+
+def _seq_nll(params, cfg, enc_out, pred_out, labels, enc_lens, label_lens):
+    """Differentiable per-utterance NLL of a label sequence under the
+    model — the standard lattice marginal, or the consumed-frames-grid
+    marginal for multi-blank / TDT models (ops/rnnt_multiblank.py,
+    ops/rnnt_tdt.py), so MWER covers all three transducer families."""
+    if cfg.tdt_durations:
+        from rnn_transducer_tpu.ops.rnnt_tdt import rnnt_loss_tdt
+        logits, dur_logits = m.joint_tdt(params, cfg, enc_out, pred_out)
+        return rnnt_loss_tdt(logits, dur_logits, labels, enc_lens,
+                             label_lens, cfg.tdt_durations, cfg.blank)
+    logits = m.joint(params, cfg, enc_out, pred_out)
+    if cfg.big_blank_durations:
+        from rnn_transducer_tpu.ops.rnnt_multiblank import (
+            rnnt_loss_multiblank)
+        return rnnt_loss_multiblank(logits, labels, enc_lens, label_lens,
+                                    cfg.big_blank_durations, cfg.blank)
+    return rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank)
 
 
 def mwer_loss_fn(params, cfg, feats, feat_lens, labels, label_lens, *,
@@ -107,10 +124,10 @@ def mwer_loss_fn(params, cfg, feats, feat_lens, labels, label_lens, *,
     """Drop-in batch loss for train/loop.make_train_step (loss_kind
     'mwer'): decode the N-best with the current params (no gradient),
     then differentiate the expected-WER risk through the lattice
-    losses. The extra kwargs absorb loss_fn-style options."""
-    if cfg.big_blank_durations or cfg.tdt_durations:
-        raise ValueError("MWER needs beam search, which multi-blank/TDT "
-                         "models do not support")
+    losses. Multi-blank / TDT models work end-to-end: the wake-time
+    beam search (decode/beam.py) produces their N-best and _seq_nll
+    scores it on the consumed-frames grid. The extra kwargs absorb
+    loss_fn-style options."""
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
     from rnn_transducer_tpu.decode.beam import beam_search
     sg = jax.lax.stop_gradient

@@ -141,18 +141,31 @@ def test_mwer_finetune_reduces_risk_on_toy_task():
     assert exact >= 13, exact
 
 
-def test_guards():
+@pytest.mark.parametrize("family_kw", [
+    dict(big_blank_durations=(2,)), dict(tdt_durations=(0, 1, 2))])
+def test_mwer_duration_families(family_kw):
+    """MWER runs end-to-end on multi-blank / TDT models: the wake-time
+    beam search supplies the N-best and the consumed-frames-grid losses
+    score it (finite risk, finite grads)."""
     cfg = TransducerConfig(enc_layers=1, enc_hidden=16, pred_layers=1,
                            pred_hidden=16, embed_dim=8, joint_dim=16,
                            vocab_size=6, input_dim=4,
-                           compute_dtype="float32",
-                           big_blank_durations=(2,))
+                           compute_dtype="float32", **family_kw)
     params = m.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(1)
-    feats = jnp.asarray(rng.normal(size=(1, 4, 4)), jnp.float32)
-    with pytest.raises(ValueError, match="beam"):
-        mwer_loss_fn(params, cfg, feats, jnp.asarray([4]),
-                     jnp.asarray([[1, 2]]), jnp.asarray([2]))
+    feats = jnp.asarray(rng.normal(size=(2, 6, 4)), jnp.float32)
+    feat_lens = jnp.asarray([6, 4])
+    labels = jnp.asarray([[1, 2], [3, 0]], jnp.int32)
+    label_lens = jnp.asarray([2, 1])
+
+    def risk(p):
+        return mwer_loss_fn(p, cfg, feats, feat_lens, labels, label_lens,
+                            beam=3, expansions=2, max_symbols=6)[0]
+
+    loss, grads = jax.value_and_grad(risk)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
 
 
 def test_train_cli_mwer_phase(capsys):

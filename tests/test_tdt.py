@@ -249,9 +249,8 @@ def test_guards():
     rng = np.random.default_rng(8)
     feats = jnp.asarray(rng.normal(size=(1, 6, cfg.input_dim)), jnp.float32)
     feat_lens = jnp.asarray(np.array([6], np.int32))
-    from rnn_transducer_tpu.decode.beam import recognize_beam
-    with pytest.raises(ValueError, match="TDT"):
-        recognize_beam(params, cfg, feats, feat_lens, beam=2, max_symbols=4)
+    # (beam search supports TDT since the wake-time search —
+    # tests/test_beam_duration.py)
     from rnn_transducer_tpu.train.loop import loss_fn
     labels = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, 3)), jnp.int32)
     with pytest.raises(ValueError, match="TDT"):
