@@ -143,6 +143,12 @@ class TrainConfig:
     dropout: float = 0.0
     # Dropout on the prediction net's label embeddings (training only).
     embed_dropout: float = 0.0
+    # Joint CTC+RNN-T multitask: adds ctc_weight * CTC (auxiliary
+    # encoder head, requires TransducerConfig.ctc_head) to the RNN-T
+    # objective EVERY step, sharing the encoder pass — the icefall/
+    # ESPnet hybrid recipe (vs. --ctc-pretrain-steps' two-phase warmup).
+    # Typical 0.1-0.3. 0.0 = off.
+    ctc_weight: float = 0.0
     # FastEmit (Yu et al. 2021) low-latency streaming regularization:
     # scales the emit-arc posterior gradient of the RNN-T loss by
     # (1 + lambda), pushing emissions earlier. 0.0 = exact NLL gradient.

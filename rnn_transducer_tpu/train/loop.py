@@ -103,7 +103,7 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             label_lens, loss_impl: str = "auto", dropout: float = 0.0,
             embed_dropout: float = 0.0, dropout_rng=None,
             dropout_offset=0, fastemit: float = 0.0,
-            simple_loss_scale: float = 0.5):
+            simple_loss_scale: float = 0.5, ctc_weight: float = 0.0):
     """Batch-mean RNN-T loss; per-utterance losses also returned.
 
     "fused" (default on TPU) never materializes the (B,T,U+1,V) logits:
@@ -112,6 +112,10 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
     key) is given: per-example mask keys are derived from the GLOBAL
     batch position (dropout_offset + local index), so a DP shard draws
     the same mask for an example as the single-device run would.
+    ctc_weight > 0 (requires cfg.ctc_head) adds weighted CTC on the
+    auxiliary encoder head — continuous multitask regularization of the
+    encoder (the icefall/ESPnet hybrid recipe), sharing the single
+    encoder pass; per-utterance losses are the combined objective.
     """
     rngs = None
     if dropout_rng is not None:
@@ -119,6 +123,21 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
         rngs = jax.vmap(jax.random.fold_in,
                         in_axes=(None, 0))(dropout_rng, idx)
     do = dict(dropout=dropout, rng=rngs)
+
+    if ctc_weight and cfg.joint_experts > 0:
+        raise ValueError("ctc_weight with an MoE joint is not supported")
+
+    def with_ctc(per_utt, enc_out, enc_lens):
+        """per_utt + ctc_weight * per-utterance CTC on the shared
+        encoder output (no second encoder pass)."""
+        if not ctc_weight:
+            return per_utt
+        from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
+        ctc_pu = ctc_loss_from_logits(
+            m.ctc_logits(params, cfg, enc_out), labels, enc_lens,
+            label_lens, cfg.blank)
+        return per_utt + ctc_weight * ctc_pu
+
     if cfg.tdt_durations:
         # TDT (ops/rnnt_tdt.py): tokens x durations marginalized on the
         # consumed-frames grid; logits + duration logits materialize
@@ -135,8 +154,10 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
         pred_out, _ = m.predict(params, cfg, labels,
                                 embed_dropout=embed_dropout, **do)
         logits, dur_logits = m.joint_tdt(params, cfg, enc_out, pred_out)
-        per_utt = rnnt_loss_tdt(logits, dur_logits, labels, enc_lens,
-                                label_lens, cfg.tdt_durations, cfg.blank)
+        per_utt = with_ctc(
+            rnnt_loss_tdt(logits, dur_logits, labels, enc_lens,
+                          label_lens, cfg.tdt_durations, cfg.blank),
+            enc_out, enc_lens)
         return jnp.mean(per_utt), per_utt
     if cfg.big_blank_durations:
         # multi-blank transducer (ops/rnnt_multiblank.py): the extra
@@ -152,10 +173,14 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
                              "multi-blank models")
         from rnn_transducer_tpu.ops.rnnt_multiblank import \
             rnnt_loss_multiblank
-        logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels,
-                                     embed_dropout=embed_dropout, **do)
-        per_utt = rnnt_loss_multiblank(logits, labels, enc_lens, label_lens,
-                                       cfg.big_blank_durations, cfg.blank)
+        enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens, **do)
+        pred_out, _ = m.predict(params, cfg, labels,
+                                embed_dropout=embed_dropout, **do)
+        logits = m.joint(params, cfg, enc_out, pred_out)
+        per_utt = with_ctc(
+            rnnt_loss_multiblank(logits, labels, enc_lens, label_lens,
+                                 cfg.big_blank_durations, cfg.blank),
+            enc_out, enc_lens)
         return jnp.mean(per_utt), per_utt
     if cfg.joint_experts > 0:
         # MoE joint: the logits must materialize through the routed joint
@@ -186,6 +211,7 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             params["simple"], f, g, w, b, enc_out, pred_out, labels,
             enc_lens, label_lens, cfg.pruned_range, cfg.blank, cfg.cdtype,
             fastemit)
+        pruned_pu = with_ctc(pruned_pu, enc_out, enc_lens)
         total = (jnp.mean(pruned_pu)
                  + simple_loss_scale * jnp.mean(simple_pu))
         return total, pruned_pu
@@ -203,14 +229,19 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
         pred_out, _ = m.predict(params, cfg, labels,
                                 embed_dropout=embed_dropout, **do)
         f, g, w, b = m.joint_activations(params, cfg, enc_out, pred_out)
-        per_utt = rnnt_loss_fused(f, g, w, b, labels, enc_lens, label_lens,
-                                  cfg.blank, cfg.cdtype, fastemit)
+        per_utt = with_ctc(
+            rnnt_loss_fused(f, g, w, b, labels, enc_lens, label_lens,
+                            cfg.blank, cfg.cdtype, fastemit),
+            enc_out, enc_lens)
     else:
-        logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels,
-                                     embed_dropout=embed_dropout, **do)
-        per_utt = select_rnnt_loss(loss_impl)(logits, labels, enc_lens,
-                                              label_lens, cfg.blank,
-                                              fastemit)
+        enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens, **do)
+        pred_out, _ = m.predict(params, cfg, labels,
+                                embed_dropout=embed_dropout, **do)
+        logits = m.joint(params, cfg, enc_out, pred_out)
+        per_utt = with_ctc(
+            select_rnnt_loss(loss_impl)(logits, labels, enc_lens,
+                                        label_lens, cfg.blank, fastemit),
+            enc_out, enc_lens)
     return jnp.mean(per_utt), per_utt
 
 
@@ -250,7 +281,8 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
         batch_loss = functools.partial(loss_fn, cfg=cfg,
                                        loss_impl=tcfg.loss_impl,
                                        fastemit=tcfg.fastemit_lambda,
-                                       simple_loss_scale=tcfg.simple_loss_scale)
+                                       simple_loss_scale=tcfg.simple_loss_scale,
+                                       ctc_weight=tcfg.ctc_weight)
 
     has_dropout = (loss_kind == "rnnt"
                    and (tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0))

@@ -134,6 +134,11 @@ def parse_args(argv=None):
     p.add_argument("--ctc-pretrain-steps", type=int, default=0,
                    help="warm up the encoder with CTC loss for N steps "
                         "before switching to the RNN-T loss")
+    p.add_argument("--ctc-weight", type=float, default=0.0,
+                   help="joint CTC+RNN-T multitask: add this much CTC "
+                        "(auxiliary encoder head) to the RNN-T loss every "
+                        "step (icefall/ESPnet hybrid recipe; typical "
+                        "0.1-0.3)")
     return p.parse_args(argv)
 
 
@@ -165,7 +170,8 @@ def main(argv=None):
     from rnn_transducer_tpu.utils.logging import MetricsLogger
 
     cfg = get_model_config(args.config)
-    if args.ctc_pretrain_steps > 0 and not cfg.ctc_head:
+    if ((args.ctc_pretrain_steps > 0 or args.ctc_weight > 0)
+            and not cfg.ctc_head):
         cfg = dataclasses.replace(cfg, ctc_head=True)
     if args.pred_type:
         cfg = dataclasses.replace(cfg, pred_type=args.pred_type)
@@ -202,7 +208,8 @@ def main(argv=None):
                        simple_loss_scale=args.simple_loss_scale,
                        ema_decay=args.ema_decay,
                        mwer_beam=args.mwer_beam,
-                       mwer_nll_weight=args.mwer_nll_weight)
+                       mwer_nll_weight=args.mwer_nll_weight,
+                       ctc_weight=args.ctc_weight)
     mlog = MetricsLogger(args.log_file)
 
     mp = args.model_parallel
@@ -225,6 +232,11 @@ def main(argv=None):
         if args.ctc_pretrain_steps > 0:
             raise SystemExit("--ctc-pretrain-steps is not supported with "
                              "--model-parallel")
+        if args.ctc_weight > 0:
+            # parallel/tp.py runs its own forward/loss; the CTC term is
+            # not threaded through it — fail loudly, don't ignore
+            raise SystemExit("--ctc-weight is not supported with "
+                             "--model-parallel")
         if args.mwer_steps > 0:
             raise SystemExit("--mwer-steps is not supported with "
                              "--model-parallel")
@@ -234,12 +246,9 @@ def main(argv=None):
             raise SystemExit("--big-blanks/--tdt-durations are not "
                              "supported with --model-parallel (use data "
                              "parallelism)")
-        if args.dropout > 0.0 or args.embed_dropout > 0.0:
-            # The model-parallel loss paths (parallel/tp.py) run their own
-            # forward; dropout is not threaded through them — fail loudly
-            # instead of silently ignoring the flag (ADVICE r2 pattern).
-            raise SystemExit("--dropout/--embed-dropout are not supported "
-                             "with --model-parallel")
+        # dropout/embed_dropout ARE threaded through the tp/sp/pp/ep
+        # steps (parallel/tp.py dropout_rngs: per-GLOBAL-example keys,
+        # replicated over the model axis) — no guard needed.
         if args.loss_impl == "pruned":
             # The model-parallel joint+loss paths shard the full lattice
             # (tp: vocab, sp: frames); the pruned band is not threaded
