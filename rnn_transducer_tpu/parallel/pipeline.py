@@ -45,6 +45,7 @@ from rnn_transducer_tpu.parallel.tp import (
     TPParams,
     TrainState,
     apply_weight_noise,
+    dropout_rngs,
     _combine_model_grads,
     _tp_global_norm,
     _tp_expand,
@@ -117,14 +118,22 @@ def merge_params_pp(tpp: TPParams, cfg: TransducerConfig) -> dict:
     return {"encoder": encoder, **tpp.rep}
 
 
-def _run_stage(stage_layers, cfg: TransducerConfig, x, lens):
+def _run_stage(stage_layers, cfg: TransducerConfig, x, lens, *,
+               stage_idx=None, dropout: float = 0.0, rngs=None):
     """Apply this stage's layers to one microbatch activation.
 
     x: (Bm, T, Dmax) zero-padded beyond the true input dim; the padded
     rows of the first layer's w_ih make the extra channels inert.
+    dropout (rngs = per-example keys for THIS microbatch) applies at the
+    same global-layer sites as the single-device encode: site = global
+    layer index (stage_idx * layers-per-stage + j), skipped on the last
+    encoder layer — stage_idx is traced (lax.axis_index), so the skip is
+    a select.
     """
     from rnn_transducer_tpu.ops.lstm import bilstm_layer, lstm_layer
 
+    lps = len(stage_layers)
+    n_layers = cfg.enc_layers
     x = mask_padding(x, lens)  # matches encode()'s input masking
     for j, layer in enumerate(stage_layers):
         if j > 0:  # inner layers consume the true feature width
@@ -136,11 +145,16 @@ def _run_stage(stage_layers, cfg: TransducerConfig, x, lens):
             x = lstm_layer(layer, x, impl="scan",
                            compute_dtype=cfg.cdtype)[0]
         x = mask_padding(x, lens)
+        if dropout > 0.0 and rngs is not None:
+            gi = stage_idx * lps + j
+            dropped = m._dropout(x, dropout, rngs, site=gi)
+            x = jnp.where(gi < n_layers - 1, dropped, x)
     return x  # (Bm, T, enc_out_dim)
 
 
 def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
-              pp: int, microbatches: int, axis=MODEL_AXIS):
+              pp: int, microbatches: int, axis=MODEL_AXIS,
+              dropout: float = 0.0, rngs=None):
     """GPipe-scheduled encoder: feats (Bl, T, F) -> enc_out (Bl, T, De).
 
     Runs inside shard_map over a (data, model) mesh; stage_layers is this
@@ -155,6 +169,9 @@ def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
     mb = jnp.pad(feats, ((0, 0), (0, 0), (0, dmax - F))).reshape(
         M, Bm, T, dmax)
     mb_lens = feat_lens.reshape(M, Bm)
+    # (raw uint32 key arrays have a trailing key-data dim — keep it)
+    mb_rngs = (rngs.reshape((M, Bm) + rngs.shape[1:])
+               if rngs is not None else None)
     K = M + pp - 1
     perm = [(i, i + 1) for i in range(pp - 1)]
 
@@ -165,7 +182,11 @@ def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
         x_in = jnp.where(s == 0, x0, recv)
         lens = jax.lax.dynamic_index_in_dim(mb_lens, my_idx, 0,
                                             keepdims=False)
-        y = _run_stage(stage_layers, cfg, x_in, lens)  # (Bm, T, De)
+        r = (jax.lax.dynamic_index_in_dim(mb_rngs, my_idx, 0,
+                                          keepdims=False)
+             if mb_rngs is not None else None)
+        y = _run_stage(stage_layers, cfg, x_in, lens, stage_idx=s,
+                       dropout=dropout, rngs=r)  # (Bm, T, De)
         recv_new = jax.lax.ppermute(
             jnp.pad(y, ((0, 0), (0, 0), (0, dmax - De))), axis, perm)
         out_idx = jnp.clip(k - (pp - 1), 0, M - 1)
@@ -185,12 +206,15 @@ def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
 
 def pp_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
                labels, label_lens, *, pp: int, microbatches: int,
-               fastemit: float = 0.0):
+               fastemit: float = 0.0, dropout: float = 0.0,
+               embed_dropout: float = 0.0, rngs=None):
     enc_out, enc_lens = pp_encode(local.shd["encoder"], cfg, feats,
                                   feat_lens, pp=pp,
-                                  microbatches=microbatches)
+                                  microbatches=microbatches,
+                                  dropout=dropout, rngs=rngs)
     rep = local.rep
-    pred_out, _ = m.predict(rep, cfg, labels)
+    pred_out, _ = m.predict(rep, cfg, labels, dropout=dropout,
+                            embed_dropout=embed_dropout, rng=rngs)
     logits = m.joint(rep, cfg, enc_out, pred_out)
     per_utt = rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank,
                         fastemit)
@@ -199,10 +223,12 @@ def pp_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
 
 def init_pp_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
                         pp: int) -> TrainState:
+    from rnn_transducer_tpu.parallel.tp import _init_ema
     params = split_params_pp(m.init_params(key, cfg), cfg, pp)
     tx = make_optimizer_noclip(tcfg)
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      ema=_init_ema(params, tcfg))
 
 
 def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
@@ -216,10 +242,15 @@ def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
     def shard_fn(state, feats, feat_lens, labels, label_lens):
         local = _tp_squeeze(state)
 
+        has_do = tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0
+        do = dict(dropout=tcfg.dropout, embed_dropout=tcfg.embed_dropout,
+                  rngs=(dropout_rngs(tcfg, local.step, feats.shape[0])
+                        if has_do else None))
+
         def batch_loss(p):
             return pp_loss_fn(p, cfg, feats, feat_lens, labels, label_lens,
                               pp=pp, microbatches=M,
-                              fastemit=tcfg.fastemit_lambda)
+                              fastemit=tcfg.fastemit_lambda, **do)
 
         loss_params = local.params
         if tcfg.weight_noise_std > 0.0:
@@ -245,8 +276,14 @@ def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old) if hasattr(new, "ndim")
             else new, opt_state, local.opt_state)
+        ema = local.ema
+        if tcfg.ema_decay > 0:
+            d = tcfg.ema_decay
+            ema = jax.tree.map(
+                lambda e, q: jnp.where(ok, d * e + (1.0 - d) * q, e),
+                local.ema, params)
         new_state = _tp_expand(TrainState(params=params, opt_state=opt_state,
-                                          step=local.step + 1))
+                                          step=local.step + 1, ema=ema))
         return new_state, {"loss": loss, "grad_norm": gnorm,
                            "skipped_nonfinite": (~ok).astype(jnp.int32)}
 

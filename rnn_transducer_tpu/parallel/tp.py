@@ -285,11 +285,15 @@ def tp_bilstm_layer(p_fwd, p_bwd, x, lens, *, axis=MODEL_AXIS,
 
 
 def tp_encode(params_local, cfg: TransducerConfig, feats, feat_lens, *,
-              axis=MODEL_AXIS):
-    """Mirror of models.transducer.encode with gate-sharded layers."""
+              axis=MODEL_AXIS, dropout: float = 0.0, rngs=None):
+    """Mirror of models.transducer.encode with gate-sharded layers
+    (same inter-layer dropout sites as the single-device path; the
+    replicated layer outputs draw identical masks on every model
+    shard)."""
     x = mask_padding(feats.astype(jnp.float32), feat_lens)
     lens = feat_lens
     cd = cfg.cdtype
+    n = len(params_local["encoder"])
     for i, layer in enumerate(params_local["encoder"]):
         if cfg.bidirectional:
             x = tp_bilstm_layer(layer["fwd"], layer["bwd"], x, lens,
@@ -297,18 +301,26 @@ def tp_encode(params_local, cfg: TransducerConfig, feats, feat_lens, *,
         else:
             x = tp_lstm_layer(layer, x, axis=axis, compute_dtype=cd)[0]
         x = mask_padding(x, lens)
+        if dropout > 0.0 and rngs is not None and i < n - 1:
+            x = m._dropout(x, dropout, rngs, site=i)
         if i == 0 and cfg.time_reduction > 1:
             x, lens = m._time_reduce(x, lens, cfg.time_reduction)
     return x, lens
 
 
 def tp_predict(params_local, cfg: TransducerConfig, labels, *,
-               axis=MODEL_AXIS):
+               axis=MODEL_AXIS, dropout: float = 0.0,
+               embed_dropout: float = 0.0, rngs=None):
     B, U = labels.shape
     bos = jnp.full((B, 1), cfg.blank, labels.dtype)
     x = params_local["embed"][jnp.concatenate([bos, labels], axis=1)]
-    for layer in params_local["predictor"]:
+    if embed_dropout > 0.0 and rngs is not None:
+        x = m._dropout(x, embed_dropout, rngs, site=1000)
+    n = len(params_local["predictor"])
+    for i, layer in enumerate(params_local["predictor"]):
         x, _ = tp_lstm_layer(layer, x, axis=axis, compute_dtype=cfg.cdtype)
+        if dropout > 0.0 and rngs is not None and i < n - 1:
+            x = m._dropout(x, dropout, rngs, site=1001 + i)
     return x
 
 
@@ -368,10 +380,13 @@ def tp_joint_loss(params_local, cfg: TransducerConfig, enc_out, enc_lens,
 
 
 def tp_loss_fn(params_local, cfg: TransducerConfig, feats, feat_lens,
-               labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0):
+               labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0,
+               dropout=0.0, embed_dropout=0.0, rngs=None):
     enc_out, enc_lens = tp_encode(params_local, cfg, feats, feat_lens,
-                                  axis=axis)
-    pred_out = tp_predict(params_local, cfg, labels, axis=axis)
+                                  axis=axis, dropout=dropout, rngs=rngs)
+    pred_out = tp_predict(params_local, cfg, labels, axis=axis,
+                          dropout=dropout, embed_dropout=embed_dropout,
+                          rngs=rngs)
     per_utt = tp_joint_loss(params_local, cfg, enc_out, enc_lens, pred_out,
                             labels, label_lens, axis=axis, fastemit=fastemit)
     return jnp.mean(per_utt), per_utt
@@ -415,9 +430,12 @@ def sp_joint_loss(params, cfg: TransducerConfig, enc_out, enc_lens,
 
 
 def sp_loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
-               label_lens, *, axis=MODEL_AXIS, fastemit=0.0):
-    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
-    pred_out, _ = m.predict(params, cfg, labels)
+               label_lens, *, axis=MODEL_AXIS, fastemit=0.0,
+               dropout=0.0, embed_dropout=0.0, rngs=None):
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens,
+                                 dropout=dropout, rng=rngs)
+    pred_out, _ = m.predict(params, cfg, labels, dropout=dropout,
+                            embed_dropout=embed_dropout, rng=rngs)
     per_utt = sp_joint_loss(params, cfg, enc_out, enc_lens, pred_out,
                             labels, label_lens, axis=axis, fastemit=fastemit)
     return jnp.mean(per_utt), per_utt
@@ -458,11 +476,13 @@ def init_ep_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
     params = split_params_ep(m.init_params(key, cfg), cfg, mp)
     tx = make_optimizer_noclip(tcfg)
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      ema=_init_ema(params, tcfg))
 
 
 def ep_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
-               labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0):
+               labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0,
+               dropout=0.0, embed_dropout=0.0, rngs=None):
     """Frame-sharded joint + loss with the expert-parallel MoE residual.
 
     Returns (mean loss + aux, per_utt). Capacity semantics under ep: each
@@ -476,8 +496,10 @@ def ep_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
     moe_local = dict(local.shd["moe"])
     moe_local["router"] = local.rep["moe_router"]
 
-    enc_out, enc_lens = m.encode(rep, cfg, feats, feat_lens)
-    pred_out, _ = m.predict(rep, cfg, labels)
+    enc_out, enc_lens = m.encode(rep, cfg, feats, feat_lens,
+                                 dropout=dropout, rng=rngs)
+    pred_out, _ = m.predict(rep, cfg, labels, dropout=dropout,
+                            embed_dropout=embed_dropout, rng=rngs)
 
     mp = jax.lax.axis_size(axis)
     B, T, _ = enc_out.shape
@@ -557,10 +579,32 @@ def apply_weight_noise(params, tcfg: TrainConfig, step, model_sharded: bool):
     return jax.tree_util.tree_unflatten(treedef, noisy)
 
 
+def dropout_rngs(tcfg: TrainConfig, step, local_batch: int):
+    """Per-example dropout keys for the model-parallel train steps.
+
+    Identical semantics to train.loop.loss_fn: one key per GLOBAL batch
+    position (data-axis index * local batch + local index) folded into
+    the per-step key, so dp x model runs draw the same masks as the
+    single-device trajectory; the model axis replicates the batch, so
+    every model shard derives identical keys and activations stay in
+    sync. Must be called inside shard_map."""
+    base = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed ^ 0xD120), step)
+    idx = (jax.lax.axis_index(DATA_AXIS) * local_batch
+           + jnp.arange(local_batch))
+    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(base, idx)
+
+
 def make_optimizer_noclip(tcfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW without the global-norm clip (applied manually in the TP step,
     where the norm needs a model-axis psum optax cannot express)."""
     return optax.adamw(make_lr_schedule(tcfg), weight_decay=tcfg.weight_decay)
+
+
+def _init_ema(params, tcfg: TrainConfig):
+    """EMA starts as a copy of the (possibly sharded) params — same
+    rule as train.loop.init_train_state; None when off so the
+    checkpoint layout is unchanged."""
+    return (jax.tree.map(jnp.copy, params) if tcfg.ema_decay > 0 else None)
 
 
 def init_tp_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
@@ -568,7 +612,8 @@ def init_tp_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
     params = split_params_tp(m.init_params(key, cfg), cfg, mp)
     tx = make_optimizer_noclip(tcfg)
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      ema=_init_ema(params, tcfg))
 
 
 def init_sp_train_state(key, cfg: TransducerConfig,
@@ -577,7 +622,8 @@ def init_sp_train_state(key, cfg: TransducerConfig,
     params = m.init_params(key, cfg)
     tx = make_optimizer_noclip(tcfg)
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      ema=_init_ema(params, tcfg))
 
 
 def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
@@ -598,18 +644,22 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
     def shard_fn(state, feats, feat_lens, labels, label_lens):
         local = _tp_squeeze(state) if is_tp else state
         fe = tcfg.fastemit_lambda
+        has_do = tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0
+        do = dict(dropout=tcfg.dropout, embed_dropout=tcfg.embed_dropout,
+                  rngs=(dropout_rngs(tcfg, local.step, feats.shape[0])
+                        if has_do else None))
         if mode == "tp":
             def batch_loss(p):
                 return tp_loss_fn(_local_view(p), cfg, feats, feat_lens,
-                                  labels, label_lens, fastemit=fe)
+                                  labels, label_lens, fastemit=fe, **do)
         elif mode == "ep":
             def batch_loss(p):
                 return ep_loss_fn(p, cfg, feats, feat_lens, labels,
-                                  label_lens, fastemit=fe)
+                                  label_lens, fastemit=fe, **do)
         else:
             def batch_loss(p):
                 return sp_loss_fn(p, cfg, feats, feat_lens, labels,
-                                  label_lens, fastemit=fe)
+                                  label_lens, fastemit=fe, **do)
         loss_params = local.params
         if tcfg.weight_noise_std > 0.0:
             loss_params = apply_weight_noise(local.params, tcfg, local.step,
@@ -637,8 +687,16 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old) if hasattr(new, "ndim")
             else new, opt_state, local.opt_state)
+        ema = local.ema
+        if tcfg.ema_decay > 0:
+            d = tcfg.ema_decay
+            # params are already ok-selected; on a skipped step keep the
+            # old EMA (matches train.loop's cond semantics)
+            ema = jax.tree.map(
+                lambda e, q: jnp.where(ok, d * e + (1.0 - d) * q, e),
+                local.ema, params)
         new_local = TrainState(params=params, opt_state=opt_state,
-                               step=local.step + 1)
+                               step=local.step + 1, ema=ema)
         new_state = _tp_expand(new_local) if is_tp else new_local
         return new_state, {"loss": loss, "grad_norm": gnorm,
                            "skipped_nonfinite": (~ok).astype(jnp.int32)}

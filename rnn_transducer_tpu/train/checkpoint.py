@@ -153,10 +153,6 @@ def load_plain_params(ckpt_dir: str, cfg=None, seed: int = 0,
     tcfg = saved_train_config(meta)
     par = meta.get("parallel")
     if par and par.get("mp", 1) > 1:
-        if prefer_ema:
-            raise ValueError("model-parallel checkpoints carry no EMA "
-                             "(--ema-decay is rejected with "
-                             "--model-parallel)")
         from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
         mode, mp_n = par["mode"], int(par["mp"])
         inits = {"tp": lambda: tpx.init_tp_train_state(key, cfg, tcfg, mp_n),
@@ -168,7 +164,13 @@ def load_plain_params(ckpt_dir: str, cfg=None, seed: int = 0,
         state, got = restore_checkpoint(ckpt_dir, inits[mode](), step)
         merges = {"tp": tpx.merge_params_tp, "pp": ppx.merge_params_pp,
                   "ep": tpx.merge_params_ep, "sp": lambda p, c: p}
-        return merges[mode](state.params, cfg), cfg, got, meta
+        tree = state.params
+        if prefer_ema:
+            if state.ema is None:
+                raise ValueError(f"{ckpt_dir} carries no EMA params "
+                                 "(train with --ema-decay > 0)")
+            tree = state.ema  # same sharded layout as params — merges too
+        return merges[mode](tree, cfg), cfg, got, meta
     state0 = init_train_state(key, cfg, tcfg)
     tree, got = restore_checkpoint(ckpt_dir, dataclasses.asdict(state0), step)
     state = TrainState(**tree)

@@ -125,14 +125,68 @@ def test_dp_dropout_matches_single_device():
         np.asarray(a), np.asarray(b), atol=1e-6), p1, p2)
 
 
-def test_cli_flag_and_mp_guard(tmp_path):
+def test_cli_flag(tmp_path):
     import train as train_cli
 
     train_cli.main(["--config", "smoke", "--steps", "2", "--batch-size", "2",
                     "--data", "synthetic", "--dropout", "0.2",
                     "--embed-dropout", "0.1", "--log-every", "1",
                     "--data-parallel", "1"])
-    with pytest.raises(SystemExit, match="dropout"):
-        train_cli.main(["--config", "smoke", "--steps", "2",
-                        "--batch-size", "4", "--data", "synthetic",
-                        "--dropout", "0.2", "--model-parallel", "4"])
+    # (--dropout with --model-parallel is exercised by
+    # tests/test_cli_parallel.py; the lockstep parity tests are below)
+
+
+def _run_mp(mode, steps=2, **kw):
+    """2-step loss trajectory under a dp2 x model4 (pp: dp4 x pp2) mesh
+    with dropout, for lockstep comparison against the single-device
+    make_train_step trajectory."""
+    from rnn_transducer_tpu.parallel import tp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    tcfg = _tcfg(B=8, **kw)
+    key = jax.random.PRNGKey(0)
+    if mode == "pp":
+        from rnn_transducer_tpu.parallel import pipeline as pl
+        mesh = tp.make_mesh_2d(4, 2)
+        state = tp.shard_tp_state(mesh, pl.init_pp_train_state(
+            key, CFG, tcfg, 2))
+        step = pl.make_pp_train_step(CFG, tcfg, mesh, microbatches=2)
+    elif mode == "tp":
+        mesh = tp.make_mesh_2d(2, 4)
+        state = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+            key, CFG, tcfg, 4))
+        step = tp.make_tp_train_step(CFG, tcfg, mesh, mode=mode)
+    else:
+        mesh = tp.make_mesh_2d(2, 4)
+        state = tp.replicate_state(mesh, tp.init_sp_train_state(key, CFG,
+                                                                tcfg))
+        step = tp.make_tp_train_step(CFG, tcfg, mesh, mode=mode)
+    batch = tp.shard_batch_2d(mesh, _batch(B=8))
+    losses = []
+    for _ in range(steps):
+        state, info = step(state, *batch)
+        losses.append(float(info["loss"]))
+    return losses
+
+
+@pytest.mark.parametrize("mode", ["tp", "sp", "pp"])
+def test_model_parallel_dropout_lockstep(mode):
+    """Model-parallel training with dropout follows the single-device
+    trajectory: the per-example mask keys are derived from the global
+    batch position + step on every shard, so the 2-step loss sequence
+    matches (step 2 also checks the dropout GRADIENTS agreed at step 1)
+    — and differs from the no-dropout trajectory."""
+    want = []
+    from rnn_transducer_tpu.train.loop import TrainState  # noqa: F401
+    tcfg = _tcfg(B=8, dropout=0.25, embed_dropout=0.1)
+    state = init_train_state(jax.random.PRNGKey(0), CFG, tcfg)
+    step = make_train_step(CFG, tcfg)
+    batch = _batch(B=8)
+    for _ in range(2):
+        state, info = step(state, *batch)
+        want.append(float(info["loss"]))
+    got = _run_mp(mode, dropout=0.25, embed_dropout=0.1)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    clean = _run_mp(mode)
+    assert abs(clean[0] - got[0]) > 1e-6

@@ -140,10 +140,52 @@ def test_train_cli_ema_then_recognize_use_ema(tmp_path, capsys):
     assert json.loads(cap.out.strip().splitlines()[-1])["mode"] == "greedy"
 
 
-def test_train_cli_ema_rejected_with_model_parallel():
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp_ema_matches_hand_recursion():
+    """EMA under tensor parallelism: the sharded EMA tree, merged back to
+    plain params, equals the hand recursion over the merged live-param
+    trajectory."""
+    from rnn_transducer_tpu.parallel import tp
+
+    cfg, d = _cfg(), 0.9
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=20,
+                       ema_decay=d)
+    mesh = tp.make_mesh_2d(2, 4)
+    state = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, 4))
+    step = tp.make_tp_train_step(cfg, tcfg, mesh, mode="tp")
+    rng = np.random.default_rng(1)
+    expect = jax.tree.map(
+        np.asarray, tp.merge_params_tp(jax.device_get(state.params), cfg))
+    for _ in range(2):
+        batch = tp.shard_batch_2d(mesh, _batch(rng, B=8))
+        state, _ = step(state, *batch)
+        merged = tp.merge_params_tp(jax.device_get(state.params), cfg)
+        expect = jax.tree.map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p), expect, merged)
+    got = tp.merge_params_tp(jax.device_get(state.ema), cfg)
+    jax.tree.map(lambda e, x: np.testing.assert_allclose(
+        np.asarray(e), x, rtol=1e-5, atol=1e-6), got, expect)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_train_cli_model_parallel_ema_roundtrip(tmp_path, capsys):
+    """tp training with --ema-decay checkpoints the sharded EMA;
+    recognize --use-ema merges and decodes from it."""
+    import recognize
     import train
 
-    with pytest.raises(SystemExit, match="--ema-decay is not supported"):
-        train.main(["--config", "smoke", "--data", "synthetic",
-                    "--steps", "2", "--batch-size", "4",
-                    "--ema-decay", "0.9", "--model-parallel", "4"])
+    ck = str(tmp_path / "ck")
+    train.main(["--config", "smoke", "--data", "synthetic",
+                "--steps", "2", "--batch-size", "4", "--max-frames", "40",
+                "--max-labels", "5", "--log-every", "1",
+                "--ema-decay", "0.9", "--data-parallel", "2",
+                "--model-parallel", "4", "--parallel-mode", "tp",
+                "--ckpt-dir", ck])
+    capsys.readouterr()
+    recognize.main(["--ckpt-dir", ck, "--data", "synthetic",
+                    "--batches", "1", "--batch-size", "2", "--use-ema",
+                    "--max-symbols", "8"])
+    cap = capsys.readouterr()
+    assert "EMA params" in cap.err
+    assert json.loads(cap.out.strip().splitlines()[-1])["mode"] == "greedy"

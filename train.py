@@ -255,12 +255,9 @@ def main(argv=None):
             # through them — fail loudly rather than silently ignore.
             raise SystemExit("--loss-impl pruned is not supported with "
                              "--model-parallel")
-        if args.ema_decay > 0.0:
-            # The tp/sp/pp/ep states carry their own (sharded) param
-            # pytrees without an EMA slot — fail loudly (ADVICE r2
-            # pattern) rather than silently train without the average.
-            raise SystemExit("--ema-decay is not supported with "
-                             "--model-parallel")
+        # --ema-decay works under tp/sp/pp/ep: the sharded states carry
+        # an EMA pytree in the same layout and load_plain_params merges
+        # its shards like the live params.
         if cfg.enc_type != "lstm":
             # tp gate-shards LSTM kernels and pp stages LSTM layers; the
             # conformer encoder is not threaded through them.
