@@ -46,6 +46,7 @@ from rnn_transducer_tpu.parallel.tp import (
     TrainState,
     apply_weight_noise,
     dropout_rngs,
+    _with_ctc,
     _combine_model_grads,
     _tp_global_norm,
     _tp_expand,
@@ -207,7 +208,7 @@ def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
 def pp_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
                labels, label_lens, *, pp: int, microbatches: int,
                fastemit: float = 0.0, dropout: float = 0.0,
-               embed_dropout: float = 0.0, rngs=None):
+               embed_dropout: float = 0.0, rngs=None, ctc_weight=0.0):
     enc_out, enc_lens = pp_encode(local.shd["encoder"], cfg, feats,
                                   feat_lens, pp=pp,
                                   microbatches=microbatches,
@@ -218,6 +219,8 @@ def pp_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
     logits = m.joint(rep, cfg, enc_out, pred_out)
     per_utt = rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank,
                         fastemit)
+    per_utt = _with_ctc(per_utt, rep, cfg, enc_out, enc_lens, labels,
+                        label_lens, ctc_weight)
     return jnp.mean(per_utt), per_utt
 
 
@@ -245,7 +248,8 @@ def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
         has_do = tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0
         do = dict(dropout=tcfg.dropout, embed_dropout=tcfg.embed_dropout,
                   rngs=(dropout_rngs(tcfg, local.step, feats.shape[0])
-                        if has_do else None))
+                        if has_do else None),
+                  ctc_weight=tcfg.ctc_weight)
 
         def batch_loss(p):
             return pp_loss_fn(p, cfg, feats, feat_lens, labels, label_lens,

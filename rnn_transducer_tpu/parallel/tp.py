@@ -236,6 +236,20 @@ def _local_view(tp_local: TPParams) -> dict:
     return params
 
 
+def _with_ctc(per_utt, params, cfg, enc_out, enc_lens, labels,
+              label_lens, ctc_weight):
+    """Add the joint-CTC multitask term (train.loop loss_fn semantics)
+    on the replicated encoder output — the CTC head is replicated over
+    the model axis, so every shard adds an identical term."""
+    if not ctc_weight:
+        return per_utt
+    from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
+    ctc_pu = ctc_loss_from_logits(
+        m.ctc_logits(params, cfg, enc_out), labels, enc_lens, label_lens,
+        cfg.blank)
+    return per_utt + ctc_weight * ctc_pu
+
+
 # --------------------------------------------------------------------------
 # Tensor-parallel model functions (run inside shard_map)
 # --------------------------------------------------------------------------
@@ -381,7 +395,7 @@ def tp_joint_loss(params_local, cfg: TransducerConfig, enc_out, enc_lens,
 
 def tp_loss_fn(params_local, cfg: TransducerConfig, feats, feat_lens,
                labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0,
-               dropout=0.0, embed_dropout=0.0, rngs=None):
+               dropout=0.0, embed_dropout=0.0, rngs=None, ctc_weight=0.0):
     enc_out, enc_lens = tp_encode(params_local, cfg, feats, feat_lens,
                                   axis=axis, dropout=dropout, rngs=rngs)
     pred_out = tp_predict(params_local, cfg, labels, axis=axis,
@@ -389,6 +403,8 @@ def tp_loss_fn(params_local, cfg: TransducerConfig, feats, feat_lens,
                           rngs=rngs)
     per_utt = tp_joint_loss(params_local, cfg, enc_out, enc_lens, pred_out,
                             labels, label_lens, axis=axis, fastemit=fastemit)
+    per_utt = _with_ctc(per_utt, params_local, cfg, enc_out, enc_lens,
+                        labels, label_lens, ctc_weight)
     return jnp.mean(per_utt), per_utt
 
 
@@ -431,13 +447,15 @@ def sp_joint_loss(params, cfg: TransducerConfig, enc_out, enc_lens,
 
 def sp_loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
                label_lens, *, axis=MODEL_AXIS, fastemit=0.0,
-               dropout=0.0, embed_dropout=0.0, rngs=None):
+               dropout=0.0, embed_dropout=0.0, rngs=None, ctc_weight=0.0):
     enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens,
                                  dropout=dropout, rng=rngs)
     pred_out, _ = m.predict(params, cfg, labels, dropout=dropout,
                             embed_dropout=embed_dropout, rng=rngs)
     per_utt = sp_joint_loss(params, cfg, enc_out, enc_lens, pred_out,
                             labels, label_lens, axis=axis, fastemit=fastemit)
+    per_utt = _with_ctc(per_utt, params, cfg, enc_out, enc_lens, labels,
+                        label_lens, ctc_weight)
     return jnp.mean(per_utt), per_utt
 
 
@@ -482,7 +500,7 @@ def init_ep_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
 
 def ep_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
                labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0,
-               dropout=0.0, embed_dropout=0.0, rngs=None):
+               dropout=0.0, embed_dropout=0.0, rngs=None, ctc_weight=0.0):
     """Frame-sharded joint + loss with the expert-parallel MoE residual.
 
     Returns (mean loss + aux, per_utt). Capacity semantics under ep: each
@@ -528,6 +546,8 @@ def ep_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
         _gather_label_logprobs(lp, labels), axis, axis=1, tiled=True)[:, :T]
     per_utt = rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens,
                                 fastemit)
+    per_utt = _with_ctc(per_utt, rep, cfg, enc_out[:, :T], enc_lens,
+                        labels, label_lens, ctc_weight)
     return jnp.mean(per_utt) + cfg.moe_aux_weight * aux, per_utt
 
 
@@ -647,7 +667,8 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
         has_do = tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0
         do = dict(dropout=tcfg.dropout, embed_dropout=tcfg.embed_dropout,
                   rngs=(dropout_rngs(tcfg, local.step, feats.shape[0])
-                        if has_do else None))
+                        if has_do else None),
+                  ctc_weight=tcfg.ctc_weight)
         if mode == "tp":
             def batch_loss(p):
                 return tp_loss_fn(_local_view(p), cfg, feats, feat_lens,

@@ -118,3 +118,43 @@ def test_train_cli_ctc_weight(capsys):
     res = json.loads(out)
     assert res["steps"] == 3
     assert np.isfinite(res["final_loss"])
+
+
+@pytest.mark.parametrize("mode", ["tp", "sp"])
+def test_model_parallel_ctc_weight_lockstep(mode):
+    """--ctc-weight under tensor/sequence parallelism follows the
+    single-device trajectory (the CTC head is replicated over the model
+    axis)."""
+    from rnn_transducer_tpu.parallel import tp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = _cfg()
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=2,
+                       total_steps=6, loss_impl="xla", ctc_weight=0.3)
+    feats, feat_lens, labels, label_lens = _batch(cfg, B=2, seed=5)
+    batch = (jnp.tile(feats, (4, 1, 1)), jnp.tile(feat_lens, (4,)),
+             jnp.tile(labels, (4, 1)), jnp.tile(label_lens, (4,)))
+
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+
+    mesh = tp.make_mesh_2d(2, 4)
+    key = jax.random.PRNGKey(0)
+    if mode == "tp":
+        mp_state = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+            key, cfg, tcfg, 4))
+    else:
+        mp_state = tp.replicate_state(mesh, tp.init_sp_train_state(
+            key, cfg, tcfg))
+    stepN = tp.make_tp_train_step(cfg, tcfg, mesh, mode=mode)
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=2e-5)

@@ -232,11 +232,8 @@ def main(argv=None):
         if args.ctc_pretrain_steps > 0:
             raise SystemExit("--ctc-pretrain-steps is not supported with "
                              "--model-parallel")
-        if args.ctc_weight > 0:
-            # parallel/tp.py runs its own forward/loss; the CTC term is
-            # not threaded through it — fail loudly, don't ignore
-            raise SystemExit("--ctc-weight is not supported with "
-                             "--model-parallel")
+        # --ctc-weight is threaded through all four model-parallel loss
+        # paths (the CTC head is replicated over the model axis).
         if args.mwer_steps > 0:
             raise SystemExit("--mwer-steps is not supported with "
                              "--model-parallel")
@@ -258,11 +255,14 @@ def main(argv=None):
         # --ema-decay works under tp/sp/pp/ep: the sharded states carry
         # an EMA pytree in the same layout and load_plain_params merges
         # its shards like the live params.
-        if cfg.enc_type != "lstm":
+        if cfg.enc_type != "lstm" and args.parallel_mode != "sp":
             # tp gate-shards LSTM kernels and pp stages LSTM layers; the
-            # conformer encoder is not threaded through them.
-            raise SystemExit("enc_type='conformer' is not supported with "
-                             "--model-parallel (use data parallelism)")
+            # conformer encoder is not threaded through them. "sp" keeps
+            # the encoder replicated and shards only the joint+loss
+            # frames, so conformers work there.
+            raise SystemExit("enc_type='conformer' with --model-parallel "
+                             "requires --parallel-mode sp (or data "
+                             "parallelism)")
         if cfg.pred_type == "stateless" and args.parallel_mode == "tp":
             # tp gate-shards the predictor LSTMs; the stateless decoder
             # has no LSTM to shard (it is tiny — use sp/pp instead).
