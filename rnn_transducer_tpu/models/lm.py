@@ -21,6 +21,13 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from rnn_transducer_tpu.models.lm_transformer import (
+    TransformerLMConfig,
+    init_transformer_lm_params,
+    init_transformer_lm_state,
+    transformer_lm_forward,
+    transformer_lm_step,
+)
 from rnn_transducer_tpu.ops.lstm import init_lstm_params, lstm_cell, lstm_layer
 
 Params = dict[str, Any]
@@ -44,7 +51,9 @@ class LMConfig:
         return jnp.dtype(self.compute_dtype)
 
 
-def init_lm_params(key, cfg: LMConfig) -> Params:
+def init_lm_params(key, cfg) -> Params:
+    if isinstance(cfg, TransformerLMConfig):
+        return init_transformer_lm_params(key, cfg)
     ke, kl, kw, kb = jax.random.split(key, 4)
     layers = []
     in_dim = cfg.embed_dim
@@ -64,7 +73,9 @@ def init_lm_params(key, cfg: LMConfig) -> Params:
     }
 
 
-def init_lm_state(cfg: LMConfig, batch: int):
+def init_lm_state(cfg, batch: int):
+    if isinstance(cfg, TransformerLMConfig):
+        return init_transformer_lm_state(cfg, batch)
     return [(jnp.zeros((batch, cfg.hidden), jnp.float32),
              jnp.zeros((batch, cfg.hidden), jnp.float32))
             for _ in range(cfg.layers)]
@@ -77,23 +88,30 @@ def _out_logits(params: Params, cfg: LMConfig, x):
             + params["out"]["b"].astype(jnp.float32))
 
 
-def lm_forward(params: Params, cfg: LMConfig, labels):
+def lm_forward(params: Params, cfg, labels):
     """Next-token logits over blank-prefixed labels.
 
     labels: (B, U) -> logits (B, U, V): position u predicts labels[:, u]
     from the prefix labels[:, :u] (u=0 conditions on BOS only).
+    Dispatches to the transformer LM (models/lm_transformer.py) when cfg
+    is a TransformerLMConfig.
     """
     B, U = labels.shape
     bos = jnp.full((B, 1), BOS_ID, labels.dtype)
-    x = params["embed"][jnp.concatenate([bos, labels[:, :-1]], axis=1)]
+    tokens_in = jnp.concatenate([bos, labels[:, :-1]], axis=1)
+    if isinstance(cfg, TransformerLMConfig):
+        return transformer_lm_forward(params, cfg, tokens_in)
+    x = params["embed"][tokens_in]
     for layer in params["lstm"]:
         x, _ = lstm_layer(layer, x, compute_dtype=cfg.cdtype)
     return _out_logits(params, cfg, x)
 
 
-def lm_step(params: Params, cfg: LMConfig, token, states):
+def lm_step(params: Params, cfg, token, states):
     """One decode step: token (B,) int32 -> (next-token log-probs (B, V),
     new states). Feed `BOS_ID` for the first step."""
+    if isinstance(cfg, TransformerLMConfig):
+        return transformer_lm_step(params, cfg, token, states)
     x = params["embed"][token]
     new_states = []
     for layer, (h, c) in zip(params["lstm"], states):
@@ -107,7 +125,7 @@ def lm_step(params: Params, cfg: LMConfig, token, states):
     return jax.nn.log_softmax(_out_logits(params, cfg, x), axis=-1), new_states
 
 
-def lm_sequence_logprob(params: Params, cfg: LMConfig, labels, label_lens):
+def lm_sequence_logprob(params: Params, cfg, labels, label_lens):
     """Total log P_lm of each label sequence: (B, U), (B,) -> (B,)."""
     logits = lm_forward(params, cfg, labels)
     lp = jax.nn.log_softmax(logits, axis=-1)
@@ -118,7 +136,7 @@ def lm_sequence_logprob(params: Params, cfg: LMConfig, labels, label_lens):
     return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=-1)
 
 
-def rescore_nbest(lm_params, cfg: LMConfig, tokens, lens, am_scores, *,
+def rescore_nbest(lm_params, cfg, tokens, lens, am_scores, *,
                   weight: float, length_bonus: float = 0.0):
     """Rerank an N-best list with one batched LM pass.
 
@@ -146,13 +164,15 @@ def load_lm(ckpt_dir: str):
     if "lm_config" not in meta:
         raise ValueError(f"{ckpt_dir}/meta.json has no lm_config — not an "
                          "LM checkpoint (tools/train_lm.py writes one)")
-    cfg = LMConfig(**meta["lm_config"])
+    lc = meta["lm_config"]
+    # transformer checkpoints are recognizable by their config fields
+    cfg = (TransformerLMConfig(**lc) if "d_model" in lc else LMConfig(**lc))
     target = {"params": init_lm_params(jrandom.PRNGKey(0), cfg)}
     tree, _ = ckpt.restore_checkpoint(ckpt_dir, target)
     return tree["params"], cfg
 
 
-def lm_loss(params: Params, cfg: LMConfig, labels, label_lens):
+def lm_loss(params: Params, cfg, labels, label_lens):
     """Mean next-token NLL over valid positions (the LM training loss)."""
     logits = lm_forward(params, cfg, labels)
     lp = jax.nn.log_softmax(logits, axis=-1)

@@ -30,9 +30,18 @@ def parse_args(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--vocab-size", type=int, required=True,
                    help="must equal the acoustic model's vocab_size")
-    p.add_argument("--embed-dim", type=int, default=128)
+    p.add_argument("--arch", default="lstm", choices=["lstm", "transformer"],
+                   help="LM architecture (transformer = causal decoder "
+                        "with KV-cache step decoding, models/"
+                        "lm_transformer.py)")
+    p.add_argument("--embed-dim", type=int, default=128,
+                   help="lstm: embedding dim; transformer: d_model")
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--layers", type=int, default=1)
+    p.add_argument("--heads", type=int, default=4, help="transformer only")
+    p.add_argument("--max-len", type=int, default=512,
+                   help="transformer KV-cache capacity (>= decoder "
+                        "max_symbols)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--max-labels", type=int, default=200)
@@ -75,10 +84,16 @@ def main(argv=None):
 
     from rnn_transducer_tpu.models.lm import (LMConfig, init_lm_params,
                                               lm_loss)
+    from rnn_transducer_tpu.models.lm_transformer import TransformerLMConfig
     from rnn_transducer_tpu.train import checkpoint as ckpt
 
-    cfg = LMConfig(vocab_size=args.vocab_size, embed_dim=args.embed_dim,
-                   hidden=args.hidden, layers=args.layers)
+    if args.arch == "transformer":
+        cfg = TransformerLMConfig(vocab_size=args.vocab_size,
+                                  d_model=args.embed_dim, heads=args.heads,
+                                  layers=args.layers, max_len=args.max_len)
+    else:
+        cfg = LMConfig(vocab_size=args.vocab_size, embed_dim=args.embed_dim,
+                       hidden=args.hidden, layers=args.layers)
     params = init_lm_params(jax.random.PRNGKey(args.seed), cfg)
     opt = optax.chain(optax.clip_by_global_norm(5.0),
                       optax.adamw(args.lr))
