@@ -57,6 +57,24 @@ def rnnt_loss_multiblank(logits, labels, frame_lens, label_lens,
 
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     lp_y = _gather_label_logprobs(lp, labels)  # (B, T, U1)
+    lp_blanks = jnp.stack([lp[:, :, :, c] for c in cols], axis=-1)
+    return rnnt_loss_multiblank_from_lp(lp_blanks, lp_y, frame_lens,
+                                        label_lens, durations)
+
+
+def rnnt_loss_multiblank_from_lp(lp_blanks, lp_y, frame_lens, label_lens,
+                                 durations):
+    """Multi-blank loss from pre-extracted per-cell log-prob streams.
+
+    lp_blanks: (B, T, U+1, K+1) — column 0 the standard blank, then one
+    per big-blank duration (same order as `durations`); lp_y: (B, T,
+    U+1) label log-probs. This is the boundary the sequence-parallel
+    path (parallel/tp.py sp_joint_loss) all-gathers across frame
+    shards — the O(T*U*V) softmax/gather stays shard-local and only
+    these (B, T, U+1) streams travel.
+    """
+    B, T, U1, _ = lp_blanks.shape
+    ds = (1,) + tuple(int(d) for d in durations)
 
     t_ids = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     u_ids = jnp.arange(U1, dtype=jnp.int32)[None, None, :]
@@ -70,9 +88,9 @@ def rnnt_loss_multiblank(logits, labels, frame_lens, label_lens,
     # blank type k from row tau' consumes frames tau'..tau'+d_k-1: every
     # consumed frame must be valid (exact-consumption acceptance)
     lp_blanks_m = []
-    for d, col in zip(ds, cols):
+    for j, d in enumerate(ds):
         ok = (t_ids + d <= t_len) & (u_ids <= u_len)
-        lp_blanks_m.append(jnp.where(ok, lp[:, :, :, col], NEG_INF))
+        lp_blanks_m.append(jnp.where(ok, lp_blanks[:, :, :, j], NEG_INF))
 
     # row 0: emissions on frame 0 only
     row0 = jnp.concatenate(

@@ -60,6 +60,21 @@ def rnnt_loss_tdt(logits, dur_logits, labels, frame_lens, label_lens,
     lp_dur = jax.nn.log_softmax(dur_logits.astype(jnp.float32), axis=-1)
     lp_y = _gather_label_logprobs(lp_tok, labels)  # (B, T, U1)
     lp_b = lp_tok[:, :, :, blank]
+    return rnnt_loss_tdt_from_lp(lp_b, lp_y, lp_dur, frame_lens,
+                                 label_lens, ds)
+
+
+def rnnt_loss_tdt_from_lp(lp_b, lp_y, lp_dur, frame_lens, label_lens,
+                          durations):
+    """TDT loss from pre-extracted per-cell log-prob streams.
+
+    lp_b, lp_y: (B, T, U+1) blank/label token log-probs; lp_dur:
+    (B, T, U+1, D) duration log-probs (same order as `durations`).
+    The boundary the sequence-parallel path all-gathers across frame
+    shards (parallel/tp.py sp_joint_loss).
+    """
+    B, T, U1 = lp_b.shape
+    ds = tuple(int(d) for d in durations)
 
     t_ids = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     u_ids = jnp.arange(U1, dtype=jnp.int32)[None, None, :]

@@ -436,12 +436,41 @@ def sp_joint_loss(params, cfg: TransducerConfig, enc_out, enc_lens,
     cd = cfg.cdtype
     logits_l = (jnp.dot(z.astype(cd), out["w"].astype(cd),
                         preferred_element_type=jnp.float32)
-                + out["b"].astype(jnp.float32))  # (B, Tl, U1, V)
+                + out["b"].astype(jnp.float32))  # (B, Tl, U1, C)
     lp = jax.nn.log_softmax(logits_l, axis=-1)
-    lp_blank = jax.lax.all_gather(lp[..., cfg.blank], axis, axis=1,
-                                  tiled=True)[:, :T]
-    lp_y = jax.lax.all_gather(
-        _gather_label_logprobs(lp, labels), axis, axis=1, tiled=True)[:, :T]
+    gather_t = lambda a: jax.lax.all_gather(a, axis, axis=1,
+                                            tiled=True)[:, :T]
+    lp_y = gather_t(_gather_label_logprobs(lp, labels))
+    if cfg.tdt_durations:
+        # duration head off the same shard-local activation; only the
+        # (B, T, U1) / (B, T, U1, D) streams travel the model axis
+        if fastemit:
+            raise ValueError("fastemit_lambda is not supported with TDT "
+                             "models")
+        from rnn_transducer_tpu.ops.rnnt_tdt import rnnt_loss_tdt_from_lp
+        dur = params["joint"]["dur"]
+        dur_l = (jnp.dot(z.astype(cd), dur["w"].astype(cd),
+                         preferred_element_type=jnp.float32)
+                 + dur["b"].astype(jnp.float32))
+        lp_dur = gather_t(jax.nn.log_softmax(dur_l, axis=-1))
+        return rnnt_loss_tdt_from_lp(gather_t(lp[..., cfg.blank]), lp_y,
+                                     lp_dur, enc_lens, label_lens,
+                                     cfg.tdt_durations)
+    if cfg.big_blank_durations:
+        if fastemit:
+            raise ValueError("fastemit_lambda is not supported with "
+                             "multi-blank models")
+        from rnn_transducer_tpu.ops.rnnt_multiblank import \
+            rnnt_loss_multiblank_from_lp
+        cols = (cfg.blank,) + tuple(
+            cfg.vocab_size + k
+            for k in range(len(cfg.big_blank_durations)))
+        lp_blanks = gather_t(jnp.stack([lp[..., c] for c in cols],
+                                       axis=-1))
+        return rnnt_loss_multiblank_from_lp(lp_blanks, lp_y, enc_lens,
+                                            label_lens,
+                                            cfg.big_blank_durations)
+    lp_blank = gather_t(lp[..., cfg.blank])
     return rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens, fastemit)
 
 

@@ -320,3 +320,44 @@ def test_train_recognize_cli_roundtrip(tmp_path, capsys):
                     "--chunk-frames", "8"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mode"] == "streaming"
+
+
+def test_tdt_sequence_parallel_lockstep():
+    """TDT training under --parallel-mode sp: token + duration streams
+    extracted shard-locally, from_lp loss — 2-step trajectory == single
+    device."""
+    import pytest as _pytest
+
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.parallel import tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg = _cfg(durs=(0, 1, 2))
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="xla")
+    rng = np.random.default_rng(12)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, cfg.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 3)),
+                         jnp.int32),
+             jnp.full((8,), 3, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.replicate_state(mesh, tp.init_sp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg))
+    stepN = tp.make_tp_train_step(cfg, tcfg, mesh, mode="sp")
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=2e-5)

@@ -237,12 +237,14 @@ def main(argv=None):
         if args.mwer_steps > 0:
             raise SystemExit("--mwer-steps is not supported with "
                              "--model-parallel")
-        if cfg.big_blank_durations or cfg.tdt_durations:
-            # The tp/sp joint+loss paths shard the standard lattice; the
-            # multi-blank/TDT transitions are not threaded through them.
-            raise SystemExit("--big-blanks/--tdt-durations are not "
-                             "supported with --model-parallel (use data "
-                             "parallelism)")
+        if ((cfg.big_blank_durations or cfg.tdt_durations)
+                and args.parallel_mode != "sp"):
+            # sp extracts the per-cell streams shard-locally and feeds
+            # the from_lp losses; tp's vocab sharding and pp's staged
+            # encoder do not thread the duration transitions.
+            raise SystemExit("--big-blanks/--tdt-durations with "
+                             "--model-parallel require --parallel-mode "
+                             "sp (or data parallelism)")
         # dropout/embed_dropout ARE threaded through the tp/sp/pp/ep
         # steps (parallel/tp.py dropout_rngs: per-GLOBAL-example keys,
         # replicated over the model axis) — no guard needed.
