@@ -234,10 +234,28 @@ def init_pp_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
                       ema=_init_ema(params, tcfg))
 
 
+def pp_ctc_loss_fn(local: TPParams, cfg: TransducerConfig, feats,
+                   feat_lens, labels, label_lens, *, pp: int,
+                   microbatches: int):
+    """CTC pretraining loss through the GPipe-staged encoder (the CTC
+    head is replicated)."""
+    from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
+    enc_out, enc_lens = pp_encode(local.shd["encoder"], cfg, feats,
+                                  feat_lens, pp=pp,
+                                  microbatches=microbatches)
+    per_utt = ctc_loss_from_logits(
+        m.ctc_logits(local.rep, cfg, enc_out), labels, enc_lens,
+        label_lens, cfg.blank)
+    return jnp.mean(per_utt), per_utt
+
+
 def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
-                       microbatches: int | None = None):
+                       microbatches: int | None = None,
+                       loss_kind: str = "rnnt"):
     """Jitted update step: pipeline-parallel encoder over "model", data
-    parallel over "data". Mirrors tp.make_tp_train_step's semantics."""
+    parallel over "data". Mirrors tp.make_tp_train_step's semantics
+    (incl. loss_kind="ctc" for the pretraining phase)."""
+    assert loss_kind in ("rnnt", "ctc"), loss_kind
     pp = mesh.shape[MODEL_AXIS]
     M = microbatches if microbatches is not None else 2 * pp
     tx = make_optimizer_noclip(tcfg)
@@ -251,10 +269,15 @@ def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
                         if has_do else None),
                   ctc_weight=tcfg.ctc_weight)
 
-        def batch_loss(p):
-            return pp_loss_fn(p, cfg, feats, feat_lens, labels, label_lens,
-                              pp=pp, microbatches=M,
-                              fastemit=tcfg.fastemit_lambda, **do)
+        if loss_kind == "ctc":
+            def batch_loss(p):
+                return pp_ctc_loss_fn(p, cfg, feats, feat_lens, labels,
+                                      label_lens, pp=pp, microbatches=M)
+        else:
+            def batch_loss(p):
+                return pp_loss_fn(p, cfg, feats, feat_lens, labels,
+                                  label_lens, pp=pp, microbatches=M,
+                                  fastemit=tcfg.fastemit_lambda, **do)
 
         loss_params = local.params
         if tcfg.weight_noise_std > 0.0:

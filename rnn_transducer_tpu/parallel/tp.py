@@ -155,9 +155,9 @@ def split_params_tp(params, cfg: TransducerConfig, mp: int) -> TPParams:
                     "bwd": _shard_lstm(layer["bwd"], mp)}
         return _shard_lstm(layer, mp)
 
+    stateless = cfg.pred_type == "stateless"
     shd = {
         "encoder": [shard_enc_layer(l) for l in params["encoder"]],
-        "predictor": [_shard_lstm(l, mp) for l in params["predictor"]],
         "joint_out": _shard_vocab_out(params["joint"]["out"], mp,
                                       cfg.vocab_size),
     }
@@ -166,6 +166,12 @@ def split_params_tp(params, cfg: TransducerConfig, mp: int) -> TPParams:
         "joint": {"enc_proj": params["joint"]["enc_proj"],
                   "pred_proj": params["joint"]["pred_proj"]},
     }
+    if stateless:
+        # the stateless decoder is one small linear — no LSTM gates to
+        # shard; replicate it (grad pmean over the model axis)
+        rep["predictor"] = params["predictor"]
+    else:
+        shd["predictor"] = [_shard_lstm(l, mp) for l in params["predictor"]]
     if "ctc_head" in params:
         rep["ctc_head"] = params["ctc_head"]
     return TPParams(rep=rep, shd=shd)
@@ -183,7 +189,8 @@ def merge_params_tp(tp: TPParams, cfg: TransducerConfig) -> dict:
     params = {
         "encoder": [merge_enc_layer(l) for l in tp.shd["encoder"]],
         "embed": tp.rep["embed"],
-        "predictor": [_merge_lstm(l) for l in tp.shd["predictor"]],
+        "predictor": (tp.rep["predictor"] if "predictor" in tp.rep
+                      else [_merge_lstm(l) for l in tp.shd["predictor"]]),
         "joint": {
             "enc_proj": tp.rep["joint"]["enc_proj"],
             "pred_proj": tp.rep["joint"]["pred_proj"],
@@ -224,7 +231,9 @@ def _local_view(tp_local: TPParams) -> dict:
     params = {
         "encoder": tp_local.shd["encoder"],
         "embed": tp_local.rep["embed"],
-        "predictor": tp_local.shd["predictor"],
+        "predictor": (tp_local.rep["predictor"]
+                      if "predictor" in tp_local.rep
+                      else tp_local.shd["predictor"]),
         "joint": {
             "enc_proj": tp_local.rep["joint"]["enc_proj"],
             "pred_proj": tp_local.rep["joint"]["pred_proj"],
@@ -325,6 +334,10 @@ def tp_encode(params_local, cfg: TransducerConfig, feats, feat_lens, *,
 def tp_predict(params_local, cfg: TransducerConfig, labels, *,
                axis=MODEL_AXIS, dropout: float = 0.0,
                embed_dropout: float = 0.0, rngs=None):
+    if cfg.pred_type == "stateless":
+        # replicated tiny decoder: the single-device path verbatim
+        return m.predict(params_local, cfg, labels, dropout=dropout,
+                         embed_dropout=embed_dropout, rng=rngs)[0]
     B, U = labels.shape
     bos = jnp.full((B, 1), cfg.blank, labels.dtype)
     x = params_local["embed"][jnp.concatenate([bos, labels], axis=1)]
@@ -391,6 +404,32 @@ def tp_joint_loss(params_local, cfg: TransducerConfig, enc_out, enc_lens,
     lp_y = pick(jnp.broadcast_to(lab[:, None, :], (B, T, U1))) - den
     lp_y = lp_y.at[:, :, U1 - 1].set(NEG_INF)  # u = U has no label
     return rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens, fastemit)
+
+
+def tp_ctc_loss_fn(params_local, cfg: TransducerConfig, feats, feat_lens,
+                   labels, label_lens, *, axis=MODEL_AXIS):
+    """CTC pretraining loss with the gate-sharded encoder (the CTC head
+    is replicated; logits are identical on every model shard)."""
+    from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
+    enc_out, enc_lens = tp_encode(params_local, cfg, feats, feat_lens,
+                                  axis=axis)
+    per_utt = ctc_loss_from_logits(
+        m.ctc_logits(params_local, cfg, enc_out), labels, enc_lens,
+        label_lens, cfg.blank)
+    return jnp.mean(per_utt), per_utt
+
+
+def rep_ctc_loss_fn(params, cfg: TransducerConfig, feats, feat_lens,
+                    labels, label_lens):
+    """CTC pretraining loss on fully replicated params (sp/ep modes —
+    the model axis carries no CTC computation; grads pmean to
+    themselves)."""
+    from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens)
+    per_utt = ctc_loss_from_logits(
+        m.ctc_logits(params, cfg, enc_out), labels, enc_lens, label_lens,
+        cfg.blank)
+    return jnp.mean(per_utt), per_utt
 
 
 def tp_loss_fn(params_local, cfg: TransducerConfig, feats, feat_lens,
@@ -676,7 +715,7 @@ def init_sp_train_state(key, cfg: TransducerConfig,
 
 
 def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
-                       mode: str = "tp"):
+                       mode: str = "tp", loss_kind: str = "rnnt"):
     """Jitted update step over a (data, model) mesh.
 
     mode="tp": TPParams state (gate-sharded LSTMs + vocab-parallel loss).
@@ -684,8 +723,12 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
     mode="ep": TPParams state (expert-sharded MoE joint, frame-sharded
     lattice; cfg.joint_experts > 0).
     Batches are sharded over "data" and replicated over "model".
+    loss_kind="ctc" builds the CTC-pretraining phase step (auxiliary
+    encoder head; same state/optimizer layout, so train.py swaps
+    between the phase steps freely).
     """
     assert mode in ("tp", "sp", "ep"), mode
+    assert loss_kind in ("rnnt", "ctc"), loss_kind
     mp = mesh.shape[MODEL_AXIS]
     tx = make_optimizer_noclip(tcfg)
     is_tp = mode in ("tp", "ep")  # TPParams state layout + shd grad rules
@@ -698,7 +741,22 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
                   rngs=(dropout_rngs(tcfg, local.step, feats.shape[0])
                         if has_do else None),
                   ctc_weight=tcfg.ctc_weight)
-        if mode == "tp":
+        if loss_kind == "ctc":
+            if mode == "tp":
+                def batch_loss(p):
+                    return tp_ctc_loss_fn(_local_view(p), cfg, feats,
+                                          feat_lens, labels, label_lens)
+            elif mode == "ep":
+                def batch_loss(p):
+                    rep = {k: v for k, v in p.rep.items()
+                           if k != "moe_router"}
+                    return rep_ctc_loss_fn(rep, cfg, feats, feat_lens,
+                                           labels, label_lens)
+            else:
+                def batch_loss(p):
+                    return rep_ctc_loss_fn(p, cfg, feats, feat_lens,
+                                           labels, label_lens)
+        elif mode == "tp":
             def batch_loss(p):
                 return tp_loss_fn(_local_view(p), cfg, feats, feat_lens,
                                   labels, label_lens, fastemit=fe, **do)

@@ -44,10 +44,12 @@ def test_train_cli_model_parallel(mode, mp, tmp_path, capsys):
         cfg_path.write_text(json.dumps(dataclasses.asdict(c)))
         cfg = str(cfg_path)
     extra = ["--microbatches", "2"] if mode == "pp" else []
-    # dropout rides along: threaded through every model-parallel mode
+    # dropout + a 1-step CTC pretraining phase ride along: both are
+    # threaded through every model-parallel mode
     train.main(["--config", cfg, "--steps", "2",
                 "--data-parallel", "2", "--model-parallel", str(mp),
-                "--parallel-mode", mode, "--dropout", "0.1"] + extra + SMALL)
+                "--parallel-mode", mode, "--dropout", "0.1",
+                "--ctc-pretrain-steps", "1"] + extra + SMALL)
     res = _last_json(capsys)
     assert res["steps"] == 2 and np.isfinite(res["final_loss"])
 

@@ -158,3 +158,34 @@ def test_model_parallel_ctc_weight_lockstep(mode):
         mp_state, info = stepN(mp_state, *mp_batch)
         got.append(float(info["loss"]))
     np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["tp", "sp"])
+def test_model_parallel_ctc_pretrain_step_lockstep(mode):
+    """The CTC-pretraining phase step under tp/sp matches the
+    single-device ctc step loss."""
+    from rnn_transducer_tpu.parallel import tp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = _cfg()
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_steps=2,
+                       total_steps=6, loss_impl="xla")
+    feats, feat_lens, labels, label_lens = _batch(cfg, B=2, seed=7)
+    batch = (jnp.tile(feats, (4, 1, 1)), jnp.tile(feat_lens, (4,)),
+             jnp.tile(labels, (4, 1)), jnp.tile(label_lens, (4,)))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    _, info1 = make_train_step(cfg, tcfg, loss_kind="ctc")(state, *batch)
+    mesh = tp.make_mesh_2d(2, 4)
+    key = jax.random.PRNGKey(0)
+    if mode == "tp":
+        mp_state = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+            key, cfg, tcfg, 4))
+    else:
+        mp_state = tp.replicate_state(mesh, tp.init_sp_train_state(
+            key, cfg, tcfg))
+    stepN = tp.make_tp_train_step(cfg, tcfg, mesh, mode=mode,
+                                  loss_kind="ctc")
+    _, infoN = stepN(mp_state, *tp.shard_batch_2d(mesh, batch))
+    np.testing.assert_allclose(float(infoN["loss"]), float(info1["loss"]),
+                               rtol=2e-5)

@@ -141,3 +141,44 @@ def test_trains_toy_task():
     # measured: context=3 reaches 14/16; context=2 saturates at 12/16 at
     # near-zero loss — the documented accuracy cost of the bounded context
     assert exact >= 13, exact
+
+
+def test_stateless_tensor_parallel_lockstep():
+    """Stateless predictor under tp: the tiny linear decoder replicates
+    over the model axis (no gates to shard) — 2-step loss trajectory ==
+    single device."""
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.parallel import tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="xla")
+    rng = np.random.default_rng(21)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, CFG.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, CFG.vocab_size, (8, 3)),
+                         jnp.int32),
+             jnp.full((8,), 3, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), CFG, tcfg)
+    step1 = make_train_step(CFG, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+        jax.random.PRNGKey(0), CFG, tcfg, 4))
+    stepN = tp.make_tp_train_step(CFG, tcfg, mesh, mode="tp")
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    # merged params roundtrip preserves the stateless predictor
+    merged = tp.merge_params_tp(jax.device_get(mp_state.params), CFG)
+    assert "w" in merged["predictor"][0]

@@ -229,9 +229,6 @@ def main(argv=None):
 
     if par_mode is not None:
         # 2-D (data, model) mesh: tp / sp / pp (docs/PARALLELISM.md).
-        if args.ctc_pretrain_steps > 0:
-            raise SystemExit("--ctc-pretrain-steps is not supported with "
-                             "--model-parallel")
         # --ctc-weight is threaded through all four model-parallel loss
         # paths (the CTC head is replicated over the model axis).
         if args.mwer_steps > 0:
@@ -265,11 +262,8 @@ def main(argv=None):
             raise SystemExit("enc_type='conformer' with --model-parallel "
                              "requires --parallel-mode sp (or data "
                              "parallelism)")
-        if cfg.pred_type == "stateless" and args.parallel_mode == "tp":
-            # tp gate-shards the predictor LSTMs; the stateless decoder
-            # has no LSTM to shard (it is tiny — use sp/pp instead).
-            raise SystemExit("pred_type='stateless' is not supported with "
-                             "--parallel-mode tp")
+        # pred_type='stateless' under tp: the tiny linear decoder is
+        # replicated (parallel/tp.py split_params_tp) — no guard needed.
         from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
         n_data = args.data_parallel or max(1, len(jax.devices()) // mp)
         mesh = tpx.make_mesh_2d(n_data, mp)
@@ -316,7 +310,19 @@ def main(argv=None):
             if par_mode == "ep":
                 return tpx.merge_params_ep(p, cfg)
             return p
-        ctc_step_fn = None
+        # CTC pretraining phase under model parallelism: same sharded
+        # state/optimizer, the CTC loss replaces the transducer loss for
+        # the first N steps (parallel/tp.py, parallel/pipeline.py).
+        if args.ctc_pretrain_steps > 0:
+            ctc_step_fn = (
+                ppx.make_pp_train_step(cfg, tcfg, mesh,
+                                       args.microbatches or None,
+                                       loss_kind="ctc")
+                if par_mode == "pp" else
+                tpx.make_tp_train_step(cfg, tcfg, mesh, par_mode,
+                                       loss_kind="ctc"))
+        else:
+            ctc_step_fn = None
         mwer_step_fn = None
     else:
         n_dev = args.data_parallel or len(jax.devices())
