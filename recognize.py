@@ -207,9 +207,6 @@ def main(argv=None):
     # Every decode returns (tokens, lens, frames-or-None); frames are
     # per-token encoder-frame emission indices when --timestamps is set.
     ts = args.timestamps
-    if ts and args.lm_rescore:
-        raise SystemExit("--timestamps is not supported with --lm-rescore "
-                         "(rescoring reorders beams after the search)")
     if args.mode == "greedy":
         greedy_jit = jax.jit(lambda p, f, l: recognize_greedy(
             p, cfg, f, l, max_symbols=args.max_symbols,
@@ -228,14 +225,20 @@ def main(argv=None):
                                          args.ilm_weight)))
         if args.lm_rescore and lm_params is not None:
             from rnn_transducer_tpu.models.lm import rescore_nbest
-            rescore_jit = jax.jit(lambda lmp, t, ln, s: rescore_nbest(
-                lmp, lm_cfg, t, ln, s, weight=args.lm_weight))
+            rescore_jit = jax.jit(lambda lmp, t, ln, s, e: rescore_nbest(
+                lmp, lm_cfg, t, ln, s, weight=args.lm_weight, extras=e))
 
             def decode(f, l):
-                toks, lens, scores = beam_jit(params, None, context, ngram,
-                                              f, l)
-                toks, lens, _ = rescore_jit(lm_params, toks, lens, scores)
-                return toks[:, 0], lens[:, 0], None
+                out = beam_jit(params, None, context, ngram, f, l)
+                toks, lens, scores = out[:3]
+                # per-token timestamps (if requested) are reordered with
+                # their beams through the rescore
+                extras = tuple(out[3:])
+                res = rescore_jit(lm_params, toks, lens, scores, extras)
+                toks, lens = res[0], res[1]
+                frames = res[3] if ts else None
+                return (toks[:, 0], lens[:, 0],
+                        frames[:, 0] if ts else None)
         else:
             def decode(f, l):
                 out = beam_jit(params, lm_params if fuse else None,

@@ -42,3 +42,34 @@ def spec_augment(key, feats, feat_lens, *, n_time_masks: int = 2,
 
     keep = (~t_masked)[:, :, None] & (~f_masked)[:, None, :]  # (B, T, F)
     return jnp.where(keep, feats, 0.0)
+
+
+def speed_perturb(key, feats, feat_lens, factors=(0.9, 1.0, 1.1)):
+    """Per-example speed perturbation in the FEATURE domain (the kaldi
+    3-way speed-perturb staple, applied as frame-rate resampling so no
+    audio re-extraction is needed). Each example draws one factor f from
+    `factors`; output frame i reads input position i*f by linear
+    interpolation, so f > 1 compresses (faster speech, fewer frames) and
+    f < 1 stretches. Fully jittable with static shapes: the output
+    keeps (B, T, F) and the new valid length ceil(len/f) is clipped to
+    T (stretched tails beyond the buffer are dropped, as with any
+    padded-bucket pipeline). f = 1.0 is an exact identity.
+
+    Returns (feats', feat_lens')."""
+    B, T, F = feats.shape
+    fac = jnp.asarray(factors, jnp.float32)
+    f = fac[jax.random.randint(key, (B,), 0, len(factors))]  # (B,)
+    lens = feat_lens.astype(jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.float32)[None, :] * f[:, None]  # (B, T)
+    last = jnp.maximum(lens - 1, 0).astype(jnp.float32)[:, None]
+    pos = jnp.minimum(pos, last)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - lo)[:, :, None]
+    hi = jnp.minimum(lo + 1, jnp.maximum(lens - 1, 0)[:, None])
+    take = lambda idx: jnp.take_along_axis(feats, idx[:, :, None], axis=1)
+    out = (1.0 - frac) * take(lo) + frac * take(hi)
+    new_lens = jnp.clip(jnp.ceil(lens.astype(jnp.float32) / f - 1e-6)
+                        .astype(jnp.int32), 0, T)
+    new_lens = jnp.where(lens == 0, 0, jnp.maximum(new_lens, 1))
+    valid = jnp.arange(T, dtype=jnp.int32)[None, :] < new_lens[:, None]
+    return jnp.where(valid[:, :, None], out, 0.0), new_lens

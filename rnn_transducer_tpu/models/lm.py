@@ -137,21 +137,27 @@ def lm_sequence_logprob(params: Params, cfg, labels, label_lens):
 
 
 def rescore_nbest(lm_params, cfg, tokens, lens, am_scores, *,
-                  weight: float, length_bonus: float = 0.0):
+                  weight: float, length_bonus: float = 0.0, extras=()):
     """Rerank an N-best list with one batched LM pass.
 
     The cheap alternative to per-step shallow fusion: tokens (B, K, U),
     lens (B, K), am_scores (B, K) -> (tokens, lens, scores) reordered by
-    am + weight * log P_lm + length_bonus * len, best first.
+    am + weight * log P_lm + length_bonus * len, best first. `extras` is
+    a tuple of additional (B, K, ...) beam-aligned arrays (per-token
+    timestamps, confidences, ...) reordered the same way and appended to
+    the return tuple.
     """
     B, K, U = tokens.shape
     lm_lp = lm_sequence_logprob(lm_params, cfg, tokens.reshape(B * K, U),
                                 lens.reshape(B * K)).reshape(B, K)
     total = am_scores + weight * lm_lp + length_bonus * lens
     order = jnp.argsort(-total, axis=-1)
-    return (jnp.take_along_axis(tokens, order[:, :, None], axis=1),
+    gather = lambda a: jnp.take_along_axis(
+        a, order.reshape(order.shape + (1,) * (a.ndim - 2)), axis=1)
+    return (gather(tokens),
             jnp.take_along_axis(lens, order, axis=1),
-            jnp.take_along_axis(total, order, axis=1))
+            jnp.take_along_axis(total, order, axis=1),
+            *(gather(e) for e in extras))
 
 
 def load_lm(ckpt_dir: str):

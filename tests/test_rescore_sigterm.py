@@ -96,6 +96,19 @@ def test_recognize_cli_lm_rescore(tmp_path, capsys):
                     "--lm-rescore", "--lm-weight", "0.5"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mode"] == "beam" and np.isfinite(out["wer"])
+    # --timestamps composes with rescoring: the per-token frames are
+    # reordered with their beams (rescore_nbest extras=)
+    hyps = str(tmp_path / "hyps.jsonl")
+    recognize.main(["--mode", "beam", "--ckpt-dir", ck, "--beam", "2",
+                    "--batch-size", "2", "--batches", "1",
+                    "--max-symbols", "4", "--lm-ckpt", lm_dir,
+                    "--lm-rescore", "--lm-weight", "0.5",
+                    "--timestamps", "--hyps-file", hyps])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["wer"])
+    with open(hyps) as f:
+        rec = json.loads(f.readline())
+    assert "frames" in rec and len(rec["frames"]) == len(rec["hyp"])
 
 
 def test_sigterm_checkpoints_and_stops(tmp_path, capsys):

@@ -68,6 +68,10 @@ def parse_args(argv=None):
                         "the pruned objective")
     p.add_argument("--spec-augment", action="store_true",
                    help="apply SpecAugment time/freq masking on features")
+    p.add_argument("--speed-perturb", default=None,
+                   help="per-example feature-domain speed perturbation: "
+                        "comma-separated factor set (kaldi staple "
+                        "'0.9,1.0,1.1'); applied before SpecAugment")
     p.add_argument("--sortagrad", action="store_true",
                    help="first epoch shortest-first (manifest data, "
                         "python loader)")
@@ -481,10 +485,22 @@ def main(argv=None):
         from rnn_transducer_tpu.data.augment import spec_augment
         aug_fn = jax.jit(spec_augment)
         aug_key = jax.random.PRNGKey(args.seed + 777)
+    if args.speed_perturb:
+        import functools
+
+        from rnn_transducer_tpu.data.augment import speed_perturb
+        sp_factors = tuple(float(x) for x in args.speed_perturb.split(","))
+        sp_fn = jax.jit(functools.partial(speed_perturb,
+                                          factors=sp_factors))
+        sp_key = jax.random.PRNGKey(args.seed + 778)
     for i, (feats, fl, labels, ll) in enumerate(batches):
         if i >= args.steps - start_step:
             break
         batch = tuple(jnp.asarray(x) for x in (feats, fl, labels, ll))
+        if args.speed_perturb:
+            sp_key, k = jax.random.split(sp_key)
+            sp_feats, sp_lens = sp_fn(k, batch[0], batch[1])
+            batch = (sp_feats, sp_lens) + batch[2:]
         if args.spec_augment:
             aug_key, k = jax.random.split(aug_key)
             batch = (aug_fn(k, batch[0], batch[1]),) + batch[1:]
