@@ -156,8 +156,20 @@ def split_params_tp(params, cfg: TransducerConfig, mp: int) -> TPParams:
         return _shard_lstm(layer, mp)
 
     stateless = cfg.pred_type == "stateless"
+    conformer = cfg.enc_type == "conformer"
+    if conformer:
+        assert cfg.enc_heads % mp == 0 and cfg.enc_hidden % mp == 0, (
+            f"conformer tp needs heads {cfg.enc_heads} and d_model "
+            f"{cfg.enc_hidden} divisible by mp {mp}")
+        blocks = [split_conformer_block_tp(b, mp)
+                  for b in params["encoder"][1:]]
+        enc_shd = [b[0] for b in blocks]
+        enc_rep = [b[1] for b in blocks]
+    else:
+        enc_shd = [shard_enc_layer(l) for l in params["encoder"]]
+        enc_rep = None
     shd = {
-        "encoder": [shard_enc_layer(l) for l in params["encoder"]],
+        "encoder": enc_shd,
         "joint_out": _shard_vocab_out(params["joint"]["out"], mp,
                                       cfg.vocab_size),
     }
@@ -172,6 +184,9 @@ def split_params_tp(params, cfg: TransducerConfig, mp: int) -> TPParams:
         rep["predictor"] = params["predictor"]
     else:
         shd["predictor"] = [_shard_lstm(l, mp) for l in params["predictor"]]
+    if conformer:
+        rep["enc_in_proj"] = params["encoder"][0]["in_proj"]
+        rep["enc_blocks"] = enc_rep
     if "ctc_head" in params:
         rep["ctc_head"] = params["ctc_head"]
     return TPParams(rep=rep, shd=shd)
@@ -186,8 +201,14 @@ def merge_params_tp(tp: TPParams, cfg: TransducerConfig) -> dict:
                     "bwd": _merge_lstm(layer["bwd"])}
         return _merge_lstm(layer)
 
+    if "enc_in_proj" in tp.rep:  # conformer encoder
+        encoder = [{"in_proj": tp.rep["enc_in_proj"]}] + [
+            merge_conformer_block_tp(s_, r_)
+            for s_, r_ in zip(tp.shd["encoder"], tp.rep["enc_blocks"])]
+    else:
+        encoder = [merge_enc_layer(l) for l in tp.shd["encoder"]]
     params = {
-        "encoder": [merge_enc_layer(l) for l in tp.shd["encoder"]],
+        "encoder": encoder,
         "embed": tp.rep["embed"],
         "predictor": (tp.rep["predictor"] if "predictor" in tp.rep
                       else [_merge_lstm(l) for l in tp.shd["predictor"]]),
@@ -228,8 +249,15 @@ def _tp_expand(tree):
 def _local_view(tp_local: TPParams) -> dict:
     """Per-shard parameter dict in the regular `params` layout (sharded
     leaves hold this shard's slice)."""
+    if "enc_in_proj" in tp_local.rep:  # conformer: pair shd/rep pieces
+        encoder = [{"in_proj": tp_local.rep["enc_in_proj"]}] + [
+            {"shd": s_, "rep": r_}
+            for s_, r_ in zip(tp_local.shd["encoder"],
+                              tp_local.rep["enc_blocks"])]
+    else:
+        encoder = tp_local.shd["encoder"]
     params = {
-        "encoder": tp_local.shd["encoder"],
+        "encoder": encoder,
         "embed": tp_local.rep["embed"],
         "predictor": (tp_local.rep["predictor"]
                       if "predictor" in tp_local.rep
@@ -257,6 +285,235 @@ def _with_ctc(per_utt, params, cfg, enc_out, enc_lens, labels,
         m.ctc_logits(params, cfg, enc_out), labels, enc_lens, label_lens,
         cfg.blank)
     return per_utt + ctc_weight * ctc_pu
+
+
+
+# --------------------------------------------------------------------------
+# Tensor-parallel conformer encoder (Megatron-style block sharding)
+# --------------------------------------------------------------------------
+#
+# Per block: FFN first linears column-shard and second linears row-shard
+# (one psum each); attention shards HEADS (q/k/v column slices are
+# head-contiguous, the relative-position bias shards its head axis, the
+# output projection row-shards + psum); the conv module runs GLU +
+# depthwise on its channel slice, all-gathers channels for the full-d
+# LayerNorm, then row-shards the output pointwise (+psum). LayerNorms
+# and the row-sharded output BIASES stay replicated (a psum would add
+# them mp times). Activations are replicated between ops — the standard
+# 2-collectives-per-sublayer tensor-parallel pattern riding ICI.
+
+def _split_cols(p, mp: int):
+    """{"w" (din, dout), "b" (dout,)} -> leading-mp column shards."""
+    din, dout = p["w"].shape
+    w = p["w"].reshape(din, mp, dout // mp)
+    return {"w": jnp.moveaxis(w, 1, 0), "b": p["b"].reshape(mp, -1)}
+
+
+def _merge_cols(p):
+    w = jnp.concatenate(list(p["w"]), axis=-1)
+    return {"w": w, "b": p["b"].reshape(-1)}
+
+
+def _split_rows(w, mp: int):
+    din, dout = w.shape
+    return w.reshape(mp, din // mp, dout)
+
+
+def _merge_rows(w):
+    return w.reshape(-1, w.shape[-1])
+
+
+def _split_glu_cols(p, mp: int):
+    """conv pw1 (d, 2d): shard the two GLU halves identically so each
+    shard's halves pair up."""
+    din, d2 = p["w"].shape
+    d = d2 // 2
+    wa = p["w"][:, :d].reshape(din, mp, d // mp)
+    wb = p["w"][:, d:].reshape(din, mp, d // mp)
+    w = jnp.concatenate([jnp.moveaxis(wa, 1, 0), jnp.moveaxis(wb, 1, 0)],
+                        axis=-1)  # (mp, din, 2*d/mp)
+    ba = p["b"][:d].reshape(mp, -1)
+    bb = p["b"][d:].reshape(mp, -1)
+    return {"w": w, "b": jnp.concatenate([ba, bb], axis=-1)}
+
+
+def _merge_glu_cols(p):
+    mp, din, dl2 = p["w"].shape
+    dl = dl2 // 2
+    wa = jnp.concatenate([p["w"][c, :, :dl] for c in range(mp)], axis=-1)
+    wb = jnp.concatenate([p["w"][c, :, dl:] for c in range(mp)], axis=-1)
+    ba = jnp.concatenate([p["b"][c, :dl] for c in range(mp)])
+    bb = jnp.concatenate([p["b"][c, dl:] for c in range(mp)])
+    return {"w": jnp.concatenate([wa, wb], axis=-1),
+            "b": jnp.concatenate([ba, bb])}
+
+
+def split_conformer_block_tp(blk, mp: int):
+    """One ops/conformer.py block -> (sharded piece, replicated piece)."""
+    shd = {
+        "ff1_in": _split_cols(blk["ff1"]["in"], mp),
+        "ff1_out_w": _split_rows(blk["ff1"]["out"]["w"], mp),
+        "ff2_in": _split_cols(blk["ff2"]["in"], mp),
+        "ff2_out_w": _split_rows(blk["ff2"]["out"]["w"], mp),
+        "att_q": _split_cols(blk["att"]["q"], mp),
+        "att_k": _split_cols(blk["att"]["k"], mp),
+        "att_v": _split_cols(blk["att"]["v"], mp),
+        "att_rel": blk["att"]["rel"].reshape(
+            mp, -1, blk["att"]["rel"].shape[-1]),
+        "att_o_w": _split_rows(blk["att"]["o"]["w"], mp),
+        "conv_pw1": _split_glu_cols(blk["conv"]["pw1"], mp),
+        "conv_dw_w": jnp.moveaxis(
+            blk["conv"]["dw_w"].reshape(blk["conv"]["dw_w"].shape[0], mp,
+                                        -1), 1, 0),
+        "conv_dw_b": blk["conv"]["dw_b"].reshape(mp, -1),
+        "conv_pw2_w": _split_rows(blk["conv"]["pw2"]["w"], mp),
+    }
+    rep = {
+        "ln_ff1": blk["ln_ff1"], "ln_att": blk["ln_att"],
+        "ln_conv": blk["ln_conv"], "ln_ff2": blk["ln_ff2"],
+        "ln_out": blk["ln_out"], "conv_ln": blk["conv"]["ln"],
+        "ff1_out_b": blk["ff1"]["out"]["b"],
+        "ff2_out_b": blk["ff2"]["out"]["b"],
+        "att_o_b": blk["att"]["o"]["b"],
+        "conv_pw2_b": blk["conv"]["pw2"]["b"],
+    }
+    return shd, rep
+
+
+def merge_conformer_block_tp(shd, rep):
+    """Inverse of split_conformer_block_tp (stacked leading-mp leaves)."""
+    return {
+        "ln_ff1": rep["ln_ff1"], "ln_att": rep["ln_att"],
+        "ln_conv": rep["ln_conv"], "ln_ff2": rep["ln_ff2"],
+        "ln_out": rep["ln_out"],
+        "ff1": {"in": _merge_cols(shd["ff1_in"]),
+                "out": {"w": _merge_rows(shd["ff1_out_w"]),
+                        "b": rep["ff1_out_b"]}},
+        "ff2": {"in": _merge_cols(shd["ff2_in"]),
+                "out": {"w": _merge_rows(shd["ff2_out_w"]),
+                        "b": rep["ff2_out_b"]}},
+        "att": {"q": _merge_cols(shd["att_q"]),
+                "k": _merge_cols(shd["att_k"]),
+                "v": _merge_cols(shd["att_v"]),
+                "rel": shd["att_rel"].reshape(
+                    -1, shd["att_rel"].shape[-1]),
+                "o": {"w": _merge_rows(shd["att_o_w"]),
+                      "b": rep["att_o_b"]}},
+        "conv": {"pw1": _merge_glu_cols(shd["conv_pw1"]),
+                 "dw_w": jnp.concatenate(list(shd["conv_dw_w"]), axis=-1),
+                 "dw_b": shd["conv_dw_b"].reshape(-1),
+                 "ln": rep["conv_ln"],
+                 "pw2": {"w": _merge_rows(shd["conv_pw2_w"]),
+                         "b": rep["conv_pw2_b"]}},
+    }
+
+
+def _tp_dense(p, x, cd):
+    return (jnp.dot(x.astype(cd), p["w"].astype(cd),
+                    preferred_element_type=jnp.float32)
+            + p["b"].astype(jnp.float32))
+
+
+def tp_conformer_block(shd, rep, x, lens, cfg, *, axis=MODEL_AXIS):
+    """One tensor-parallel conformer block on replicated activations
+    (mirrors ops/conformer.py conformer_block op for op)."""
+    import math as _math
+
+    from rnn_transducer_tpu.ops.conformer import (NEG_INF as ANEG,
+                                                  REL_CLIP, _ln)
+    from rnn_transducer_tpu.ops.lstm import mask_padding as _mask
+
+    cd = cfg.cdtype
+    B, T, D = x.shape
+    att_left = cfg.enc_att_left
+    psum = lambda a: jax.lax.psum(a, axis)
+
+    def ffn(ln_p, inp, out_w, out_b, xin):
+        h = _ln(ln_p, xin)
+        h = jax.nn.silu(_tp_dense(inp, h, cd))
+        part = jnp.dot(h.astype(cd), out_w.astype(cd),
+                       preferred_element_type=jnp.float32)
+        return psum(part) + out_b.astype(jnp.float32)
+
+    x = x + 0.5 * ffn(rep["ln_ff1"], shd["ff1_in"], shd["ff1_out_w"],
+                      rep["ff1_out_b"], x)
+
+    # ---- head-sharded attention ----
+    h = _ln(rep["ln_att"], x)
+    hl = shd["att_rel"].shape[0]  # local heads
+    dh = (D // cfg.enc_heads)
+    q = _tp_dense(shd["att_q"], h, cd).reshape(B, T, hl, dh)
+    k = _tp_dense(shd["att_k"], h, cd).reshape(B, T, hl, dh)
+    v = _tp_dense(shd["att_v"], h, cd).reshape(B, T, hl, dh)
+    logits = jnp.einsum("bthd,bshd->bhts", q.astype(cd), k.astype(cd),
+                        preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / _math.sqrt(dh))
+    t_ids = jnp.arange(T, dtype=jnp.int32)
+    ages = t_ids[:, None] - t_ids[None, :]
+    rel = jnp.clip(ages, -REL_CLIP, REL_CLIP)
+    logits = logits + shd["att_rel"][:, rel + REL_CLIP][None]
+    key_ok = (t_ids[None, :] < lens.astype(jnp.int32)[:, None])[:, None, :]
+    if att_left > 0:
+        key_ok = key_ok & ((ages >= 0) & (ages <= att_left))[None]
+    logits = jnp.where(key_ok[:, None], logits, ANEG)
+    w = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum("bhts,bshd->bthd", w.astype(cd), v.astype(cd),
+                     preferred_element_type=jnp.float32)
+    part = jnp.dot(ctx.reshape(B, T, hl * dh).astype(cd),
+                   shd["att_o_w"].astype(cd),
+                   preferred_element_type=jnp.float32)
+    x = x + psum(part) + rep["att_o_b"].astype(jnp.float32)
+
+    # ---- channel-sharded conv module ----
+    h = _ln(rep["ln_conv"], x)
+    g = _tp_dense(shd["conv_pw1"], h, cd)  # (B, T, 2*dl)
+    dl = g.shape[-1] // 2
+    g = g[..., :dl] * jax.nn.sigmoid(g[..., dl:])  # GLU, local channels
+    g = _mask(g, lens)
+    K = shd["conv_dw_w"].shape[0]
+    kern = shd["conv_dw_w"].astype(jnp.float32)[:, None, :]
+    pad = [(K - 1, 0)] if att_left > 0 else [((K - 1) // 2, K // 2)]
+    g = jax.lax.conv_general_dilated(
+        g, kern, window_strides=(1,), padding=pad,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=dl) + shd["conv_dw_b"].astype(jnp.float32)
+    full = jax.lax.all_gather(g, axis, axis=2, tiled=True)  # (B, T, D)
+    h2 = jax.nn.silu(_ln(rep["conv_ln"], full))
+    c = jax.lax.axis_index(axis)
+    local = jax.lax.dynamic_slice_in_dim(h2, c * dl, dl, axis=2)
+    part = jnp.dot(local.astype(cd), shd["conv_pw2_w"].astype(cd),
+                   preferred_element_type=jnp.float32)
+    x = x + psum(part) + rep["conv_pw2_b"].astype(jnp.float32)
+
+    x = x + 0.5 * ffn(rep["ln_ff2"], shd["ff2_in"], shd["ff2_out_w"],
+                      rep["ff2_out_b"], x)
+    return _ln(rep["ln_out"], x)
+
+
+def tp_conformer_encode(enc_layers, cfg: TransducerConfig, feats,
+                        feat_lens, *, axis=MODEL_AXIS, dropout: float = 0.0,
+                        rngs=None):
+    """Mirror of models.transducer.encode's conformer branch with
+    tensor-parallel blocks. enc_layers: _local_view layout — entry 0 =
+    {"in_proj": replicated}, then per block {"shd": ..., "rep": ...}."""
+    from rnn_transducer_tpu.ops.lstm import mask_padding as _mask
+
+    x = _mask(feats.astype(jnp.float32), feat_lens)
+    lens = feat_lens
+    cd = cfg.cdtype
+    if cfg.time_reduction > 1:
+        x, lens = m._time_reduce(x, lens, cfg.time_reduction)
+    proj = enc_layers[0]["in_proj"]
+    x = (jnp.dot(x.astype(cd), proj["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + proj["b"].astype(jnp.float32))
+    n = cfg.enc_layers
+    for i, layer in enumerate(enc_layers[1:]):
+        x = tp_conformer_block(layer["shd"], layer["rep"], x, lens, cfg,
+                               axis=axis)
+        if dropout > 0.0 and rngs is not None and i < n - 1:
+            x = m._dropout(x, dropout, rngs, site=i)
+    return _mask(x, lens), lens
 
 
 # --------------------------------------------------------------------------
@@ -313,6 +570,10 @@ def tp_encode(params_local, cfg: TransducerConfig, feats, feat_lens, *,
     (same inter-layer dropout sites as the single-device path; the
     replicated layer outputs draw identical masks on every model
     shard)."""
+    if cfg.enc_type == "conformer":
+        return tp_conformer_encode(params_local["encoder"], cfg, feats,
+                                   feat_lens, axis=axis, dropout=dropout,
+                                   rngs=rngs)
     x = mask_padding(feats.astype(jnp.float32), feat_lens)
     lens = feat_lens
     cd = cfg.cdtype

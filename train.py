@@ -258,13 +258,14 @@ def main(argv=None):
         # --ema-decay works under tp/sp/pp/ep: the sharded states carry
         # an EMA pytree in the same layout and load_plain_params merges
         # its shards like the live params.
-        if cfg.enc_type != "lstm" and args.parallel_mode != "sp":
-            # tp gate-shards LSTM kernels and pp stages LSTM layers; the
-            # conformer encoder is not threaded through them. "sp" keeps
-            # the encoder replicated and shards only the joint+loss
-            # frames, so conformers work there.
+        if cfg.enc_type != "lstm" and args.parallel_mode not in ("sp",
+                                                                  "tp"):
+            # pp stages LSTM layers; the conformer encoder is not
+            # threaded through it. "tp" shards conformer heads/FFN
+            # channels (Megatron-style, parallel/tp.py); "sp" keeps the
+            # encoder replicated and shards the joint+loss frames.
             raise SystemExit("enc_type='conformer' with --model-parallel "
-                             "requires --parallel-mode sp (or data "
+                             "requires --parallel-mode tp|sp (or data "
                              "parallelism)")
         # pred_type='stateless' under tp: the tiny linear decoder is
         # replicated (parallel/tp.py split_params_tp) — no guard needed.
