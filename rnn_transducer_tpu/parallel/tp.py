@@ -986,10 +986,14 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
     Batches are sharded over "data" and replicated over "model".
     loss_kind="ctc" builds the CTC-pretraining phase step (auxiliary
     encoder head; same state/optimizer layout, so train.py swaps
-    between the phase steps freely).
+    between the phase steps freely). loss_kind="mwer" (mode="sp" only —
+    params replicated, so the in-step beam search runs identically on
+    every shard) builds the MWER fine-tuning phase step.
     """
     assert mode in ("tp", "sp", "ep"), mode
-    assert loss_kind in ("rnnt", "ctc"), loss_kind
+    assert loss_kind in ("rnnt", "ctc", "mwer"), loss_kind
+    if loss_kind == "mwer":
+        assert mode == "sp", "MWER needs replicated params (mode='sp')"
     mp = mesh.shape[MODEL_AXIS]
     tx = make_optimizer_noclip(tcfg)
     is_tp = mode in ("tp", "ep")  # TPParams state layout + shd grad rules
@@ -1002,7 +1006,16 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
                   rngs=(dropout_rngs(tcfg, local.step, feats.shape[0])
                         if has_do else None),
                   ctc_weight=tcfg.ctc_weight)
-        if loss_kind == "ctc":
+        if loss_kind == "mwer":
+            from rnn_transducer_tpu.train.mwer import mwer_loss_fn
+
+            def batch_loss(p):
+                return mwer_loss_fn(p, cfg, feats, feat_lens, labels,
+                                    label_lens, beam=tcfg.mwer_beam,
+                                    expansions=tcfg.mwer_expansions,
+                                    max_symbols=tcfg.mwer_max_symbols,
+                                    nll_weight=tcfg.mwer_nll_weight)
+        elif loss_kind == "ctc":
             if mode == "tp":
                 def batch_loss(p):
                     return tp_ctc_loss_fn(_local_view(p), cfg, feats,

@@ -177,3 +177,35 @@ def test_train_cli_mwer_phase(capsys):
                 "--max-frames", "24", "--max-labels", "4"])
     err = capsys.readouterr()
     assert "mwer" in err.out + err.err
+
+
+def test_mwer_sequence_parallel_step():
+    """The MWER phase under --parallel-mode sp (replicated params)
+    reproduces the single-device MWER step loss."""
+    from rnn_transducer_tpu.parallel import tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = TransducerConfig(enc_layers=1, enc_hidden=16, pred_layers=1,
+                           pred_hidden=16, embed_dim=8, joint_dim=16,
+                           vocab_size=6, input_dim=4,
+                           compute_dtype="float32")
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="xla", mwer_beam=2, mwer_max_symbols=6)
+    rng = np.random.default_rng(30)
+    batch = (jnp.asarray(rng.normal(size=(8, 6, 4)), jnp.float32),
+             jnp.full((8,), 6, jnp.int32),
+             jnp.asarray(rng.integers(1, 6, (8, 2)), jnp.int32),
+             jnp.full((8,), 2, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    _, info1 = make_train_step(cfg, tcfg, loss_kind="mwer")(state, *batch)
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.replicate_state(mesh, tp.init_sp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg))
+    _, infoN = tp.make_tp_train_step(cfg, tcfg, mesh, "sp",
+                                     loss_kind="mwer")(
+        mp_state, *tp.shard_batch_2d(mesh, batch))
+    np.testing.assert_allclose(float(infoN["loss"]), float(info1["loss"]),
+                               rtol=2e-5)

@@ -235,9 +235,12 @@ def main(argv=None):
         # 2-D (data, model) mesh: tp / sp / pp (docs/PARALLELISM.md).
         # --ctc-weight is threaded through all four model-parallel loss
         # paths (the CTC head is replicated over the model axis).
-        if args.mwer_steps > 0:
-            raise SystemExit("--mwer-steps is not supported with "
-                             "--model-parallel")
+        if args.mwer_steps > 0 and args.parallel_mode != "sp":
+            # MWER's in-step beam search needs replicated params; "sp"
+            # keeps them replicated (the model axis shards only the NLL
+            # lattice frames of the plain phase).
+            raise SystemExit("--mwer-steps with --model-parallel requires "
+                             "--parallel-mode sp (or data parallelism)")
         if ((cfg.big_blank_durations or cfg.tdt_durations)
                 and args.parallel_mode != "sp"):
             # sp extracts the per-cell streams shard-locally and feeds
@@ -328,7 +331,9 @@ def main(argv=None):
                                        loss_kind="ctc"))
         else:
             ctc_step_fn = None
-        mwer_step_fn = None
+        mwer_step_fn = (tpx.make_tp_train_step(cfg, tcfg, mesh, "sp",
+                                               loss_kind="mwer")
+                        if args.mwer_steps > 0 else None)
     else:
         n_dev = args.data_parallel or len(jax.devices())
         mesh = make_mesh(n_dev) if n_dev > 1 else None
