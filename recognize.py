@@ -177,8 +177,9 @@ def main(argv=None):
 
     ngram = None
     if args.ngram:
-        if args.mode not in ("beam", "streaming_beam"):
-            raise SystemExit("--ngram requires --mode beam|streaming_beam")
+        if args.mode not in ("beam", "streaming_beam", "ctc_beam"):
+            raise SystemExit("--ngram requires --mode "
+                             "beam|streaming_beam|ctc_beam")
         from rnn_transducer_tpu.models.ngram import load_ngram
         ng_lm = load_ngram(args.ngram)
         if ng_lm.lp.shape[1] != cfg.vocab_size:
@@ -190,8 +191,9 @@ def main(argv=None):
 
     lm_params = lm_cfg = None
     if args.lm_ckpt:
-        if args.mode not in ("beam", "streaming_beam"):
-            raise SystemExit("--lm-ckpt requires --mode beam|streaming_beam")
+        if args.mode not in ("beam", "streaming_beam", "ctc_beam"):
+            raise SystemExit("--lm-ckpt requires --mode "
+                             "beam|streaming_beam|ctc_beam")
         from rnn_transducer_tpu.models.lm import load_lm
         lm_params, lm_cfg = load_lm(args.lm_ckpt)
         if lm_cfg.vocab_size != cfg.vocab_size:
@@ -259,12 +261,17 @@ def main(argv=None):
         if ts:
             raise SystemExit("--timestamps is not supported with ctc_beam "
                              "(prefix scores sum over alignments)")
-        ctc_beam_jit = jax.jit(lambda p, f, l: recognize_ctc(
+        if args.lm_rescore:
+            raise SystemExit("--lm-rescore applies to --mode beam; "
+                             "ctc_beam fuses per step (--lm-ckpt alone)")
+        ctc_beam_jit = jax.jit(lambda p, lmp, ng, f, l: recognize_ctc(
             p, cfg, f, l, mode="beam", beam=args.beam,
-            max_symbols=args.max_symbols))
+            max_symbols=args.max_symbols,
+            lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight),
+            ngram=ng))
 
         def decode(f, l):
-            toks, lens, _ = ctc_beam_jit(params, f, l)
+            toks, lens, _ = ctc_beam_jit(params, lm_params, ngram, f, l)
             return toks[:, 0], lens[:, 0], None
     elif args.mode == "streaming_beam":
         from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam

@@ -88,7 +88,8 @@ def ctc_greedy_decode(logits, frame_lens, *, blank: int = 0,
 
 def ctc_prefix_beam_search(log_probs, frame_lens, *, beam: int = 8,
                            cand: int = 8, blank: int = 0,
-                           max_symbols: int = 200):
+                           max_symbols: int = 200, lm=None, ngram=None,
+                           length_bonus: float = 0.0):
     """Prefix beam search over CTC posteriors (Hannun et al. 2014).
 
     Args:
@@ -97,13 +98,24 @@ def ctc_prefix_beam_search(log_probs, frame_lens, *, beam: int = 8,
       beam: beam width K (prefixes kept per frame).
       cand: top-C non-blank extension tokens considered per frame.
       max_symbols: static cap on decoded-sequence length.
+      lm: optional shallow fusion — (lm_params, LMConfig-or-
+        TransformerLMConfig, weight): every prefix EXTENSION adds
+        weight * log P_lm(c | prefix) (Hannun's LM-weighted CTC beam).
+        The LM's per-prefix next-token log-probs + state ride the beam
+        carry, gathered/advanced on the selected prefixes only; the LM
+        state is a function of the prefix alone, so prefix merging stays
+        exact.
+      ngram: optional (models/ngram.py NgramLM, weight) fusion, same
+        semantics (composable with lm).
+      length_bonus: additive bonus per emitted token (the CTC-LM word
+        insertion term; counteracts the LM's length penalty).
 
     Returns:
       tokens: (B, K, max_symbols) int32 blank-padded, best prefix first.
       lengths: (B, K) int32.
       scores: (B, K) f32 log P(prefix) = logaddexp(p_blank, p_nonblank),
         summed over ALL alignments collapsing to the prefix (within the
-        beam/cand pruning horizon).
+        beam/cand pruning horizon); with fusion, the fused score.
     """
     B, T, V = log_probs.shape
     K, U = beam, max_symbols
@@ -119,9 +131,22 @@ def ctc_prefix_beam_search(log_probs, frame_lens, *, beam: int = 8,
     pb0 = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
     pnb0 = jnp.full((B, K), NEG_INF, jnp.float32)
     hash0 = jnp.zeros((B, K, 2), jnp.uint32)
+    outs0 = {}
+    if lm is not None:
+        from rnn_transducer_tpu.models.lm import (BOS_ID, init_lm_state,
+                                                  lm_step)
+        lm_params, lm_cfg, lm_w = lm[0], lm[1], lm[2]
+        lp0, st0 = lm_step(lm_params, lm_cfg,
+                           jnp.full((B * K,), BOS_ID, jnp.int32),
+                           init_lm_state(lm_cfg, B * K))
+        unflat = lambda x: x.reshape((B, K) + x.shape[1:])
+        outs0["lm_lp"] = unflat(lp0)
+        outs0["lm_st"] = jax.tree.map(unflat, st0)
+    if ngram is not None:
+        outs0["ng_state"] = jnp.full((B, K), ngram[0].start, jnp.int32)
 
     def frame_step(t, carry):
-        tokens, lens, pb, pnb, hashes = carry
+        tokens, lens, pb, pnb, hashes, outs = carry
         lp = log_probs[:, t]  # (B, V)
         lp_blank = lp[:, blank]  # (B,)
         lp_ext = lp.at[:, blank].set(NEG_INF)
@@ -148,6 +173,14 @@ def ctc_prefix_beam_search(log_probs, frame_lens, *, beam: int = 8,
         is_rep = c_ids[:, None, :] == last[:, :, None]  # (B, K, C)
         src_mass = jnp.where(is_rep, pb[:, :, None], total[:, :, None])
         ext_pnb = src_mass + c_lp[:, None, :]  # (B, K, C)
+        if lm is not None:  # fused extension score (selection AND lanes)
+            ext_pnb = ext_pnb + lm_w * jnp.take_along_axis(
+                outs["lm_lp"], c_ids[:, None, :], axis=-1)
+        if ngram is not None:
+            ext_pnb = ext_pnb + ngram[1] * jnp.take_along_axis(
+                ngram[0].lp[outs["ng_state"]], c_ids[:, None, :], axis=-1)
+        if length_bonus:
+            ext_pnb = ext_pnb + length_bonus
         ext_pnb = jnp.where((lens >= U)[:, :, None], NEG_INF, ext_pnb)
         # dead prefixes must not spawn candidates
         ext_pnb = jnp.where((total <= NEG_INF * 0.5)[:, :, None], NEG_INF,
@@ -206,15 +239,47 @@ def ctc_prefix_beam_search(log_probs, frame_lens, *, beam: int = 8,
         n_pb = jnp.where(top_sc <= NEG_INF * 0.5, NEG_INF, n_pb)
         n_pnb = jnp.where(top_sc <= NEG_INF * 0.5, NEG_INF, n_pnb)
 
+        # --- advance per-prefix fusion state on the selected entries ----
+        # pool index < K = stay (same prefix, state unchanged); >= K = an
+        # extension of prefix (i-K)//C with label c_ids[(i-K)%C]
+        n_outs = outs
+        if lm is not None or ngram is not None:
+            is_ext = top_i >= K
+            src = jnp.where(is_ext, (top_i - K) // C, top_i)  # (B, K)
+            lab = jnp.take_along_axis(
+                c_ids, jnp.where(is_ext, (top_i - K) % C, 0), axis=1)
+            gather_src = lambda a: jnp.take_along_axis(
+                a, src.reshape(src.shape + (1,) * (a.ndim - 2)), axis=1)
+            n_outs = {}
+            if lm is not None:
+                from rnn_transducer_tpu.models.lm import lm_step
+                g_lp = gather_src(outs["lm_lp"])
+                g_st = jax.tree.map(gather_src, outs["lm_st"])
+                flat = lambda x: x.reshape((B * K,) + x.shape[2:])
+                unflat = lambda x: x.reshape((B, K) + x.shape[1:])
+                new_lp, new_st = lm_step(lm_params, lm_cfg, flat(lab),
+                                         jax.tree.map(flat, g_st))
+                sel = lambda new, old: jnp.where(
+                    is_ext.reshape((B, K) + (1,) * (new.ndim - 2)), new,
+                    old)
+                n_outs["lm_lp"] = sel(unflat(new_lp), g_lp)
+                n_outs["lm_st"] = jax.tree.map(
+                    lambda a, b: sel(unflat(a), b), new_st, g_st)
+            if ngram is not None:
+                g_ng = gather_src(outs["ng_state"])
+                n_outs["ng_state"] = jnp.where(
+                    is_ext, ngram[0].next_state[g_ng, lab], g_ng)
+
         # frames past enc_len leave the carry untouched
         active = t < frame_lens
         pick = lambda new, old: jnp.where(
             active.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
         return (pick(n_tok, tokens), pick(n_len, lens), pick(n_pb, pb),
-                pick(n_pnb, pnb), pick(n_hash, hashes))
+                pick(n_pnb, pnb), pick(n_hash, hashes),
+                jax.tree.map(pick, n_outs, outs))
 
-    tokens, lens, pb, pnb, _ = jax.lax.fori_loop(
-        0, T, frame_step, (tokens0, lens0, pb0, pnb0, hash0))
+    tokens, lens, pb, pnb, _, _ = jax.lax.fori_loop(
+        0, T, frame_step, (tokens0, lens0, pb0, pnb0, hash0, outs0))
     scores = _logaddexp(pb, pnb)
     order = jnp.argsort(-scores, axis=-1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
@@ -226,7 +291,8 @@ def ctc_prefix_beam_search(log_probs, frame_lens, *, beam: int = 8,
 def recognize_ctc(params, cfg, feats, feat_lens, *, mode: str = "greedy",
                   beam: int = 8, cand: int = 8, max_symbols: int = 200,
                   with_confidence: bool = False,
-                  with_timestamps: bool = False):
+                  with_timestamps: bool = False, lm=None, ngram=None,
+                  length_bonus: float = 0.0):
     """Features -> label sequences through the CTC head (no predictor).
 
     mode="greedy": returns (tokens (B, U), lengths (B,)) [+ confs]
@@ -256,5 +322,7 @@ def recognize_ctc(params, cfg, feats, feat_lens, *, mode: str = "greedy",
         lp = jax.nn.log_softmax(logits, axis=-1)
         return ctc_prefix_beam_search(lp, enc_lens, beam=beam, cand=cand,
                                       blank=cfg.blank,
-                                      max_symbols=max_symbols)
+                                      max_symbols=max_symbols, lm=lm,
+                                      ngram=ngram,
+                                      length_bonus=length_bonus)
     raise ValueError(f"unknown CTC decode mode: {mode!r}")

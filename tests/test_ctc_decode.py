@@ -259,3 +259,115 @@ def test_recognize_cli_ctc_modes(tmp_path):
     recognize.main(["--mode", "ctc_beam", "--beam", "4", "--data",
                     "synthetic", "--batches", "1", "--batch-size", "2",
                     "--max-symbols", "16"])
+
+
+def _host_prefix_beam_fused(lp, fl, K, C, blank, lm_lp_fn, w, bonus=0.0):
+    """_host_prefix_beam with per-extension LM fusion: extending prefix p
+    with c adds w * lm_lp_fn(p)[c] + bonus."""
+    NEG = -1.0e30
+
+    def lae(a, b):
+        if a <= NEG / 2:
+            return b
+        if b <= NEG / 2:
+            return a
+        m = max(a, b)
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    beams = {(): (0.0, NEG)}
+    for t in range(fl):
+        order = np.argsort(-lp[t])
+        cand = [int(v) for v in order if v != blank][:C]
+        new = {}
+
+        def add(key, pb, pnb):
+            opb, opnb = new.get(key, (NEG, NEG))
+            new[key] = (lae(opb, pb), lae(opnb, pnb))
+
+        for seq, (pb, pnb) in beams.items():
+            tot = lae(pb, pnb)
+            add(seq, tot + lp[t, blank],
+                (pnb + lp[t, seq[-1]]) if seq else NEG)
+            fused = lm_lp_fn(seq)
+            for v in cand:
+                src = pb if (seq and v == seq[-1]) else tot
+                add(seq + (v,), NEG,
+                    src + lp[t, v] + w * fused[v] + bonus)
+        pruned = sorted(new.items(), key=lambda kv: -lae(*kv[1]))[:K]
+        beams = dict(pruned)
+    return {seq: lae(pb, pnb) for seq, (pb, pnb) in beams.items()}
+
+
+def test_prefix_beam_lm_fusion_matches_host():
+    """Device CTC beam with LSTM-LM fusion == the host dict beam with the
+    same per-extension LM weighting; zero weight == the plain beam."""
+    from rnn_transducer_tpu.models.lm import (BOS_ID, LMConfig,
+                                              init_lm_params,
+                                              init_lm_state, lm_step)
+
+    lm_cfg = LMConfig(vocab_size=8, embed_dim=8, hidden=16, layers=1,
+                      compute_dtype="float32")
+    lm_params = init_lm_params(jax.random.PRNGKey(7), lm_cfg)
+    rng = np.random.default_rng(9)
+    B, T, V, K, C = 3, 8, 8, 4, 3
+    lp = _log_probs(rng, B, T, V)
+    fl = np.array([8, 5, 8], np.int32)
+    w = 0.7
+
+    def lm_lp_fn(seq):
+        st = init_lm_state(lm_cfg, 1)
+        out, st = lm_step(lm_params, lm_cfg,
+                          jnp.asarray([BOS_ID], jnp.int32), st)
+        for tok in seq:
+            out, st = lm_step(lm_params, lm_cfg,
+                              jnp.asarray([tok], jnp.int32), st)
+        return np.asarray(out[0])
+
+    toks, lens, scores = ctc_prefix_beam_search(
+        jnp.asarray(lp), jnp.asarray(fl), beam=K, cand=C, blank=BLANK,
+        max_symbols=10, lm=(lm_params, lm_cfg, w))
+    toks, lens, scores = map(np.asarray, (toks, lens, scores))
+    for b in range(B):
+        ref = _host_prefix_beam_fused(lp[b], int(fl[b]), K, C, BLANK,
+                                      lm_lp_fn, w)
+        want = sorted(ref.items(), key=lambda kv: -kv[1])
+        got = [(tuple(toks[b, k, : lens[b, k]].tolist()), scores[b, k])
+               for k in range(K) if scores[b, k] > -1e29]
+        assert len(got) == len(want), (b, got, want)
+        for (gs, gc), (ws_, wc) in zip(got, want):
+            assert gs == ws_, (b, got, want)
+            np.testing.assert_allclose(gc, wc, rtol=1e-4, atol=1e-4)
+    # zero weight reduces to the plain beam exactly
+    t0, l0, s0 = ctc_prefix_beam_search(
+        jnp.asarray(lp), jnp.asarray(fl), beam=K, cand=C, blank=BLANK,
+        max_symbols=10)
+    t1, l1, s1 = ctc_prefix_beam_search(
+        jnp.asarray(lp), jnp.asarray(fl), beam=K, cand=C, blank=BLANK,
+        max_symbols=10, lm=(lm_params, lm_cfg, 0.0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+
+
+def test_prefix_beam_ngram_fusion_and_bonus():
+    """n-gram fusion + length bonus run through the device beam (finite,
+    sorted); a large positive bonus prefers longer prefixes."""
+    from rnn_transducer_tpu.models.ngram import train_ngram
+
+    rng = np.random.default_rng(11)
+    B, T, V, K, C = 2, 8, 8, 4, 3
+    lp = _log_probs(rng, B, T, V)
+    fl = np.array([8, 6], np.int32)
+    seqs = [[1, 2, 3], [1, 2, 4], [2, 3, 1]] * 5
+    ng = train_ngram(seqs, 2, V)
+    toks, lens, scores = ctc_prefix_beam_search(
+        jnp.asarray(lp), jnp.asarray(fl), beam=K, cand=C, blank=BLANK,
+        max_symbols=10, ngram=(ng, 0.5))
+    assert np.all(np.isfinite(np.asarray(scores)[:, 0]))
+    _, l_plain, _ = ctc_prefix_beam_search(
+        jnp.asarray(lp), jnp.asarray(fl), beam=K, cand=C, blank=BLANK,
+        max_symbols=10)
+    _, l_bonus, _ = ctc_prefix_beam_search(
+        jnp.asarray(lp), jnp.asarray(fl), beam=K, cand=C, blank=BLANK,
+        max_symbols=10, length_bonus=3.0)
+    assert (np.asarray(l_bonus)[:, 0] >= np.asarray(l_plain)[:, 0]).all()
+    assert (np.asarray(l_bonus)[:, 0] > np.asarray(l_plain)[:, 0]).any()
