@@ -80,6 +80,11 @@ def parse_args(argv=None):
                    help="tokenizer spec (char | phone | bpe:<model.json>) "
                         "for text output + word-level WER; defaults to the "
                         "tokenizer stored in --ckpt-dir's meta.json")
+    p.add_argument("--nbest", type=int, default=1,
+                   help="with --hyps-file and a beam mode "
+                        "(beam|ctc_beam|streaming_beam): also write the "
+                        "top-N hypotheses + scores per utterance as "
+                        "'nbest' records")
     p.add_argument("--hyps-file", default=None,
                    help="write per-utterance {ref, hyp} JSONL here "
                         "(text when a tokenizer is available, else ids)")
@@ -214,9 +219,9 @@ def main(argv=None):
             p, cfg, f, l, max_symbols=args.max_symbols,
             with_timestamps=ts))
         if ts:
-            decode = lambda f, l: greedy_jit(params, f, l)
-        else:
             decode = lambda f, l: greedy_jit(params, f, l) + (None,)
+        else:
+            decode = lambda f, l: greedy_jit(params, f, l) + (None, None)
     elif args.mode == "beam":
         fuse = None if (lm_params is None or args.lm_rescore) else "fuse"
         beam_jit = jax.jit(lambda p, lmp, cb, ng, f, l: recognize_beam(
@@ -237,25 +242,27 @@ def main(argv=None):
                 # their beams through the rescore
                 extras = tuple(out[3:])
                 res = rescore_jit(lm_params, toks, lens, scores, extras)
-                toks, lens = res[0], res[1]
+                toks, lens, scores = res[0], res[1], res[2]
                 frames = res[3] if ts else None
                 return (toks[:, 0], lens[:, 0],
-                        frames[:, 0] if ts else None)
+                        frames[:, 0] if ts else None,
+                        (toks, lens, scores))
         else:
             def decode(f, l):
                 out = beam_jit(params, lm_params if fuse else None,
                                context, ngram, f, l)
                 frames = out[3][:, 0] if ts else None
-                return out[0][:, 0], out[1][:, 0], frames
+                return (out[0][:, 0], out[1][:, 0], frames,
+                        (out[0], out[1], out[2]))
     elif args.mode == "ctc_greedy":
         from rnn_transducer_tpu.decode.ctc import recognize_ctc
         ctc_jit = jax.jit(lambda p, f, l: recognize_ctc(
             p, cfg, f, l, mode="greedy", max_symbols=args.max_symbols,
             with_timestamps=ts))
         if ts:
-            decode = lambda f, l: ctc_jit(params, f, l)
-        else:
             decode = lambda f, l: ctc_jit(params, f, l) + (None,)
+        else:
+            decode = lambda f, l: ctc_jit(params, f, l) + (None, None)
     elif args.mode == "ctc_beam":
         from rnn_transducer_tpu.decode.ctc import recognize_ctc
         if ts:
@@ -271,8 +278,10 @@ def main(argv=None):
             ngram=ng))
 
         def decode(f, l):
-            toks, lens, _ = ctc_beam_jit(params, lm_params, ngram, f, l)
-            return toks[:, 0], lens[:, 0], None
+            toks, lens, scores = ctc_beam_jit(params, lm_params, ngram,
+                                              f, l)
+            return (toks[:, 0], lens[:, 0], None,
+                    (toks, lens, scores))
     elif args.mode == "streaming_beam":
         from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam
 
@@ -285,13 +294,14 @@ def main(argv=None):
                 lm=None if lm_params is None else
                 (lm_params, lm_cfg, args.lm_weight, args.ilm_weight))
             frames = out[3][:, 0] if ts else None
-            return out[0][:, 0], out[1][:, 0], frames
+            return (out[0][:, 0], out[1][:, 0], frames,
+                    (out[0], out[1], out[2]))
     else:
         def decode(f, l):
             out = stream_transcribe(
                 params, cfg, f, l, chunk_frames=args.chunk_frames,
                 max_symbols=args.max_symbols, with_timestamps=ts)
-            return out[0], out[1], (out[2] if ts else None)
+            return out[0], out[1], (out[2] if ts else None), None
 
     if args.data.startswith("manifest:"):
         man_path = args.data.split(":", 1)[1]
@@ -320,7 +330,7 @@ def main(argv=None):
                                       frames_per_label=4) + (args.batch_size,)
 
     meter = RtfMeter()
-    refs, hyps, hyp_frames = [], [], []
+    refs, hyps, hyp_frames, hyp_nbest = [], [], [], []
     warmed: set[tuple] = set()
     for feats, fl, labels, ll, n_valid in batches():
         f, l = jnp.asarray(feats), jnp.asarray(fl)
@@ -328,10 +338,10 @@ def main(argv=None):
             # Each distinct bucket shape triggers an XLA compile; warm it
             # outside the timed region so RTF/p50 report steady-state.
             warmed.add(feats.shape)
-            toks, lens, frames = decode(f, l)
+            toks, lens, frames, nb = decode(f, l)
             jax.block_until_ready(toks)
         t0 = time.perf_counter()
-        toks, lens, frames = decode(f, l)
+        toks, lens, frames, nb = decode(f, l)
         toks, lens = np.asarray(toks), np.asarray(lens)  # forces completion
         wall = time.perf_counter() - t0
         # Padding rows (drained partial batches repeat real utterances) are
@@ -345,6 +355,14 @@ def main(argv=None):
             hyp_frames.extend(
                 (frames[i, : lens[i]] * cfg.time_reduction).tolist()
                 for i in range(n_valid))
+        if args.nbest > 1 and nb is not None:
+            nb_t, nb_l, nb_s = map(np.asarray, nb)
+            for i in range(n_valid):
+                hyp_nbest.append([
+                    (nb_t[i, k, : nb_l[i, k]].tolist(),
+                     float(nb_s[i, k]))
+                    for k in range(min(args.nbest, nb_t.shape[1]))
+                    if nb_s[i, k] > -1e29])
     wer = error_rate(refs, hyps)
     out = {"mode": args.mode, "wer": round(wer, 4), **{
         k: round(v, 5) for k, v in meter.summary().items()}}
@@ -372,6 +390,12 @@ def main(argv=None):
                     rec["frames"] = hyp_frames[i]
                     rec["times_s"] = [round(fr * args.frame_hop_s, 3)
                                       for fr in hyp_frames[i]]
+                if hyp_nbest:
+                    rec["nbest"] = [
+                        {"hyp": (decode_to_text(tok, ids)
+                                 if tok is not None else ids),
+                         "score": round(sc, 4)}
+                        for ids, sc in hyp_nbest[i]]
                 f.write(json.dumps(rec) + "\n")
     print(json.dumps(out))
 

@@ -75,3 +75,27 @@ def test_manifest_pipeline(tmp_path, capsys):
                     "--max-symbols", "8"])
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["wer"] >= 0
+
+
+def test_recognize_nbest_output(tmp_path, capsys):
+    """--nbest writes top-N hypotheses + scores per utterance (beam and
+    ctc-free path smoke)."""
+    import recognize
+    ck = str(tmp_path / "ck")
+    train.main(["--config", "smoke", "--ckpt-dir", ck, "--steps", "1",
+                "--max-frames", "32", "--max-labels", "4",
+                "--batch-size", "2", "--eval-every", "0",
+                "--data-parallel", "1"])
+    capsys.readouterr()
+    hyps = str(tmp_path / "h.jsonl")
+    recognize.main(["--mode", "beam", "--ckpt-dir", ck, "--beam", "3",
+                    "--batch-size", "2", "--batches", "1",
+                    "--max-symbols", "4", "--nbest", "3",
+                    "--hyps-file", hyps])
+    capsys.readouterr()
+    with open(hyps) as f:
+        rec = json.loads(f.readline())
+    assert "nbest" in rec and 1 <= len(rec["nbest"]) <= 3
+    assert rec["nbest"][0]["hyp"] == rec["hyp"]  # top-1 consistent
+    scores = [e["score"] for e in rec["nbest"]]
+    assert scores == sorted(scores, reverse=True)
