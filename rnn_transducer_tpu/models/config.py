@@ -37,6 +37,14 @@ class TransducerConfig:
     # bit-equal to the offline encode, so streaming/serving work exactly
     # as with the unidirectional LSTM. 0 = full (offline) attention.
     enc_att_left: int = 0
+    # > 0 selects CHUNKED attention (WeNet/Emformer-style lookahead):
+    # queries attend their whole S-frame chunk — INCLUDING in-chunk
+    # future frames — plus enc_att_left left-context frames; the conv
+    # module stays causal. Streaming latency = S encoded frames; the
+    # chunked encode is bit-equal to offline when the streaming chunk
+    # (post time_reduction) is a multiple of S. Composes with
+    # enc_att_left (the left extent is measured from the chunk start).
+    enc_chunk_att: int = 0
     # prediction network
     pred_layers: int = 1
     pred_hidden: int = 256
@@ -96,10 +104,11 @@ class TransducerConfig:
     @property
     def streamable(self) -> bool:
         """Whether encode_chunk supports this encoder (serve.py gates its
-        streaming engine on this): unidirectional LSTMs, or causal
-        conformers (enc_att_left > 0)."""
+        streaming engine on this): unidirectional LSTMs, causal
+        conformers (enc_att_left > 0), or chunked-attention conformers
+        (enc_chunk_att > 0)."""
         if self.enc_type == "conformer":
-            return self.enc_att_left > 0
+            return self.enc_att_left > 0 or self.enc_chunk_att > 0
         return not self.bidirectional
 
     @property
@@ -228,6 +237,15 @@ def config_libri100_conformer_stream() -> TransducerConfig:
     return _dc.replace(config_libri100_conformer(), enc_att_left=64)
 
 
+def config_libri100_conformer_chunked() -> TransducerConfig:
+    """Chunked-attention (lookahead) streamable twin: 32-frame attention
+    chunks + 64 frames of left context — queries see in-chunk future
+    (latency = 32 encoded frames) for accuracy between the strict-causal
+    and offline forms."""
+    return _dc.replace(config_libri100_conformer(), enc_chunk_att=32,
+                       enc_att_left=64)
+
+
 NAMED_CONFIGS = {
     "greedy_smoke": config_greedy_smoke,
     "timit": config_timit,
@@ -235,4 +253,5 @@ NAMED_CONFIGS = {
     "libri960": config_libri960,
     "libri100_conformer": config_libri100_conformer,
     "libri100_conformer_stream": config_libri100_conformer_stream,
+    "libri100_conformer_chunked": config_libri100_conformer_chunked,
 }

@@ -183,7 +183,8 @@ def encode(params: Params, cfg: TransducerConfig, feats, feat_lens, *,
                      preferred_element_type=jnp.float32)
              + proj["b"].astype(jnp.float32))
         blk = lambda p, x: conformer_block(p, x, lens, cfg.enc_heads, cd,
-                                           att_left=cfg.enc_att_left)
+                                           att_left=cfg.enc_att_left,
+                                           chunk_att=cfg.enc_chunk_att)
         if cfg.remat_encoder:
             blk = jax.checkpoint(blk)
         n = cfg.enc_layers
@@ -227,10 +228,10 @@ def init_enc_state(cfg: TransducerConfig, batch: int):
     for the causal conformer (cfg.enc_att_left > 0)."""
     if cfg.enc_type == "conformer":
         from rnn_transducer_tpu.ops.conformer import init_block_cache
-        assert cfg.enc_att_left > 0, (
-            "streaming a conformer requires enc_att_left > 0 (the causal/"
-            "windowed configuration); full attention needs the whole "
-            "utterance")
+        assert cfg.enc_att_left > 0 or cfg.enc_chunk_att > 0, (
+            "streaming a conformer requires enc_att_left > 0 (causal/"
+            "windowed) or enc_chunk_att > 0 (chunked lookahead); full "
+            "attention needs the whole utterance")
         return {"n_seen": jnp.zeros((batch,), jnp.int32),
                 "blocks": [init_block_cache(batch, cfg.enc_hidden,
                                             cfg.enc_att_left,
@@ -264,10 +265,16 @@ def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
     cd = cfg.cdtype
     if cfg.enc_type == "conformer":
         from rnn_transducer_tpu.ops.conformer import conformer_block_chunk
-        assert cfg.enc_att_left > 0, (
-            "streaming a conformer requires enc_att_left > 0")
+        assert cfg.enc_att_left > 0 or cfg.enc_chunk_att > 0, (
+            "streaming a conformer requires enc_att_left > 0 or "
+            "enc_chunk_att > 0")
         if cfg.time_reduction > 1:
             x, lens = _time_reduce(x, lens, cfg.time_reduction)
+        if cfg.enc_chunk_att > 0:
+            assert x.shape[1] % cfg.enc_chunk_att == 0, (
+                f"chunked attention: encoded chunk {x.shape[1]} must be a "
+                f"multiple of enc_chunk_att {cfg.enc_chunk_att} (chunk "
+                "starts must align across streaming and offline)")
         proj = params["encoder"][0]["in_proj"]
         x = (jnp.dot(x.astype(cd), proj["w"].astype(cd),
                      preferred_element_type=jnp.float32)
@@ -278,7 +285,7 @@ def encode_chunk(params: Params, cfg: TransducerConfig, feats, chunk_lens,
                                 enc_state["blocks"]):
             x, new_cache = conformer_block_chunk(
                 block, x, cache, n_seen, lens, cfg.enc_heads, cd,
-                cfg.enc_att_left)
+                cfg.enc_att_left, chunk_att=cfg.enc_chunk_att)
             new_blocks.append(new_cache)
         new_state = {"n_seen": n_seen + lens.astype(jnp.int32),
                      "blocks": new_blocks}

@@ -117,16 +117,25 @@ def _attend(p, q_in, kv_in, ages, key_ok, heads, cd):
     return _dense(p["o"], out.reshape(B, Tq, D), cd)
 
 
-def _mhsa(p, x, lens, heads, cd, att_left: int = 0):
+def _mhsa(p, x, lens, heads, cd, att_left: int = 0, chunk_att: int = 0):
     """Self-attention with clipped relative position bias; padded key
     positions are masked before the softmax. att_left > 0 restricts each
     query to the causal window [t - att_left, t] (the streamable
-    configuration — ages outside [0, att_left] are masked)."""
+    configuration — ages outside [0, att_left] are masked).
+    chunk_att = S > 0 selects CHUNKED attention instead: query t sees its
+    whole S-frame chunk (in-chunk future included) plus att_left frames
+    of left context measured from the chunk start — the lookahead
+    streaming form (latency = S frames)."""
     B, T, D = x.shape
     t_ids = jnp.arange(T, dtype=jnp.int32)
     ages = t_ids[:, None] - t_ids[None, :]  # (T, T)
     key_ok = (t_ids[None, :] < lens.astype(jnp.int32)[:, None])[:, None, :]
-    if att_left > 0:
+    if chunk_att > 0:
+        cs = (t_ids // chunk_att) * chunk_att  # chunk start per query
+        win = ((t_ids[None, :] >= (cs - att_left)[:, None])
+               & (t_ids[None, :] < (cs + chunk_att)[:, None]))
+        key_ok = key_ok & win[None]
+    elif att_left > 0:
         key_ok = key_ok & ((ages >= 0) & (ages <= att_left))[None]
     return _attend(p, x, x, ages, key_ok, heads, cd)
 
@@ -168,15 +177,18 @@ def _dw_and_out(p, h, cd, causal: bool, valid_from: int = 0):
     return _dense(p["pw2"], h, cd)
 
 
-def conformer_block(p, x, lens, heads, cd, att_left: int = 0):
+def conformer_block(p, x, lens, heads, cd, att_left: int = 0,
+                    chunk_att: int = 0):
     """One offline block. att_left > 0 selects the causal/streamable
     form: windowed left-only attention + causal depthwise conv —
-    bit-equal to the chunked conformer_block_chunk path."""
+    bit-equal to the chunked conformer_block_chunk path. chunk_att > 0
+    selects chunked (lookahead) attention instead; the conv module is
+    causal in both streaming forms."""
     x = x + 0.5 * _ffn(p["ff1"], _ln(p["ln_ff1"], x), cd)
     x = x + _mhsa(p["att"], _ln(p["ln_att"], x), lens, heads, cd,
-                  att_left=att_left)
+                  att_left=att_left, chunk_att=chunk_att)
     x = x + _conv_module(p["conv"], _ln(p["ln_conv"], x), lens, cd,
-                         causal=att_left > 0)
+                         causal=att_left > 0 or chunk_att > 0)
     x = x + 0.5 * _ffn(p["ff2"], _ln(p["ln_ff2"], x), cd)
     return _ln(p["ln_out"], x)
 
@@ -194,7 +206,7 @@ def init_block_cache(batch: int, d: int, att_left: int, conv_kernel: int):
 
 
 def conformer_block_chunk(p, x, cache, n_seen, chunk_lens, heads, cd,
-                          att_left: int):
+                          att_left: int, chunk_att: int = 0):
     """One block over a chunk with carried history; ≡ the causal offline
     block on the concatenated stream (tested bit-for-bit).
 
@@ -213,7 +225,17 @@ def conformer_block_chunk(p, x, cache, n_seen, chunk_lens, heads, cd,
     i_ids = jnp.arange(C, dtype=jnp.int32)
     j_ids = jnp.arange(W + C, dtype=jnp.int32)
     ages = (W + i_ids)[:, None] - j_ids[None, :]  # (C, W+C)
-    win_ok = (ages >= 0) & (ages <= W)
+    if chunk_att > 0:
+        # chunked attention: query i sees its own S-chunk (in-chunk
+        # future included) + W frames left of the chunk start. Requires
+        # n_seen % S == 0 (encode_chunk asserts the chunk size), so
+        # local chunk starts are the global ones.
+        k_l = j_ids[None, :] - W  # key position in chunk coordinates
+        cs = (i_ids // chunk_att) * chunk_att
+        win_ok = ((k_l >= (cs - W)[:, None])
+                  & (k_l < (cs + chunk_att)[:, None]))
+    else:
+        win_ok = (ages >= 0) & (ages <= W)
     # cache slot j holds global frame n_seen - W + j; chunk key j >= W is
     # valid up to chunk_lens
     exists = jnp.where(

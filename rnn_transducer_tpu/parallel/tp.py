@@ -453,7 +453,13 @@ def tp_conformer_block(shd, rep, x, lens, cfg, *, axis=MODEL_AXIS):
     rel = jnp.clip(ages, -REL_CLIP, REL_CLIP)
     logits = logits + shd["att_rel"][:, rel + REL_CLIP][None]
     key_ok = (t_ids[None, :] < lens.astype(jnp.int32)[:, None])[:, None, :]
-    if att_left > 0:
+    if cfg.enc_chunk_att > 0:  # chunked (lookahead) attention
+        S = cfg.enc_chunk_att
+        cs = (t_ids // S) * S
+        win = ((t_ids[None, :] >= (cs - att_left)[:, None])
+               & (t_ids[None, :] < (cs + S)[:, None]))
+        key_ok = key_ok & win[None]
+    elif att_left > 0:
         key_ok = key_ok & ((ages >= 0) & (ages <= att_left))[None]
     logits = jnp.where(key_ok[:, None], logits, ANEG)
     w = jax.nn.softmax(logits, axis=-1)
@@ -472,7 +478,8 @@ def tp_conformer_block(shd, rep, x, lens, cfg, *, axis=MODEL_AXIS):
     g = _mask(g, lens)
     K = shd["conv_dw_w"].shape[0]
     kern = shd["conv_dw_w"].astype(jnp.float32)[:, None, :]
-    pad = [(K - 1, 0)] if att_left > 0 else [((K - 1) // 2, K // 2)]
+    pad = ([(K - 1, 0)] if (att_left > 0 or cfg.enc_chunk_att > 0)
+           else [((K - 1) // 2, K // 2)])
     g = jax.lax.conv_general_dilated(
         g, kern, window_strides=(1,), padding=pad,
         dimension_numbers=("NWC", "WIO", "NWC"),

@@ -120,3 +120,72 @@ def test_causal_pad_invariance():
         np.testing.assert_allclose(np.asarray(out2)[b, : int(lens[b])],
                                    np.asarray(out1)[b, : int(lens[b])],
                                    atol=1e-5)
+
+
+def test_chunked_attention_streaming_equals_offline():
+    """Chunked (lookahead) attention: encode_chunk over S-aligned chunks
+    equals the offline chunked-mask encode (to float reduction-order
+    tolerance: the masked-softmax key buffers differ in size) — for
+    streaming chunk == S and == 2S, including a partial final chunk."""
+    cfg = _cfg(enc_att_left=3, enc_chunk_att=2)
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(40)
+    B, T = 2, 8
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)), jnp.float32)
+    feat_lens = jnp.asarray([8, 5], jnp.int32)
+    off, off_lens = m.encode(params, cfg, feats, feat_lens)
+    for chunk in (2, 4):
+        st = m.init_enc_state(cfg, B)
+        outs = []
+        for c0 in range(0, T, chunk):
+            cl = jnp.clip(feat_lens - c0, 0, chunk)
+            out, _, st = m.encode_chunk(params, cfg,
+                                        feats[:, c0: c0 + chunk], cl, st)
+            outs.append(np.asarray(out))
+        got = np.concatenate(outs, axis=1)
+        want = np.asarray(off)
+        for b in range(B):
+            n = int(off_lens[b])
+            np.testing.assert_allclose(got[b, :n], want[b, :n],
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"chunk={chunk} b={b}")
+
+
+def test_chunked_attention_sees_in_chunk_future_only():
+    """A frame's encoding depends on later frames of its OWN attention
+    chunk (the lookahead) but not on the next chunk."""
+    cfg = _cfg(enc_att_left=3, enc_chunk_att=4)
+    params = m.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(41)
+    T = 8
+    feats = np.asarray(rng.normal(size=(1, T, cfg.input_dim)), np.float32)
+    lens = jnp.asarray([T], jnp.int32)
+    base = np.asarray(m.encode(params, cfg, jnp.asarray(feats), lens)[0])
+    # frame 1 is in chunk [0,4): perturbing frame 3 (same chunk, future)
+    # must change frame 1's encoding
+    f2 = feats.copy()
+    f2[0, 3] += 1.0
+    out2 = np.asarray(m.encode(params, cfg, jnp.asarray(f2), lens)[0])
+    assert np.max(np.abs(out2[0, 1] - base[0, 1])) > 0
+    # perturbing frame 5 (NEXT chunk) must not change frame 1
+    f3 = feats.copy()
+    f3[0, 5] += 1.0
+    out3 = np.asarray(m.encode(params, cfg, jnp.asarray(f3), lens)[0])
+    np.testing.assert_array_equal(out3[0, :4], base[0, :4])
+
+
+def test_chunked_attention_streaming_greedy_equals_offline():
+    from rnn_transducer_tpu.decode.greedy import recognize_greedy
+    from rnn_transducer_tpu.decode.streaming import stream_transcribe
+    cfg = _cfg(enc_att_left=2, enc_chunk_att=2)
+    params = m.init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(42)
+    feats = jnp.asarray(rng.normal(size=(2, 8, cfg.input_dim)), jnp.float32)
+    feat_lens = jnp.asarray([8, 6], jnp.int32)
+    t_off, l_off = recognize_greedy(params, cfg, feats, feat_lens,
+                                    max_symbols=8)
+    t_st, l_st = stream_transcribe(params, cfg, feats, feat_lens,
+                                   chunk_frames=2, max_symbols=8)
+    # argmax decisions are robust to the ~1e-7 encode differences
+    np.testing.assert_array_equal(np.asarray(l_st), np.asarray(l_off))
+    np.testing.assert_array_equal(np.asarray(t_st), np.asarray(t_off))
