@@ -175,6 +175,14 @@ def main(argv=None):
     # streaming needs a streamable encoder (uni LSTM or causal conformer):
     # an offline-only checkpoint serves batch endpoints with streaming off
     if args.stream_slots > 0 and cfg.streamable:
+        if cfg.enc_type == "conformer" and cfg.enc_chunk_att > 0:
+            # chunked-attention exactness needs S-aligned chunk starts
+            enc_chunk = args.chunk_frames // max(cfg.time_reduction, 1)
+            if enc_chunk % cfg.enc_chunk_att != 0:
+                raise SystemExit(
+                    f"--chunk-frames {args.chunk_frames} gives "
+                    f"{enc_chunk} encoded frames/chunk, not a multiple "
+                    f"of enc_chunk_att {cfg.enc_chunk_att}")
         exported_step = None
         if args.exported_streaming:
             import json as _json
