@@ -225,10 +225,25 @@ def main(argv=None):
     print(f"serving on http://{args.host}:{srv.server_address[1]} "
           f"(mode={args.mode}, max_batch={args.max_batch}, "
           f"stream_slots={args.stream_slots})", file=sys.stderr)
+    # SIGTERM (the production stop signal) drains like Ctrl-C: stop
+    # accepting, finish in-flight batches, close the engines cleanly
+    # (post-close submits fail fast — test_serve.py closed-engine tests).
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        srv.server_close()
+        offline.close()
+        if streaming is not None:
+            streaming.close()
+        print("drained and closed", file=sys.stderr)
 
 
 if __name__ == "__main__":
