@@ -68,6 +68,9 @@ def pytest_collection_modifyitems(config, items):
     import pytest
 
     for item in items:
+        if (item.get_closest_marker("quick") is not None
+                or item.get_closest_marker("slow") is not None):
+            continue  # explicit per-test lane override wins
         name = os.path.basename(str(item.fspath))
         lane = "quick" if name in QUICK_MODULES else "slow"
         item.add_marker(getattr(pytest.mark, lane))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rnn_transducer_tpu.data.augment import spec_augment
 
@@ -64,6 +65,7 @@ def test_speed_perturb_lengths_and_interp():
         assert np.all(out[0, int(new_lens[0]):] == 0.0)
 
 
+@pytest.mark.slow
 def test_speed_perturb_train_cli(capsys):
     import json as _json
 
