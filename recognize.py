@@ -80,6 +80,10 @@ def parse_args(argv=None):
                    help="tokenizer spec (char | phone | bpe:<model.json>) "
                         "for text output + word-level WER; defaults to the "
                         "tokenizer stored in --ckpt-dir's meta.json")
+    p.add_argument("--confidence", action="store_true",
+                   help="carry per-token emission log-probs through the "
+                        "decode and add them to --hyps-file records as "
+                        "'confs' (greedy, beam, ctc_greedy)")
     p.add_argument("--nbest", type=int, default=1,
                    help="with --hyps-file and a beam mode "
                         "(beam|ctc_beam|streaming_beam): also write the "
@@ -214,20 +218,29 @@ def main(argv=None):
     # Every decode returns (tokens, lens, frames-or-None); frames are
     # per-token encoder-frame emission indices when --timestamps is set.
     ts = args.timestamps
+    conf_on = args.confidence
+    if conf_on and args.mode not in ("greedy", "beam", "ctc_greedy"):
+        raise SystemExit("--confidence supports --mode "
+                         "greedy|beam|ctc_greedy")
     if args.mode == "greedy":
         greedy_jit = jax.jit(lambda p, f, l: recognize_greedy(
             p, cfg, f, l, max_symbols=args.max_symbols,
-            with_timestamps=ts))
-        if ts:
-            decode = lambda f, l: greedy_jit(params, f, l) + (None,)
-        else:
-            decode = lambda f, l: greedy_jit(params, f, l) + (None, None)
+            with_confidence=conf_on, with_timestamps=ts))
+
+        def decode(f, l):
+            out = greedy_jit(params, f, l)
+            i = 2
+            confs = out[i] if conf_on else None
+            i += 1 if conf_on else 0
+            frames = out[i] if ts else None
+            return out[0], out[1], frames, confs, None
     elif args.mode == "beam":
         fuse = None if (lm_params is None or args.lm_rescore) else "fuse"
         beam_jit = jax.jit(lambda p, lmp, cb, ng, f, l: recognize_beam(
             p, cfg, f, l, beam=args.beam,
             max_symbols=args.max_symbols, expansions=args.expansions,
-            with_timestamps=ts, context=cb, ngram=ng,
+            with_confidence=conf_on, with_timestamps=ts, context=cb,
+            ngram=ng,
             lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight,
                                          args.ilm_weight)))
         if args.lm_rescore and lm_params is not None:
@@ -238,31 +251,42 @@ def main(argv=None):
             def decode(f, l):
                 out = beam_jit(params, None, context, ngram, f, l)
                 toks, lens, scores = out[:3]
-                # per-token timestamps (if requested) are reordered with
-                # their beams through the rescore
+                # per-token confidences/timestamps (if requested) are
+                # reordered with their beams through the rescore
                 extras = tuple(out[3:])
                 res = rescore_jit(lm_params, toks, lens, scores, extras)
                 toks, lens, scores = res[0], res[1], res[2]
-                frames = res[3] if ts else None
+                rest = list(res[3:])
+                confs = rest.pop(0) if conf_on else None
+                frames = rest.pop(0) if ts else None
                 return (toks[:, 0], lens[:, 0],
                         frames[:, 0] if ts else None,
+                        confs[:, 0] if conf_on else None,
                         (toks, lens, scores))
         else:
             def decode(f, l):
                 out = beam_jit(params, lm_params if fuse else None,
                                context, ngram, f, l)
-                frames = out[3][:, 0] if ts else None
-                return (out[0][:, 0], out[1][:, 0], frames,
+                rest = list(out[3:])
+                confs = rest.pop(0) if conf_on else None
+                frames = rest.pop(0) if ts else None
+                return (out[0][:, 0], out[1][:, 0],
+                        frames[:, 0] if ts else None,
+                        confs[:, 0] if conf_on else None,
                         (out[0], out[1], out[2]))
     elif args.mode == "ctc_greedy":
         from rnn_transducer_tpu.decode.ctc import recognize_ctc
         ctc_jit = jax.jit(lambda p, f, l: recognize_ctc(
             p, cfg, f, l, mode="greedy", max_symbols=args.max_symbols,
-            with_timestamps=ts))
-        if ts:
-            decode = lambda f, l: ctc_jit(params, f, l) + (None,)
-        else:
-            decode = lambda f, l: ctc_jit(params, f, l) + (None, None)
+            with_confidence=conf_on, with_timestamps=ts))
+
+        def decode(f, l):
+            out = ctc_jit(params, f, l)
+            i = 2
+            confs = out[i] if conf_on else None
+            i += 1 if conf_on else 0
+            frames = out[i] if ts else None
+            return out[0], out[1], frames, confs, None
     elif args.mode == "ctc_beam":
         from rnn_transducer_tpu.decode.ctc import recognize_ctc
         if ts:
@@ -280,7 +304,7 @@ def main(argv=None):
         def decode(f, l):
             toks, lens, scores = ctc_beam_jit(params, lm_params, ngram,
                                               f, l)
-            return (toks[:, 0], lens[:, 0], None,
+            return (toks[:, 0], lens[:, 0], None, None,
                     (toks, lens, scores))
     elif args.mode == "streaming_beam":
         from rnn_transducer_tpu.decode.streaming import stream_transcribe_beam
@@ -294,14 +318,15 @@ def main(argv=None):
                 lm=None if lm_params is None else
                 (lm_params, lm_cfg, args.lm_weight, args.ilm_weight))
             frames = out[3][:, 0] if ts else None
-            return (out[0][:, 0], out[1][:, 0], frames,
+            return (out[0][:, 0], out[1][:, 0], frames, None,
                     (out[0], out[1], out[2]))
     else:
         def decode(f, l):
             out = stream_transcribe(
                 params, cfg, f, l, chunk_frames=args.chunk_frames,
                 max_symbols=args.max_symbols, with_timestamps=ts)
-            return out[0], out[1], (out[2] if ts else None), None
+            return (out[0], out[1], (out[2] if ts else None), None,
+                    None)
 
     if args.data.startswith("manifest:"):
         man_path = args.data.split(":", 1)[1]
@@ -330,7 +355,7 @@ def main(argv=None):
                                       frames_per_label=4) + (args.batch_size,)
 
     meter = RtfMeter()
-    refs, hyps, hyp_frames, hyp_nbest = [], [], [], []
+    refs, hyps, hyp_frames, hyp_confs, hyp_nbest = [], [], [], [], []
     warmed: set[tuple] = set()
     for feats, fl, labels, ll, n_valid in batches():
         f, l = jnp.asarray(feats), jnp.asarray(fl)
@@ -338,10 +363,10 @@ def main(argv=None):
             # Each distinct bucket shape triggers an XLA compile; warm it
             # outside the timed region so RTF/p50 report steady-state.
             warmed.add(feats.shape)
-            toks, lens, frames, nb = decode(f, l)
+            toks, lens, frames, confs, nb = decode(f, l)
             jax.block_until_ready(toks)
         t0 = time.perf_counter()
-        toks, lens, frames, nb = decode(f, l)
+        toks, lens, frames, confs, nb = decode(f, l)
         toks, lens = np.asarray(toks), np.asarray(lens)  # forces completion
         wall = time.perf_counter() - t0
         # Padding rows (drained partial batches repeat real utterances) are
@@ -354,6 +379,11 @@ def main(argv=None):
             frames = np.asarray(frames)
             hyp_frames.extend(
                 (frames[i, : lens[i]] * cfg.time_reduction).tolist()
+                for i in range(n_valid))
+        if confs is not None:
+            confs = np.asarray(confs)
+            hyp_confs.extend(
+                [round(float(c), 4) for c in confs[i, : lens[i]]]
                 for i in range(n_valid))
         if args.nbest > 1 and nb is not None:
             nb_t, nb_l, nb_s = map(np.asarray, nb)
@@ -385,6 +415,8 @@ def main(argv=None):
                 rec = ({"ref": ref_texts[i], "hyp": hyp_texts[i]}
                        if tok is not None
                        else {"ref": refs[i], "hyp": hyps[i]})
+                if hyp_confs:
+                    rec["confs"] = hyp_confs[i]
                 if args.timestamps:
                     # input-feature-frame emission indices + audio seconds
                     rec["frames"] = hyp_frames[i]

@@ -99,3 +99,25 @@ def test_recognize_nbest_output(tmp_path, capsys):
     assert rec["nbest"][0]["hyp"] == rec["hyp"]  # top-1 consistent
     scores = [e["score"] for e in rec["nbest"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_recognize_confidence_output(tmp_path, capsys):
+    """--confidence writes per-token emission log-probs (greedy + beam)."""
+    import recognize
+    ck = str(tmp_path / "ck")
+    train.main(["--config", "smoke", "--ckpt-dir", ck, "--steps", "1",
+                "--max-frames", "32", "--max-labels", "4",
+                "--batch-size", "2", "--eval-every", "0",
+                "--data-parallel", "1"])
+    capsys.readouterr()
+    for mode in ("greedy", "beam"):
+        hyps = str(tmp_path / f"h_{mode}.jsonl")
+        recognize.main(["--mode", mode, "--ckpt-dir", ck, "--beam", "2",
+                        "--batch-size", "2", "--batches", "1",
+                        "--max-symbols", "4", "--confidence",
+                        "--hyps-file", hyps])
+        capsys.readouterr()
+        with open(hyps) as f:
+            rec = json.loads(f.readline())
+        assert "confs" in rec and len(rec["confs"]) == len(rec["hyp"])
+        assert all(c <= 1e-5 for c in rec["confs"])  # log-probs
