@@ -795,6 +795,72 @@ def sp_loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
     return jnp.mean(per_utt), per_utt
 
 
+def sp_pruned_loss_fn(params, cfg: TransducerConfig, feats, feat_lens,
+                      labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0,
+                      dropout=0.0, embed_dropout=0.0, rngs=None,
+                      ctc_weight=0.0, simple_loss_scale=0.5):
+    """k2-style pruned two-pass objective under sequence parallelism.
+
+    The cheap trivial-joiner first pass and the (B, T) pruning bounds
+    run replicated; the EXPENSIVE band joint — the (B·T·S, J) x (J, V)
+    matmuls that dominate large-vocab training — runs on each shard's
+    T/mp frame slice only, and the tiny (B, T, S) band log-prob streams
+    are all-gathered for the replicated banded lattice recursion
+    (custom VJP). Same collective pattern as sp_joint_loss.
+    """
+    from rnn_transducer_tpu.ops.rnnt_loss import occupancies_from_lp
+    from rnn_transducer_tpu.ops.rnnt_pruned import (prune_bounds,
+                                                    rnnt_loss_banded,
+                                                    simple_lp, _pruned_lp)
+
+    assert cfg.pruned_range > 0, "sp pruned loss needs cfg.pruned_range"
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens,
+                                 dropout=dropout, rng=rngs)
+    pred_out, _ = m.predict(params, cfg, labels, dropout=dropout,
+                            embed_dropout=embed_dropout, rng=rngs)
+    f, g, w, b = m.joint_activations(params, cfg, enc_out, pred_out)
+    cd = cfg.cdtype
+    ps = params["simple"]
+    am = (jnp.einsum("btd,dv->btv", enc_out.astype(cd),
+                     ps["am"]["w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+          + ps["am"]["b"].astype(jnp.float32))
+    lm = (jnp.einsum("bud,dv->buv", pred_out.astype(cd),
+                     ps["lm"]["w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+          + ps["lm"]["b"].astype(jnp.float32))
+    lpb_s, lpy_s = simple_lp(am, lm, labels, cfg.blank)
+    simple_pu = rnnt_loss_from_lp(lpb_s, lpy_s, enc_lens, label_lens,
+                                  fastemit)
+    gb, gy = occupancies_from_lp(jax.lax.stop_gradient(lpb_s),
+                                 jax.lax.stop_gradient(lpy_s),
+                                 enc_lens, label_lens)
+    sb = prune_bounds(gb + gy, cfg.pruned_range, enc_lens, label_lens)
+    sb = jax.lax.stop_gradient(sb)
+
+    U1 = g.shape[1]
+    S = min(cfg.pruned_range, U1)
+    sp = jax.lax.axis_size(axis)
+    B, T, _ = f.shape
+    Tp = -(-T // sp) * sp
+    f_p = jnp.pad(f, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else f
+    sb_p = jnp.pad(sb, ((0, 0), (0, Tp - T))) if Tp != T else sb
+    Tl = Tp // sp
+    t0 = jax.lax.axis_index(axis) * Tl
+    f_l = jax.lax.dynamic_slice_in_dim(f_p, t0, Tl, axis=1)
+    sb_l = jax.lax.dynamic_slice_in_dim(sb_p, t0, Tl, axis=1)
+    lpb_l, lpy_l = _pruned_lp(f_l, g, w, b, labels, sb_l, S, cfg.blank, cd)
+    gather_t = lambda a: jax.lax.all_gather(a, axis, axis=1,
+                                            tiled=True)[:, :T]
+    pruned_pu = rnnt_loss_banded(gather_t(lpb_l), gather_t(lpy_l), sb,
+                                 enc_lens, label_lens, U1, fastemit)
+    pruned_pu = _with_ctc(pruned_pu, params, cfg, enc_out, enc_lens,
+                          labels, label_lens, ctc_weight)
+    total = (jnp.mean(pruned_pu)
+             + simple_loss_scale * jnp.mean(simple_pu))
+    return total, pruned_pu
+
+
 # --------------------------------------------------------------------------
 # Expert parallel ("ep"): frame-sharded lattice + expert-sharded MoE joint
 # --------------------------------------------------------------------------
@@ -1001,6 +1067,9 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
     assert loss_kind in ("rnnt", "ctc", "mwer"), loss_kind
     if loss_kind == "mwer":
         assert mode == "sp", "MWER needs replicated params (mode='sp')"
+    if tcfg.loss_impl == "pruned" and loss_kind == "rnnt":
+        assert mode == "sp", ("the pruned loss under model parallelism "
+                              "requires mode='sp' (frame-sharded band)")
     mp = mesh.shape[MODEL_AXIS]
     tx = make_optimizer_noclip(tcfg)
     is_tp = mode in ("tp", "ep")  # TPParams state layout + shd grad rules
@@ -1045,6 +1114,12 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
             def batch_loss(p):
                 return ep_loss_fn(p, cfg, feats, feat_lens, labels,
                                   label_lens, fastemit=fe, **do)
+        elif tcfg.loss_impl == "pruned":
+            def batch_loss(p):
+                return sp_pruned_loss_fn(
+                    p, cfg, feats, feat_lens, labels, label_lens,
+                    fastemit=fe,
+                    simple_loss_scale=tcfg.simple_loss_scale, **do)
         else:
             def batch_loss(p):
                 return sp_loss_fn(p, cfg, feats, feat_lens, labels,

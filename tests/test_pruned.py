@@ -346,3 +346,48 @@ def test_pruned_dp_matches_single_device():
     np.testing.assert_allclose(l2, l1, rtol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=1e-6), p1, p2)
+
+
+def test_pruned_sequence_parallel_lockstep():
+    """Pruned two-pass training under --parallel-mode sp: the band joint
+    runs frame-sharded, the banded recursion replicated — 2-step loss
+    trajectory == single device."""
+    import pytest as _pytest
+
+    from rnn_transducer_tpu.models.config import (TrainConfig,
+                                                   TransducerConfig)
+    from rnn_transducer_tpu.parallel import tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg = TransducerConfig(enc_layers=1, enc_hidden=16, pred_layers=1,
+                           pred_hidden=16, embed_dim=8, joint_dim=16,
+                           vocab_size=10, input_dim=4, pruned_range=3,
+                           compute_dtype="float32")
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="pruned")
+    rng = np.random.default_rng(50)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, cfg.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 4)),
+                         jnp.int32),
+             jnp.full((8,), 4, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.replicate_state(mesh, tp.init_sp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg))
+    stepN = tp.make_tp_train_step(cfg, tcfg, mesh, mode="sp")
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=3e-5)

@@ -252,12 +252,13 @@ def main(argv=None):
         # dropout/embed_dropout ARE threaded through the tp/sp/pp/ep
         # steps (parallel/tp.py dropout_rngs: per-GLOBAL-example keys,
         # replicated over the model axis) — no guard needed.
-        if args.loss_impl == "pruned":
-            # The model-parallel joint+loss paths shard the full lattice
-            # (tp: vocab, sp: frames); the pruned band is not threaded
-            # through them — fail loudly rather than silently ignore.
-            raise SystemExit("--loss-impl pruned is not supported with "
-                             "--model-parallel")
+        if args.loss_impl == "pruned" and args.parallel_mode != "sp":
+            # "sp" frame-shards the expensive band joint
+            # (parallel/tp.py sp_pruned_loss_fn); tp's vocab sharding and
+            # pp's staged encoder do not thread the band.
+            raise SystemExit("--loss-impl pruned with --model-parallel "
+                             "requires --parallel-mode sp (or data "
+                             "parallelism)")
         # --ema-decay works under tp/sp/pp/ep: the sharded states carry
         # an EMA pytree in the same layout and load_plain_params merges
         # its shards like the live params.
