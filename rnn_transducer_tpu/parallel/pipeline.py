@@ -22,10 +22,15 @@ fraction (pp-1)/(M+pp-1)). Design notes:
     as tensor parallel (parallel/tp.py): replicated leaves pmean over
     "model", stage-owned leaves divide by pp.
 
-Restrictions: time_reduction == 1 (frame stacking changes the activation
-shape mid-stack, breaking the uniform inter-stage buffer — apply frame
-stacking in the frontend for PP models), enc_layers % pp == 0, and the
-per-data-shard batch divisible by the microbatch count.
+Conformer encoders stage their shape-uniform d_model blocks with no
+Dmax padding; frame stacking + the input projection run replicated
+BEFORE the pipeline, so time_reduction > 1 is fine there.
+
+Restrictions: time_reduction == 1 for LSTM encoders (frame stacking
+changes the activation shape mid-stack, breaking the uniform
+inter-stage buffer — apply frame stacking in the frontend for LSTM PP
+models), enc_layers % pp == 0, and the per-data-shard batch divisible
+by the microbatch count.
 """
 
 from __future__ import annotations
@@ -85,11 +90,28 @@ def _stage_in_dim(cfg: TransducerConfig, layer_idx: int) -> int:
 def split_params_pp(params, cfg: TransducerConfig, pp: int) -> TPParams:
     """Full params -> TPParams: encoder layers grouped into pp stages and
     stacked over a leading pp axis (stage s owns layers [s*lps, (s+1)*lps));
-    everything else replicated."""
-    assert cfg.time_reduction == 1, "PP requires time_reduction == 1"
+    everything else replicated.
+
+    Conformer encoders stage their (shape-uniform, d_model-wide) blocks
+    with no Dmax padding; the input projection + frame stacking run
+    replicated BEFORE the pipeline (so time_reduction > 1 is fine — the
+    inter-stage buffer is built after subsampling). LSTM encoders keep
+    the padded-entry-row scheme and need time_reduction == 1.
+    """
     assert cfg.enc_layers % pp == 0, (
         f"enc_layers {cfg.enc_layers} not divisible by pipeline depth {pp}")
     lps = cfg.enc_layers // pp
+    if cfg.enc_type == "conformer":
+        blocks = params["encoder"][1:]
+        stage_layers = [
+            jax.tree.map(lambda *xs: jnp.stack(xs),
+                         *[blocks[s * lps + j] for s in range(pp)])
+            for j in range(lps)]
+        rep = {k: v for k, v in params.items() if k != "encoder"}
+        rep["enc_in_proj"] = params["encoder"][0]["in_proj"]
+        return TPParams(rep=rep, shd={"encoder": stage_layers})
+    assert cfg.time_reduction == 1, (
+        "PP over an LSTM encoder requires time_reduction == 1")
     dmax = max(cfg.input_dim, cfg.enc_out_dim)
     stage_layers = []
     for j in range(lps):
@@ -108,6 +130,12 @@ def split_params_pp(params, cfg: TransducerConfig, pp: int) -> TPParams:
 def merge_params_pp(tpp: TPParams, cfg: TransducerConfig) -> dict:
     lps = len(tpp.shd["encoder"])
     pp = jax.tree.leaves(tpp.shd["encoder"][0])[0].shape[0]
+    if "enc_in_proj" in tpp.rep:  # conformer
+        encoder = [{"in_proj": tpp.rep["enc_in_proj"]}] + [
+            jax.tree.map(lambda x: x[s], tpp.shd["encoder"][j])
+            for s in range(pp) for j in range(lps)]
+        rep = {k: v for k, v in tpp.rep.items() if k != "enc_in_proj"}
+        return {"encoder": encoder, **rep}
     encoder = []
     for s in range(pp):
         for j in range(lps):
@@ -153,23 +181,73 @@ def _run_stage(stage_layers, cfg: TransducerConfig, x, lens, *,
     return x  # (Bm, T, enc_out_dim)
 
 
+def _run_stage_conformer(stage_blocks, cfg: TransducerConfig, x, lens, *,
+                         stage_idx=None, dropout: float = 0.0, rngs=None):
+    """Apply this stage's conformer blocks to one microbatch activation.
+
+    x: (Bm, T', d_model) — already subsampled + projected (the in_proj
+    runs replicated before the pipeline). No inter-block masking, like
+    the single-device encode (blocks mask attention/conv by lens
+    internally); dropout sites are the GLOBAL block indices, skipped on
+    the last block.
+    """
+    from rnn_transducer_tpu.ops.conformer import conformer_block
+
+    bps = len(stage_blocks)
+    n = cfg.enc_layers
+    for j, block in enumerate(stage_blocks):
+        x = conformer_block(block, x, lens, cfg.enc_heads, cfg.cdtype,
+                            att_left=cfg.enc_att_left,
+                            chunk_att=cfg.enc_chunk_att)
+        if dropout > 0.0 and rngs is not None:
+            gi = stage_idx * bps + j
+            dropped = m._dropout(x, dropout, rngs, site=gi)
+            x = jnp.where(gi < n - 1, dropped, x)
+    return x  # (Bm, T', d_model)
+
+
 def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
               pp: int, microbatches: int, axis=MODEL_AXIS,
-              dropout: float = 0.0, rngs=None):
-    """GPipe-scheduled encoder: feats (Bl, T, F) -> enc_out (Bl, T, De).
+              dropout: float = 0.0, rngs=None, in_proj=None):
+    """GPipe-scheduled encoder: feats (Bl, T, F) -> enc_out (Bl, T', De).
 
     Runs inside shard_map over a (data, model) mesh; stage_layers is this
-    device's stage (leading stage axis already squeezed)."""
+    device's stage (leading stage axis already squeezed). For conformer
+    encoders, frame stacking + the input projection (in_proj, replicated)
+    run before the microbatch split, so the inter-stage buffer is the
+    uniform post-subsampling (Bm, T', d_model)."""
     s = jax.lax.axis_index(axis)
-    Bl, T, F = feats.shape
     M = microbatches
-    assert Bl % M == 0, f"local batch {Bl} not divisible by microbatches {M}"
-    Bm = Bl // M
-    De = cfg.enc_out_dim
-    dmax = max(cfg.input_dim, De)
-    mb = jnp.pad(feats, ((0, 0), (0, 0), (0, dmax - F))).reshape(
-        M, Bm, T, dmax)
-    mb_lens = feat_lens.reshape(M, Bm)
+    conformer = cfg.enc_type == "conformer"
+    if conformer:
+        x = mask_padding(feats.astype(jnp.float32), feat_lens)
+        lens_full = feat_lens
+        if cfg.time_reduction > 1:
+            x, lens_full = m._time_reduce(x, lens_full, cfg.time_reduction)
+        cd = cfg.cdtype
+        x = (jnp.dot(x.astype(cd), in_proj["w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+             + in_proj["b"].astype(jnp.float32))
+        Bl, T, dbuf = x.shape
+        assert Bl % M == 0, (
+            f"local batch {Bl} not divisible by microbatches {M}")
+        Bm = Bl // M
+        De = dbuf
+        mb = x.reshape(M, Bm, T, dbuf)
+        mb_lens = lens_full.reshape(M, Bm)
+        run = _run_stage_conformer
+    else:
+        Bl, T, F = feats.shape
+        assert Bl % M == 0, (
+            f"local batch {Bl} not divisible by microbatches {M}")
+        Bm = Bl // M
+        lens_full = feat_lens
+        De = cfg.enc_out_dim
+        dbuf = max(cfg.input_dim, De)
+        mb = jnp.pad(feats, ((0, 0), (0, 0), (0, dbuf - F))).reshape(
+            M, Bm, T, dbuf)
+        mb_lens = feat_lens.reshape(M, Bm)
+        run = _run_stage
     # (raw uint32 key arrays have a trailing key-data dim — keep it)
     mb_rngs = (rngs.reshape((M, Bm) + rngs.shape[1:])
                if rngs is not None else None)
@@ -186,10 +264,10 @@ def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
         r = (jax.lax.dynamic_index_in_dim(mb_rngs, my_idx, 0,
                                           keepdims=False)
              if mb_rngs is not None else None)
-        y = _run_stage(stage_layers, cfg, x_in, lens, stage_idx=s,
-                       dropout=dropout, rngs=r)  # (Bm, T, De)
+        y = run(stage_layers, cfg, x_in, lens, stage_idx=s,
+                dropout=dropout, rngs=r)  # (Bm, T, De)
         recv_new = jax.lax.ppermute(
-            jnp.pad(y, ((0, 0), (0, 0), (0, dmax - De))), axis, perm)
+            jnp.pad(y, ((0, 0), (0, 0), (0, dbuf - De))), axis, perm)
         out_idx = jnp.clip(k - (pp - 1), 0, M - 1)
         write = (s == pp - 1) & (k - (pp - 1) >= 0)
         old = jax.lax.dynamic_index_in_dim(acc, out_idx, 0, keepdims=False)
@@ -197,12 +275,14 @@ def pp_encode(stage_layers, cfg: TransducerConfig, feats, feat_lens, *,
             acc, jnp.where(write, y, old), out_idx, 0)
         return (recv_new, acc), None
 
-    recv0 = jnp.zeros((Bm, T, dmax), jnp.float32)
+    recv0 = jnp.zeros((Bm, T, dbuf), jnp.float32)
     acc0 = jnp.zeros((M, Bm, T, De), jnp.float32)
     (_, acc), _ = jax.lax.scan(step, (recv0, acc0), jnp.arange(K))
     # Only the last stage wrote real values; assemble on every stage.
     enc_out = jax.lax.psum(acc, axis).reshape(Bl, T, De)
-    return enc_out, feat_lens  # time_reduction == 1: lengths unchanged
+    if conformer:  # single-device encode masks the final block output
+        enc_out = mask_padding(enc_out, lens_full)
+    return enc_out, lens_full
 
 
 def pp_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
@@ -212,16 +292,73 @@ def pp_loss_fn(local: TPParams, cfg: TransducerConfig, feats, feat_lens,
     enc_out, enc_lens = pp_encode(local.shd["encoder"], cfg, feats,
                                   feat_lens, pp=pp,
                                   microbatches=microbatches,
-                                  dropout=dropout, rngs=rngs)
+                                  dropout=dropout, rngs=rngs,
+                                  in_proj=local.rep.get("enc_in_proj"))
     rep = local.rep
     pred_out, _ = m.predict(rep, cfg, labels, dropout=dropout,
                             embed_dropout=embed_dropout, rng=rngs)
-    logits = m.joint(rep, cfg, enc_out, pred_out)
-    per_utt = rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank,
-                        fastemit)
+    if cfg.tdt_durations:
+        # duration families: predictor/joint/loss already run replicated
+        # on the psum-assembled encoder output, so the consumed-frames
+        # grid losses drop in unchanged (loss_fn's xla-tier semantics)
+        if fastemit:
+            raise ValueError("fastemit_lambda is not supported with TDT "
+                             "models")
+        from rnn_transducer_tpu.ops.rnnt_tdt import rnnt_loss_tdt
+        logits, dur_logits = m.joint_tdt(rep, cfg, enc_out, pred_out)
+        per_utt = rnnt_loss_tdt(logits, dur_logits, labels, enc_lens,
+                                label_lens, cfg.tdt_durations, cfg.blank)
+    elif cfg.big_blank_durations:
+        if fastemit:
+            raise ValueError("fastemit_lambda is not supported with "
+                             "multi-blank models")
+        from rnn_transducer_tpu.ops.rnnt_multiblank import \
+            rnnt_loss_multiblank
+        logits = m.joint(rep, cfg, enc_out, pred_out)
+        per_utt = rnnt_loss_multiblank(logits, labels, enc_lens,
+                                       label_lens,
+                                       cfg.big_blank_durations, cfg.blank)
+    else:
+        logits = m.joint(rep, cfg, enc_out, pred_out)
+        per_utt = rnnt_loss(logits, labels, enc_lens, label_lens,
+                            cfg.blank, fastemit)
     per_utt = _with_ctc(per_utt, rep, cfg, enc_out, enc_lens, labels,
                         label_lens, ctc_weight)
     return jnp.mean(per_utt), per_utt
+
+
+def pp_pruned_loss_fn(local: TPParams, cfg: TransducerConfig, feats,
+                      feat_lens, labels, label_lens, *, pp: int,
+                      microbatches: int, fastemit: float = 0.0,
+                      dropout: float = 0.0, embed_dropout: float = 0.0,
+                      rngs=None, ctc_weight=0.0, simple_loss_scale=0.5):
+    """k2-style pruned two-pass objective on the GPipe-staged encoder.
+
+    Only the encoder is pipeline-sharded; the two-pass objective (simple
+    heads, bounds, band joint, banded recursion) runs replicated on the
+    psum-assembled enc_out — the single-device pruned_two_pass_loss
+    drops in unchanged (rep carries the replicated "simple" heads).
+    """
+    from rnn_transducer_tpu.ops.rnnt_pruned import pruned_two_pass_loss
+
+    assert cfg.pruned_range > 0, "pp pruned loss needs cfg.pruned_range"
+    enc_out, enc_lens = pp_encode(local.shd["encoder"], cfg, feats,
+                                  feat_lens, pp=pp,
+                                  microbatches=microbatches,
+                                  dropout=dropout, rngs=rngs,
+                                  in_proj=local.rep.get("enc_in_proj"))
+    rep = local.rep
+    pred_out, _ = m.predict(rep, cfg, labels, dropout=dropout,
+                            embed_dropout=embed_dropout, rng=rngs)
+    f, g, w, b = m.joint_activations(rep, cfg, enc_out, pred_out)
+    simple_pu, pruned_pu, _ = pruned_two_pass_loss(
+        rep["simple"], f, g, w, b, enc_out, pred_out, labels, enc_lens,
+        label_lens, cfg.pruned_range, cfg.blank, cfg.cdtype, fastemit)
+    pruned_pu = _with_ctc(pruned_pu, rep, cfg, enc_out, enc_lens, labels,
+                          label_lens, ctc_weight)
+    total = (jnp.mean(pruned_pu)
+             + simple_loss_scale * jnp.mean(simple_pu))
+    return total, pruned_pu
 
 
 def init_pp_train_state(key, cfg: TransducerConfig, tcfg: TrainConfig,
@@ -242,7 +379,8 @@ def pp_ctc_loss_fn(local: TPParams, cfg: TransducerConfig, feats,
     from rnn_transducer_tpu.ops.ctc_loss import ctc_loss_from_logits
     enc_out, enc_lens = pp_encode(local.shd["encoder"], cfg, feats,
                                   feat_lens, pp=pp,
-                                  microbatches=microbatches)
+                                  microbatches=microbatches,
+                                  in_proj=local.rep.get("enc_in_proj"))
     per_utt = ctc_loss_from_logits(
         m.ctc_logits(local.rep, cfg, enc_out), labels, enc_lens,
         label_lens, cfg.blank)
@@ -256,6 +394,11 @@ def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
     parallel over "data". Mirrors tp.make_tp_train_step's semantics
     (incl. loss_kind="ctc" for the pretraining phase)."""
     assert loss_kind in ("rnnt", "ctc"), loss_kind
+    if tcfg.grad_accum > 1:
+        # same contract as tp.make_tp_train_step: never silently drop it
+        raise ValueError("grad_accum > 1 is not supported by the "
+                         "model-parallel train steps; grow the data axis, "
+                         "the per-shard batch, or --microbatches instead")
     pp = mesh.shape[MODEL_AXIS]
     M = microbatches if microbatches is not None else 2 * pp
     tx = make_optimizer_noclip(tcfg)
@@ -273,6 +416,12 @@ def make_pp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
             def batch_loss(p):
                 return pp_ctc_loss_fn(p, cfg, feats, feat_lens, labels,
                                       label_lens, pp=pp, microbatches=M)
+        elif tcfg.loss_impl == "pruned":
+            def batch_loss(p):
+                return pp_pruned_loss_fn(
+                    p, cfg, feats, feat_lens, labels, label_lens, pp=pp,
+                    microbatches=M, fastemit=tcfg.fastemit_lambda,
+                    simple_loss_scale=tcfg.simple_loss_scale, **do)
         else:
             def batch_loss(p):
                 return pp_loss_fn(p, cfg, feats, feat_lens, labels,

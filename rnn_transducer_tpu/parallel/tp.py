@@ -170,14 +170,25 @@ def split_params_tp(params, cfg: TransducerConfig, mp: int) -> TPParams:
         enc_rep = None
     shd = {
         "encoder": enc_shd,
+        # n_classes, not vocab_size: multi-blank models append one output
+        # column per big-blank duration and the softmax runs over all of
+        # them (the padded columns get _PAD_BIAS either way).
         "joint_out": _shard_vocab_out(params["joint"]["out"], mp,
-                                      cfg.vocab_size),
+                                      cfg.n_classes),
     }
     rep = {
         "embed": params["embed"],
         "joint": {"enc_proj": params["joint"]["enc_proj"],
                   "pred_proj": params["joint"]["pred_proj"]},
     }
+    if "dur" in params["joint"]:
+        # TDT duration head: tiny (J, D) projection off the replicated
+        # joint activation — replicate it (grad pmean over "model").
+        rep["joint"]["dur"] = params["joint"]["dur"]
+    if "simple" in params:
+        # pruned two-pass trivial-joiner heads: cheap (D, V) projections;
+        # the first pass runs replicated (tp_pruned_loss_fn).
+        rep["simple"] = params["simple"]
     if stateless:
         # the stateless decoder is one small linear — no LSTM gates to
         # shard; replicate it (grad pmean over the model axis)
@@ -215,9 +226,13 @@ def merge_params_tp(tp: TPParams, cfg: TransducerConfig) -> dict:
         "joint": {
             "enc_proj": tp.rep["joint"]["enc_proj"],
             "pred_proj": tp.rep["joint"]["pred_proj"],
-            "out": _merge_vocab_out(tp.shd["joint_out"], cfg.vocab_size),
+            "out": _merge_vocab_out(tp.shd["joint_out"], cfg.n_classes),
         },
     }
+    if "dur" in tp.rep["joint"]:
+        params["joint"]["dur"] = tp.rep["joint"]["dur"]
+    if "simple" in tp.rep:
+        params["simple"] = tp.rep["simple"]
     if "ctc_head" in tp.rep:
         params["ctc_head"] = tp.rep["ctc_head"]
     return params
@@ -268,6 +283,10 @@ def _local_view(tp_local: TPParams) -> dict:
             "out": tp_local.shd["joint_out"],
         },
     }
+    if "dur" in tp_local.rep["joint"]:
+        params["joint"]["dur"] = tp_local.rep["joint"]["dur"]
+    if "simple" in tp_local.rep:
+        params["simple"] = tp_local.rep["simple"]
     if "ctc_head" in tp_local.rep:
         params["ctc_head"] = tp_local.rep["ctc_head"]
     return params
@@ -671,6 +690,38 @@ def tp_joint_loss(params_local, cfg: TransducerConfig, enc_out, enc_lens,
         [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1)
     lp_y = pick(jnp.broadcast_to(lab[:, None, :], (B, T, U1))) - den
     lp_y = lp_y.at[:, :, U1 - 1].set(NEG_INF)  # u = U has no label
+
+    if cfg.tdt_durations:
+        # Duration head off the replicated joint activation: (B,T,U1,D)
+        # is identical on every shard, so no collective is needed —
+        # only the vocab-sharded token scores crossed chips above.
+        if fastemit:
+            raise ValueError("fastemit_lambda is not supported with TDT "
+                             "models")
+        from rnn_transducer_tpu.ops.rnnt_tdt import rnnt_loss_tdt_from_lp
+        dur = params_local["joint"]["dur"]
+        dur_l = (jnp.dot(z.astype(cd), dur["w"].astype(cd),
+                         preferred_element_type=jnp.float32)
+                 + dur["b"].astype(jnp.float32))
+        lp_dur = jax.nn.log_softmax(dur_l, axis=-1)
+        return rnnt_loss_tdt_from_lp(lp_blank, lp_y, lp_dur, enc_lens,
+                                     label_lens, cfg.tdt_durations)
+    if cfg.big_blank_durations:
+        # Multi-blank: each big-blank column vocab_size+k lives on exactly
+        # one shard; pick() extracts it like any other token score.
+        if fastemit:
+            raise ValueError("fastemit_lambda is not supported with "
+                             "multi-blank models")
+        from rnn_transducer_tpu.ops.rnnt_multiblank import \
+            rnnt_loss_multiblank_from_lp
+        cols = tuple(cfg.vocab_size + k
+                     for k in range(len(cfg.big_blank_durations)))
+        lp_blanks = jnp.stack(
+            [lp_blank] + [pick(jnp.full((B, T, U1), c, jnp.int32)) - den
+                          for c in cols], axis=-1)
+        return rnnt_loss_multiblank_from_lp(lp_blanks, lp_y, enc_lens,
+                                            label_lens,
+                                            cfg.big_blank_durations)
     return rnnt_loss_from_lp(lp_blank, lp_y, enc_lens, label_lens, fastemit)
 
 
@@ -855,6 +906,130 @@ def sp_pruned_loss_fn(params, cfg: TransducerConfig, feats, feat_lens,
     pruned_pu = rnnt_loss_banded(gather_t(lpb_l), gather_t(lpy_l), sb,
                                  enc_lens, label_lens, U1, fastemit)
     pruned_pu = _with_ctc(pruned_pu, params, cfg, enc_out, enc_lens,
+                          labels, label_lens, ctc_weight)
+    total = (jnp.mean(pruned_pu)
+             + simple_loss_scale * jnp.mean(simple_pu))
+    return total, pruned_pu
+
+
+def _tp_band_lp_chunk(f_c, u_c, lab_w, g, w_l, b_l, blank, cd, axis):
+    """One time-chunk of the vocab-sharded band joint -> (lpb, lpy).
+
+    Same contract as ops.rnnt_pruned._pruned_lp_chunk, but logits cover
+    this shard's V/mp columns only: the log-softmax denominator is a
+    pmax/psum reduction and the blank/label scores are masked local
+    gathers psum-ed across shards (exactly one shard owns each vocab
+    id) — the tp_joint_loss pattern applied to the (B, Tc, S) band.
+    """
+    B, Tc, S = u_c.shape
+    U1 = g.shape[1]
+    Vl = w_l.shape[1]
+    onehot_u = (u_c[..., None]
+                == jax.lax.broadcasted_iota(jnp.int32, (B, Tc, S, U1), 3)
+                ).astype(jnp.float32)
+    g_w = jnp.einsum("btsu,buj->btsj", onehot_u, g,
+                     preferred_element_type=jnp.float32)
+    z = jnp.tanh(f_c[:, :, None, :] + g_w)  # (B, Tc, S, J)
+    logits_l = (jnp.einsum("btsj,jv->btsv", z.astype(cd), w_l.astype(cd),
+                           preferred_element_type=jnp.float32)
+                + b_l.astype(jnp.float32))  # (B, Tc, S, Vl)
+    mx = jax.lax.pmax(
+        jax.lax.stop_gradient(jnp.max(logits_l, axis=-1)), axis)
+    den = mx + jnp.log(jax.lax.psum(
+        jnp.sum(jnp.exp(logits_l - mx[..., None]), axis=-1), axis))
+    v0 = jax.lax.axis_index(axis) * Vl
+
+    def pick(ids):
+        loc = ids.astype(jnp.int32) - v0
+        ok = (loc >= 0) & (loc < Vl)
+        val = jnp.take_along_axis(
+            logits_l, jnp.clip(loc, 0, Vl - 1)[..., None], axis=-1)[..., 0]
+        return jax.lax.psum(jnp.where(ok, val, 0.0), axis)
+
+    lpb_w = pick(jnp.full((B, Tc, S), blank, jnp.int32)) - den
+    lpy_w = pick(lab_w) - den
+    return lpb_w, lpy_w
+
+
+def tp_pruned_loss_fn(params_local, cfg: TransducerConfig, feats, feat_lens,
+                      labels, label_lens, *, axis=MODEL_AXIS, fastemit=0.0,
+                      dropout=0.0, embed_dropout=0.0, rngs=None,
+                      ctc_weight=0.0, simple_loss_scale=0.5):
+    """k2-style pruned two-pass objective under tensor parallelism.
+
+    The encoder/predictor run gate-sharded (the reason to be in tp);
+    the cheap trivial-joiner first pass and the pruning bounds run
+    replicated (the simple heads are replicated); the EXPENSIVE band
+    joint — (B·T·S, J) x (J, V) — splits its vocab columns mp ways via
+    _tp_band_lp_chunk, so each shard holds only (B, Tc, S, V/mp) chunk
+    logits and only (B, T, S) score streams cross chips. The banded
+    lattice recursion (custom VJP) runs replicated.
+    """
+    from rnn_transducer_tpu.ops.rnnt_loss import occupancies_from_lp
+    from rnn_transducer_tpu.ops.rnnt_pruned import (_CHUNK_BYTES,
+                                                    prune_bounds,
+                                                    rnnt_loss_banded,
+                                                    simple_lp)
+
+    assert cfg.pruned_range > 0, "tp pruned loss needs cfg.pruned_range"
+    enc_out, enc_lens = tp_encode(params_local, cfg, feats, feat_lens,
+                                  axis=axis, dropout=dropout, rngs=rngs)
+    pred_out = tp_predict(params_local, cfg, labels, axis=axis,
+                          dropout=dropout, embed_dropout=embed_dropout,
+                          rngs=rngs)
+    f, g, w_l, b_l = m.joint_activations(params_local, cfg, enc_out,
+                                         pred_out)
+    cd = cfg.cdtype
+    ps = params_local["simple"]
+    am = (jnp.einsum("btd,dv->btv", enc_out.astype(cd),
+                     ps["am"]["w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+          + ps["am"]["b"].astype(jnp.float32))
+    lm = (jnp.einsum("bud,dv->buv", pred_out.astype(cd),
+                     ps["lm"]["w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+          + ps["lm"]["b"].astype(jnp.float32))
+    lpb_s, lpy_s = simple_lp(am, lm, labels, cfg.blank)
+    simple_pu = rnnt_loss_from_lp(lpb_s, lpy_s, enc_lens, label_lens,
+                                  fastemit)
+    gb, gy = occupancies_from_lp(jax.lax.stop_gradient(lpb_s),
+                                 jax.lax.stop_gradient(lpy_s),
+                                 enc_lens, label_lens)
+    sb = prune_bounds(gb + gy, cfg.pruned_range, enc_lens, label_lens)
+    sb = jax.lax.stop_gradient(sb)
+
+    B, T, _ = f.shape
+    U1 = g.shape[1]
+    S = min(cfg.pruned_range, U1)
+    u = sb[:, :, None] + jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    u_c = jnp.clip(u, 0, U1 - 1)  # (B, T, S)
+    lab_pad = jnp.concatenate(
+        [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1)
+    lab_w = jnp.take_along_axis(lab_pad[:, None].repeat(T, 1), u_c, axis=2)
+
+    Vl = w_l.shape[1]
+    body = jax.checkpoint(functools.partial(
+        _tp_band_lp_chunk, g=g, w_l=w_l, b_l=b_l, blank=cfg.blank, cd=cd,
+        axis=axis))
+    tc = max(1, min(T, _CHUNK_BYTES // max(1, B * S * Vl * 4)))
+    if tc >= T:
+        lpb_w, lpy_w = body(f, u_c, lab_w)
+    else:
+        nc = -(-T // tc)
+        pad = nc * tc - T
+
+        def padc(x):
+            x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+            return jnp.moveaxis(x.reshape((B, nc, tc) + x.shape[2:]), 1, 0)
+
+        lpb_w, lpy_w = jax.lax.map(
+            lambda args: body(*args), (padc(f), padc(u_c), padc(lab_w)))
+        lpb_w = jnp.moveaxis(lpb_w, 0, 1).reshape(B, nc * tc, S)[:, :T]
+        lpy_w = jnp.moveaxis(lpy_w, 0, 1).reshape(B, nc * tc, S)[:, :T]
+
+    pruned_pu = rnnt_loss_banded(lpb_w, lpy_w, sb, enc_lens, label_lens,
+                                 U1, fastemit)
+    pruned_pu = _with_ctc(pruned_pu, params_local, cfg, enc_out, enc_lens,
                           labels, label_lens, ctc_weight)
     total = (jnp.mean(pruned_pu)
              + simple_loss_scale * jnp.mean(simple_pu))
@@ -1065,11 +1240,19 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
     """
     assert mode in ("tp", "sp", "ep"), mode
     assert loss_kind in ("rnnt", "ctc", "mwer"), loss_kind
+    if tcfg.grad_accum > 1:
+        # the manual clip-then-update sequence below applies the optimizer
+        # every step; silently dropping the accumulation would train at the
+        # wrong effective batch (cf. the weight-noise ADVICE fix)
+        raise ValueError("grad_accum > 1 is not supported by the "
+                         "model-parallel train steps; grow the data axis "
+                         "or the per-shard batch instead")
     if loss_kind == "mwer":
         assert mode == "sp", "MWER needs replicated params (mode='sp')"
     if tcfg.loss_impl == "pruned" and loss_kind == "rnnt":
-        assert mode == "sp", ("the pruned loss under model parallelism "
-                              "requires mode='sp' (frame-sharded band)")
+        assert mode in ("sp", "tp"), (
+            "the pruned loss under model parallelism requires mode='sp' "
+            "(frame-sharded band) or mode='tp' (vocab-sharded band)")
     mp = mesh.shape[MODEL_AXIS]
     tx = make_optimizer_noclip(tcfg)
     is_tp = mode in ("tp", "ep")  # TPParams state layout + shd grad rules
@@ -1107,9 +1290,16 @@ def make_tp_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh: Mesh,
                     return rep_ctc_loss_fn(p, cfg, feats, feat_lens,
                                            labels, label_lens)
         elif mode == "tp":
-            def batch_loss(p):
-                return tp_loss_fn(_local_view(p), cfg, feats, feat_lens,
-                                  labels, label_lens, fastemit=fe, **do)
+            if tcfg.loss_impl == "pruned":
+                def batch_loss(p):
+                    return tp_pruned_loss_fn(
+                        _local_view(p), cfg, feats, feat_lens, labels,
+                        label_lens, fastemit=fe,
+                        simple_loss_scale=tcfg.simple_loss_scale, **do)
+            else:
+                def batch_loss(p):
+                    return tp_loss_fn(_local_view(p), cfg, feats, feat_lens,
+                                      labels, label_lens, fastemit=fe, **do)
         elif mode == "ep":
             def batch_loss(p):
                 return ep_loss_fn(p, cfg, feats, feat_lens, labels,

@@ -285,3 +285,59 @@ def test_conformer_tp_streamable_config():
         mp_state, *tp.shard_batch_2d(mesh, batch))
     np.testing.assert_allclose(float(infoN["loss"]), float(info1["loss"]),
                                rtol=3e-5)
+
+
+def test_conformer_pipeline_parallel_train():
+    """Conformer training under --parallel-mode pp: the d_model-uniform
+    blocks GPipe-stage with no Dmax padding, frame stacking + in_proj
+    run replicated before the pipeline (so time_reduction > 1 works) —
+    2-step loss trajectory and merged post-step params == single
+    device."""
+    import pytest as _pytest
+
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.parallel import pipeline as pl, tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg = _cfg(enc_layers=4, time_reduction=2)
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="xla")
+    rng = np.random.default_rng(7)
+    batch = (jnp.asarray(rng.normal(size=(8, 12, cfg.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 12, jnp.int32),
+             jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 3)),
+                         jnp.int32),
+             jnp.full((8,), 3, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.shard_tp_state(mesh, pl.init_pp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, 4))
+    stepN = pl.make_pp_train_step(cfg, tcfg, mesh, microbatches=2)
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    merged = pl.merge_params_pp(jax.device_get(mp_state.params), cfg)
+    ref = jax.device_get(state.params)
+    flat_r = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(ref)[0]}
+    for k, a in jax.tree_util.tree_flatten_with_path(merged)[0]:
+        # atol 1e-4, not 1e-5: the attention key bias has an analytically
+        # ZERO gradient (softmax shift invariance), so Adam normalizes
+        # pure fp reduction-order noise to an O(lr) update that differs
+        # between the microbatched and full-batch grad reductions.
+        # Everything else matches to ~1e-6 (measured 2.2e-5 worst on k.b).
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(flat_r[jax.tree_util.keystr(k)]),
+            atol=1e-4, err_msg=jax.tree_util.keystr(k))

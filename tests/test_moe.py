@@ -231,3 +231,38 @@ def test_ep_train_step_matches_single_device():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=2e-5), merged,
         jax.device_get(s1.params))
+
+
+def test_ep_conformer_train_step_matches_single_device():
+    """Conformer encoder + MoE joint under ep: the encoder (like all
+    non-expert weights) replicates over the model axis and runs
+    unchanged; only the expert FFNs shard — dp2 x ep4 step == the
+    single-device step."""
+    from rnn_transducer_tpu.parallel import tp as tpx
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = _moe_cfg(moe_capacity_factor=float(E), enc_type="conformer",
+                   enc_heads=2, enc_ff_mult=2, enc_conv_kernel=3)
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=10,
+                       loss_impl="xla", grad_clip_norm=1e9)
+    rng = np.random.default_rng(5)
+    B, T, U = 8, 8, 3
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.input_dim)), jnp.float32)
+    fl = jnp.full((B,), T, jnp.int32)
+    labels = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, U)),
+                         jnp.int32)
+    ll = jnp.full((B,), U, jnp.int32)
+
+    s0 = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    _, info1 = make_train_step(cfg, tcfg)(s0, feats, fl, labels, ll)
+
+    mesh = tpx.make_mesh_2d(2, 4)
+    eps = tpx.shard_tp_state(mesh, tpx.init_ep_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, 4))
+    batch = tpx.shard_batch_2d(mesh, (feats, fl, labels, ll))
+    _, info2 = tpx.make_tp_train_step(cfg, tcfg, mesh, "ep")(eps, *batch)
+    np.testing.assert_allclose(float(info2["loss"]), float(info1["loss"]),
+                               rtol=2e-5)

@@ -317,3 +317,90 @@ def test_multiblank_sequence_parallel_lockstep():
         mp_state, info = stepN(mp_state, *mp_batch)
         got.append(float(info["loss"]))
     np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_multiblank_tensor_parallel_lockstep():
+    """Multi-blank training under --parallel-mode tp: the big-blank
+    columns live on exactly one vocab shard each and are extracted by
+    the masked pick/psum inside tp_joint_loss — 2-step loss trajectory
+    and merged post-step params == single device."""
+    import pytest as _pytest
+
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.parallel import tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg = _cfg(durs=(2, 3))
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="xla")
+    rng = np.random.default_rng(13)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, cfg.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 3)),
+                         jnp.int32),
+             jnp.full((8,), 3, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, 4))
+    stepN = tp.make_tp_train_step(cfg, tcfg, mesh, mode="tp")
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    merged = tp.merge_params_tp(jax.device_get(mp_state.params), cfg)
+    for a, b in zip(jax.tree.leaves(merged),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_multiblank_pipeline_parallel_lockstep():
+    """Multi-blank training under --parallel-mode pp: the staged encoder
+    assembles the replicated enc_out and the consumed-frames-grid loss
+    runs unchanged — 2-step loss trajectory == single device."""
+    import pytest as _pytest
+
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.parallel import pipeline as pl, tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg = _cfg(durs=(2, 3), enc_layers=4)
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="xla")
+    rng = np.random.default_rng(15)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, cfg.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 3)),
+                         jnp.int32),
+             jnp.full((8,), 3, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.shard_tp_state(mesh, pl.init_pp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, 4))
+    stepN = pl.make_pp_train_step(cfg, tcfg, mesh, microbatches=2)
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=2e-5)

@@ -391,3 +391,104 @@ def test_pruned_sequence_parallel_lockstep():
         mp_state, info = stepN(mp_state, *mp_batch)
         got.append(float(info["loss"]))
     np.testing.assert_allclose(got, want, rtol=3e-5)
+
+
+def test_pruned_tensor_parallel_lockstep():
+    """Pruned two-pass training under --parallel-mode tp: gate-sharded
+    encoder/predictor, replicated first pass, vocab-sharded band joint
+    (_tp_band_lp_chunk pmax/psum + masked picks) — 2-step loss
+    trajectory and merged post-step params == single device."""
+    import pytest as _pytest
+
+    from rnn_transducer_tpu.models.config import (TrainConfig,
+                                                   TransducerConfig)
+    from rnn_transducer_tpu.parallel import tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg = TransducerConfig(enc_layers=1, enc_hidden=16, pred_layers=1,
+                           pred_hidden=16, embed_dim=8, joint_dim=16,
+                           vocab_size=10, input_dim=4, pruned_range=3,
+                           compute_dtype="float32")
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="pruned")
+    rng = np.random.default_rng(51)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, cfg.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 4)),
+                         jnp.int32),
+             jnp.full((8,), 4, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, 4))
+    stepN = tp.make_tp_train_step(cfg, tcfg, mesh, mode="tp")
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=3e-5)
+    merged = tp.merge_params_tp(jax.device_get(mp_state.params), cfg)
+    ref = jax.device_get(state.params)
+    flat_m, _ = jax.tree_util.tree_flatten_with_path(merged)
+    flat_r = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(ref)[0]}
+    for k, a in flat_m:
+        b = flat_r[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(k))
+
+
+def test_pruned_pipeline_parallel_lockstep():
+    """Pruned two-pass training under --parallel-mode pp: the GPipe
+    encoder assembles the replicated enc_out and the single-device
+    two-pass objective runs unchanged — 2-step loss trajectory ==
+    single device."""
+    import pytest as _pytest
+
+    from rnn_transducer_tpu.models.config import (TrainConfig,
+                                                   TransducerConfig)
+    from rnn_transducer_tpu.parallel import pipeline as pl, tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg = TransducerConfig(enc_layers=4, enc_hidden=16, pred_layers=1,
+                           pred_hidden=16, embed_dim=8, joint_dim=16,
+                           vocab_size=10, input_dim=4, pruned_range=3,
+                           compute_dtype="float32")
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="pruned")
+    rng = np.random.default_rng(52)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, cfg.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 4)),
+                         jnp.int32),
+             jnp.full((8,), 4, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.shard_tp_state(mesh, pl.init_pp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, 4))
+    stepN = pl.make_pp_train_step(cfg, tcfg, mesh, microbatches=2)
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=3e-5)

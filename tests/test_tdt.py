@@ -361,3 +361,91 @@ def test_tdt_sequence_parallel_lockstep():
         mp_state, info = stepN(mp_state, *mp_batch)
         got.append(float(info["loss"]))
     np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_tdt_tensor_parallel_lockstep():
+    """TDT training under --parallel-mode tp: token scores through the
+    vocab-parallel pick/psum, duration head replicated off the shared
+    joint activation — 2-step loss trajectory and merged post-step
+    params == single device."""
+    import pytest as _pytest
+
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.parallel import tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg = _cfg(durs=(0, 1, 2))
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="xla")
+    rng = np.random.default_rng(14)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, cfg.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 3)),
+                         jnp.int32),
+             jnp.full((8,), 3, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, 4))
+    stepN = tp.make_tp_train_step(cfg, tcfg, mesh, mode="tp")
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    merged = tp.merge_params_tp(jax.device_get(mp_state.params), cfg)
+    for a, b in zip(jax.tree.leaves(merged),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tdt_pipeline_parallel_lockstep():
+    """TDT training under --parallel-mode pp: the staged encoder
+    assembles the replicated enc_out; token + duration heads and the
+    consumed-frames-grid loss run unchanged — 2-step loss trajectory
+    == single device."""
+    import pytest as _pytest
+
+    from rnn_transducer_tpu.models.config import TrainConfig
+    from rnn_transducer_tpu.parallel import pipeline as pl, tp
+    from rnn_transducer_tpu.train.loop import (init_train_state,
+                                               make_train_step)
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg = _cfg(durs=(0, 1, 2), enc_layers=4)
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       loss_impl="xla")
+    rng = np.random.default_rng(16)
+    batch = (jnp.asarray(rng.normal(size=(8, 10, cfg.input_dim)),
+                         jnp.float32),
+             jnp.full((8,), 10, jnp.int32),
+             jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 3)),
+                         jnp.int32),
+             jnp.full((8,), 3, jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch)
+        want.append(float(info["loss"]))
+    mesh = tp.make_mesh_2d(2, 4)
+    mp_state = tp.shard_tp_state(mesh, pl.init_pp_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, 4))
+    stepN = pl.make_pp_train_step(cfg, tcfg, mesh, microbatches=2)
+    mp_batch = tp.shard_batch_2d(mesh, batch)
+    got = []
+    for _ in range(2):
+        mp_state, info = stepN(mp_state, *mp_batch)
+        got.append(float(info["loss"]))
+    np.testing.assert_allclose(got, want, rtol=2e-5)

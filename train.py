@@ -242,35 +242,38 @@ def main(argv=None):
             raise SystemExit("--mwer-steps with --model-parallel requires "
                              "--parallel-mode sp (or data parallelism)")
         if ((cfg.big_blank_durations or cfg.tdt_durations)
-                and args.parallel_mode != "sp"):
-            # sp extracts the per-cell streams shard-locally and feeds
-            # the from_lp losses; tp's vocab sharding and pp's staged
-            # encoder do not thread the duration transitions.
+                and args.parallel_mode not in ("sp", "tp", "pp")):
+            # sp extracts the per-cell streams shard-locally; tp picks the
+            # big-blank columns / runs the replicated duration head inside
+            # the vocab-parallel joint (tp_joint_loss); pp runs the
+            # consumed-frames-grid losses replicated on the staged
+            # encoder's output (pipeline.pp_loss_fn). "ep" would need
+            # the MoE joint, which duration models don't have.
             raise SystemExit("--big-blanks/--tdt-durations with "
                              "--model-parallel require --parallel-mode "
-                             "sp (or data parallelism)")
+                             "sp, tp, or pp (or data parallelism)")
         # dropout/embed_dropout ARE threaded through the tp/sp/pp/ep
         # steps (parallel/tp.py dropout_rngs: per-GLOBAL-example keys,
         # replicated over the model axis) — no guard needed.
-        if args.loss_impl == "pruned" and args.parallel_mode != "sp":
+        if args.loss_impl == "pruned" and args.parallel_mode not in (
+                "sp", "tp", "pp"):
             # "sp" frame-shards the expensive band joint
-            # (parallel/tp.py sp_pruned_loss_fn); tp's vocab sharding and
-            # pp's staged encoder do not thread the band.
+            # (sp_pruned_loss_fn); "tp" vocab-shards it with gate-sharded
+            # encoder/predictor (tp_pruned_loss_fn); "pp" stages the
+            # encoder and runs the two-pass objective replicated
+            # (pp_pruned_loss_fn). "ep" routes through the MoE joint,
+            # which the band extraction does not model.
             raise SystemExit("--loss-impl pruned with --model-parallel "
-                             "requires --parallel-mode sp (or data "
-                             "parallelism)")
+                             "requires --parallel-mode sp, tp, or pp "
+                             "(or data parallelism)")
         # --ema-decay works under tp/sp/pp/ep: the sharded states carry
         # an EMA pytree in the same layout and load_plain_params merges
         # its shards like the live params.
-        if cfg.enc_type != "lstm" and args.parallel_mode not in ("sp",
-                                                                  "tp"):
-            # pp stages LSTM layers; the conformer encoder is not
-            # threaded through it. "tp" shards conformer heads/FFN
-            # channels (Megatron-style, parallel/tp.py); "sp" keeps the
-            # encoder replicated and shards the joint+loss frames.
-            raise SystemExit("enc_type='conformer' with --model-parallel "
-                             "requires --parallel-mode tp|sp (or data "
-                             "parallelism)")
+        # conformer composes with every model-parallel mode: "tp" shards
+        # its heads/FFN channels (Megatron-style, parallel/tp.py); "sp"
+        # and "ep" keep the encoder replicated and shard the joint+loss
+        # frames (/ the MoE experts); "pp" GPipe-stages the
+        # d_model-uniform blocks (parallel/pipeline.py).
         # pred_type='stateless' under tp: the tiny linear decoder is
         # replicated (parallel/tp.py split_params_tp) — no guard needed.
         from rnn_transducer_tpu.parallel import pipeline as ppx, tp as tpx
