@@ -87,6 +87,15 @@ def parse_args(argv=None):
                    help="manifest input pipeline: 'native' = C++ prefetch "
                         "threads (cpp/loader.cpp); decode/FBANK/padding "
                         "overlap device compute")
+    p.add_argument("--resume-data", choices=["exact", "fresh"], default=None,
+                   help="with --resume + manifest data: 'exact' (the "
+                        "default for the python loader) fast-forwards the "
+                        "batch stream past the restored step count via a "
+                        "metadata-only bucketing replay, so training sees "
+                        "exactly the batches an uninterrupted run would; "
+                        "'fresh' restarts the stream from epoch 0. The "
+                        "native loader and synthetic data support only "
+                        "'fresh'.")
     p.add_argument("--weight-noise", type=float, default=0.0,
                    help="Graves weight noise std (gradient computed at "
                         "params + N(0, std); classic TIMIT regularizer)")
@@ -392,6 +401,24 @@ def main(argv=None):
             skip_first = (tcfg.batch_size
                           if dev_batch is not None and n_utts > tcfg.batch_size
                           else 0)
+        # exact data resume: replay the interrupted run's batch sequence
+        # (metadata-only fast-forward, data/manifest.py). Default for the
+        # python loader; the native loader's C++ pipeline has no
+        # fast-forward hook, so 'exact' there is an explicit error.
+        resume_skip = 0
+        if resuming and start_step > 0 and args.resume_data != "fresh":
+            if args.loader == "native":
+                if args.resume_data == "exact":
+                    raise SystemExit("--resume-data exact is not supported "
+                                     "with --loader native; use the python "
+                                     "loader or --resume-data fresh")
+                print("note: native loader resumes the data stream from "
+                      "epoch 0 (no exact fast-forward); the model/optimizer "
+                      "state is unaffected", file=sys.stderr)
+            else:
+                resume_skip = start_step
+                print(f"fast-forwarding the data stream past {resume_skip} "
+                      "batches (--resume-data exact)", file=sys.stderr)
         if args.loader == "native":
             from rnn_transducer_tpu.data.native_loader import NativeLoader
             loader = NativeLoader(train_path, cfg, tcfg.buckets,
@@ -403,8 +430,14 @@ def main(argv=None):
             batches = manifest_batches(train_path, cfg, tcfg,
                                        skip_first=skip_first,
                                        sortagrad=args.sortagrad,
-                                       shuffle_seed=args.seed)
+                                       shuffle_seed=args.seed,
+                                       resume_batches=resume_skip)
     else:
+        if args.resume_data == "exact":
+            raise SystemExit("--resume-data exact requires manifest data "
+                             "(synthetic batches are i.i.d. draws; the "
+                             "stream restarts deterministically from the "
+                             "seed)")
         if args.dev_manifest:
             from rnn_transducer_tpu.data.manifest import manifest_dev_batch
             dev_batch = manifest_dev_batch(args.dev_manifest, cfg, tcfg)
@@ -507,12 +540,15 @@ def main(argv=None):
         if i >= args.steps - start_step:
             break
         batch = tuple(jnp.asarray(x) for x in (feats, fl, labels, ll))
+        # per-GLOBAL-step keys (fold_in, not a split chain): a resumed run
+        # draws the same augmentations an uninterrupted run would at the
+        # same step (pairs with --resume-data exact)
         if args.speed_perturb:
-            sp_key, k = jax.random.split(sp_key)
+            k = jax.random.fold_in(sp_key, start_step + i)
             sp_feats, sp_lens = sp_fn(k, batch[0], batch[1])
             batch = (sp_feats, sp_lens) + batch[2:]
         if args.spec_augment:
-            aug_key, k = jax.random.split(aug_key)
+            k = jax.random.fold_in(aug_key, start_step + i)
             batch = (aug_fn(k, batch[0], batch[1]),) + batch[1:]
         batch = shard_train_batch(batch)
         phase_ctc = (ctc_step_fn is not None
