@@ -34,6 +34,12 @@ def parse_args(argv=None):
     p.add_argument("--max-symbols", type=int, default=100)
     p.add_argument("--chunk-frames", type=int, default=32)
     p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each decode batch over N devices (offline "
+                        "eval scale-out: params/LM/bias tables replicated, "
+                        "batch split over the mesh; modes "
+                        "greedy|beam|ctc_greedy|ctc_beam; --batch-size "
+                        "must divide by N)")
     p.add_argument("--loader", default="python",
                    choices=["python", "native"],
                    help="manifest input pipeline ('native' = C++ prefetch "
@@ -212,6 +218,39 @@ def main(argv=None):
         print(f"{'n-best rescoring' if args.lm_rescore else 'shallow fusion'}"
               f": {args.lm_ckpt} weight={args.lm_weight}", file=sys.stderr)
 
+    # Data-parallel offline decode: the per-batch decode function runs
+    # under shard_map over a 1-D "data" mesh — params/LM/bias tables
+    # replicated, the batch dim split N ways, no collectives (each device
+    # decodes its shard independently; shard_map rather than jit+shardings
+    # because the Pallas decode kernels have no SPMD partitioning rule).
+    dp = args.data_parallel
+    if dp > 1:
+        if args.mode not in ("greedy", "beam", "ctc_greedy", "ctc_beam"):
+            raise SystemExit("--data-parallel supports --mode "
+                             "greedy|beam|ctc_greedy|ctc_beam (streaming "
+                             "decode is a host-driven chunk loop)")
+        if args.batch_size % dp:
+            raise SystemExit(f"--batch-size {args.batch_size} must divide "
+                             f"by --data-parallel {dp}")
+        if dp > len(jax.devices()):
+            raise SystemExit(f"--data-parallel {dp} > available devices "
+                             f"{len(jax.devices())}")
+        from jax.sharding import PartitionSpec as P
+        from rnn_transducer_tpu.parallel.mesh import make_mesh
+        dp_mesh = make_mesh(dp)
+        print(f"data-parallel decode over {dp} devices", file=sys.stderr)
+
+    def dp_wrap(fn, n_rep, n_batch):
+        """shard_map fn's trailing n_batch args over the mesh (identity
+        at dp=1); the first n_rep args are replicated."""
+        if dp == 1:
+            return fn
+        return jax.shard_map(fn, mesh=dp_mesh,
+                             in_specs=(P(),) * n_rep
+                             + (P("data"),) * n_batch,
+                             out_specs=P("data"),
+                             check_vma=False)
+
     # NOTE: params (and lm params) are always traced jit arguments —
     # capturing them in the closure would inline the weights into the
     # compiled program.
@@ -223,9 +262,9 @@ def main(argv=None):
         raise SystemExit("--confidence supports --mode "
                          "greedy|beam|ctc_greedy")
     if args.mode == "greedy":
-        greedy_jit = jax.jit(lambda p, f, l: recognize_greedy(
+        greedy_jit = jax.jit(dp_wrap(lambda p, f, l: recognize_greedy(
             p, cfg, f, l, max_symbols=args.max_symbols,
-            with_confidence=conf_on, with_timestamps=ts))
+            with_confidence=conf_on, with_timestamps=ts), 1, 2))
 
         def decode(f, l):
             out = greedy_jit(params, f, l)
@@ -236,17 +275,19 @@ def main(argv=None):
             return out[0], out[1], frames, confs, None
     elif args.mode == "beam":
         fuse = None if (lm_params is None or args.lm_rescore) else "fuse"
-        beam_jit = jax.jit(lambda p, lmp, cb, ng, f, l: recognize_beam(
+        beam_jit = jax.jit(dp_wrap(lambda p, lmp, cb, ng, f, l: recognize_beam(
             p, cfg, f, l, beam=args.beam,
             max_symbols=args.max_symbols, expansions=args.expansions,
             with_confidence=conf_on, with_timestamps=ts, context=cb,
             ngram=ng,
             lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight,
-                                         args.ilm_weight)))
+                                         args.ilm_weight)), 4, 2))
         if args.lm_rescore and lm_params is not None:
             from rnn_transducer_tpu.models.lm import rescore_nbest
-            rescore_jit = jax.jit(lambda lmp, t, ln, s, e: rescore_nbest(
-                lmp, lm_cfg, t, ln, s, weight=args.lm_weight, extras=e))
+            rescore_jit = jax.jit(dp_wrap(
+                lambda lmp, t, ln, s, e: rescore_nbest(
+                    lmp, lm_cfg, t, ln, s, weight=args.lm_weight, extras=e),
+                1, 4))
 
             def decode(f, l):
                 out = beam_jit(params, None, context, ngram, f, l)
@@ -276,9 +317,9 @@ def main(argv=None):
                         (out[0], out[1], out[2]))
     elif args.mode == "ctc_greedy":
         from rnn_transducer_tpu.decode.ctc import recognize_ctc
-        ctc_jit = jax.jit(lambda p, f, l: recognize_ctc(
+        ctc_jit = jax.jit(dp_wrap(lambda p, f, l: recognize_ctc(
             p, cfg, f, l, mode="greedy", max_symbols=args.max_symbols,
-            with_confidence=conf_on, with_timestamps=ts))
+            with_confidence=conf_on, with_timestamps=ts), 1, 2))
 
         def decode(f, l):
             out = ctc_jit(params, f, l)
@@ -295,11 +336,11 @@ def main(argv=None):
         if args.lm_rescore:
             raise SystemExit("--lm-rescore applies to --mode beam; "
                              "ctc_beam fuses per step (--lm-ckpt alone)")
-        ctc_beam_jit = jax.jit(lambda p, lmp, ng, f, l: recognize_ctc(
+        ctc_beam_jit = jax.jit(dp_wrap(lambda p, lmp, ng, f, l: recognize_ctc(
             p, cfg, f, l, mode="beam", beam=args.beam,
             max_symbols=args.max_symbols,
             lm=None if lmp is None else (lmp, lm_cfg, args.lm_weight),
-            ngram=ng))
+            ngram=ng), 3, 2))
 
         def decode(f, l):
             toks, lens, scores = ctc_beam_jit(params, lm_params, ngram,
