@@ -11,12 +11,52 @@ import jax
 import jax.numpy as jnp
 
 
+def _time_warp(key, feats, feat_lens, W: int):
+    """Park et al.'s time warping: a random anchor w0 in [W, len-W) is
+    displaced by d ~ U[-W, W] and the valid frames are piecewise-linearly
+    rewarped around it (frame 0 and frame len-1 stay fixed). Linear
+    interpolation along time, static shapes; padding frames untouched."""
+    B, T, F = feats.shape
+    lens = feat_lens.astype(jnp.float32)
+    L1 = lens - 1.0  # right fixed point of the warp
+    k1, k2 = jax.random.split(key)
+    lo = jnp.full((B,), float(W))
+    hi = jnp.maximum(lens - W, lo + 1.0)
+    w0 = lo + jax.random.uniform(k1, (B,)) * (hi - lo)
+    d = jax.random.uniform(k2, (B,), minval=-float(W), maxval=float(W))
+    w1 = jnp.clip(w0 + d, 1.0, jnp.maximum(L1 - 1.0, 1.0))
+    t = jnp.arange(T, dtype=jnp.float32)[None, :]
+    left = t * (w0 / w1)[:, None]
+    right = (w0[:, None] + (t - w1[:, None])
+             * ((L1 - w0) / jnp.maximum(L1 - w1, 1e-6))[:, None])
+    src = jnp.where(t <= w1[:, None], left, right)
+    src = jnp.clip(src, 0.0, jnp.maximum(L1[:, None], 0.0))
+    # the paper samples w0 from [W, len-W): utterances with len <= 2W are
+    # too short to warp — leave them untouched
+    src = jnp.where((lens > 2.0 * W)[:, None], src, t)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, T - 1)
+    frac = (src - i0)[:, :, None]
+    f0 = jnp.take_along_axis(feats, i0[:, :, None], axis=1)
+    f1 = jnp.take_along_axis(feats, i1[:, :, None], axis=1)
+    out = f0 * (1.0 - frac) + f1 * frac
+    valid = (t < lens[:, None])[:, :, None]
+    return jnp.where(valid, out, feats)
+
+
 def spec_augment(key, feats, feat_lens, *, n_time_masks: int = 2,
                  time_mask_frames: int = 20, n_freq_masks: int = 2,
-                 freq_mask_bins: int = 15):
-    """feats: (B, T, F) -> masked copy. Masks never exceed valid frames."""
+                 freq_mask_bins: int = 15, time_warp_frames: int = 0):
+    """feats: (B, T, F) -> masked copy. Masks never exceed valid frames.
+
+    time_warp_frames > 0 additionally applies Park et al.'s time warping
+    (displacement window W = time_warp_frames) before the masks — the
+    paper's third transform, off by default (the masks carry most of the
+    regularization; warping costs two gathers)."""
     B, T, F = feats.shape
-    keys = jax.random.split(key, 4)
+    keys = jax.random.split(key, 5)
+    if time_warp_frames > 0:
+        feats = _time_warp(keys[4], feats, feat_lens, time_warp_frames)
     t_ids = jnp.arange(T, dtype=jnp.int32)[None, None, :]  # (1, 1, T)
     f_ids = jnp.arange(F, dtype=jnp.int32)[None, None, :]  # (1, 1, F)
 

@@ -73,6 +73,56 @@ def test_speed_perturb_train_cli(capsys):
     train.main(["--config", "smoke", "--steps", "2", "--batch-size", "2",
                 "--max-frames", "40", "--max-labels", "5",
                 "--log-every", "1", "--speed-perturb", "0.9,1.0,1.1",
+                "--spec-augment", "--spec-augment-warp", "8",
                 "--data-parallel", "1"])
     res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["steps"] == 2 and np.isfinite(res["final_loss"])
+
+
+def test_time_warp_properties():
+    """Park et al. time warping: endpoints fixed, padding untouched, masks
+    unchanged by enabling the warp (the mask subkeys are independent),
+    warp=0 is off, per-key deterministic."""
+    from rnn_transducer_tpu.data.augment import _time_warp
+    rng = np.random.default_rng(2)
+    B, T, F = 3, 60, 8
+    feats = jnp.asarray(rng.normal(size=(B, T, F)) + 5.0, jnp.float32)
+    lens = jnp.asarray([60, 45, 20], jnp.int32)
+    out = np.asarray(jax.jit(
+        lambda k: _time_warp(k, feats, lens, 10))(jax.random.PRNGKey(3)))
+    src = np.asarray(feats)
+    for b, L in enumerate([60, 45, 20]):
+        # frame 0 and frame len-1 map to themselves
+        np.testing.assert_allclose(out[b, 0], src[b, 0], rtol=1e-5)
+        np.testing.assert_allclose(out[b, L - 1], src[b, L - 1], rtol=1e-5)
+        # padding frames untouched
+        np.testing.assert_array_equal(out[b, L:], src[b, L:])
+        # warped interior actually moved for a real-size utterance
+        if L >= 40:
+            assert not np.allclose(out[b, 1:L - 1], src[b, 1:L - 1])
+    # interpolation stays within the source value envelope per feature bin
+    assert out.min() >= src.min() - 1e-5 and out.max() <= src.max() + 1e-5
+
+    # enabling the warp does not change WHICH cells the masks zero
+    k = jax.random.PRNGKey(4)
+    plain = np.asarray(spec_augment(k, feats, lens))
+    warped = np.asarray(spec_augment(k, feats, lens, time_warp_frames=10))
+    np.testing.assert_array_equal(plain == 0.0, warped == 0.0)
+    # warp=0 is exactly the mask-only transform
+    off = np.asarray(spec_augment(k, feats, lens, time_warp_frames=0))
+    np.testing.assert_array_equal(off, plain)
+    # deterministic per key
+    again = np.asarray(spec_augment(k, feats, lens, time_warp_frames=10))
+    np.testing.assert_array_equal(warped, again)
+
+
+def test_time_warp_degenerate_lengths():
+    """len=1 and len=2 utterances survive (no NaN, endpoints fixed)."""
+    from rnn_transducer_tpu.data.augment import _time_warp
+    feats = jnp.asarray(np.arange(2 * 6 * 3, dtype=np.float32)
+                        .reshape(2, 6, 3))
+    lens = jnp.asarray([1, 2], jnp.int32)
+    out = np.asarray(_time_warp(jax.random.PRNGKey(0), feats, lens, 4))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0, 0], np.asarray(feats)[0, 0])
+    np.testing.assert_array_equal(out[:, 2:], np.asarray(feats)[:, 2:])

@@ -68,6 +68,10 @@ def parse_args(argv=None):
                         "the pruned objective")
     p.add_argument("--spec-augment", action="store_true",
                    help="apply SpecAugment time/freq masking on features")
+    p.add_argument("--spec-augment-warp", type=int, default=0,
+                   help="with --spec-augment: also time-warp each "
+                        "utterance (Park et al.'s W parameter, e.g. 80; "
+                        "0 = masks only)")
     p.add_argument("--speed-perturb", default=None,
                    help="per-example feature-domain speed perturbation: "
                         "comma-separated factor set (kaldi staple "
@@ -526,7 +530,9 @@ def main(argv=None):
     info = {"loss": float("nan"), "grad_norm": float("nan")}
     if args.spec_augment:
         from rnn_transducer_tpu.data.augment import spec_augment
-        aug_fn = jax.jit(spec_augment)
+        warp = args.spec_augment_warp
+        aug_fn = jax.jit(lambda k, f, l: spec_augment(
+            k, f, l, time_warp_frames=warp))
         aug_key = jax.random.PRNGKey(args.seed + 777)
     if args.speed_perturb:
         import functools
