@@ -184,6 +184,14 @@ class TrainConfig:
     mwer_expansions: int = 2
     mwer_max_symbols: int = 64
     mwer_nll_weight: float = 0.0
+    # Knowledge distillation (teacher-student over the full RNN-T
+    # lattice): adds distill_weight * KL(teacher || student) of the
+    # temperature-softened joint posteriors, averaged over valid lattice
+    # cells (Hinton tau^2 scaling). The teacher is any checkpoint with
+    # the same vocab/blank/time_reduction (e.g. a big offline BiLSTM or
+    # conformer teaching a small streaming student). 0.0 = off.
+    distill_weight: float = 0.0
+    distill_temp: float = 1.0
     # data-parallel mesh axis size (1 = single chip)
     data_parallel: int = 1
     # bucketing: (max_frames, max_labels) per bucket

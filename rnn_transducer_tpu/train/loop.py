@@ -256,8 +256,81 @@ def ctc_loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
     return jnp.mean(per_utt), per_utt
 
 
+def distill_loss_fn(params, teacher_params, cfg: TransducerConfig,
+                    teacher_cfg: TransducerConfig, feats, feat_lens,
+                    labels, label_lens, distill_weight: float,
+                    distill_temp: float = 1.0, dropout: float = 0.0,
+                    embed_dropout: float = 0.0, dropout_rng=None,
+                    dropout_offset=0):
+    """RNN-T NLL + distill_weight * lattice KD (teacher-student).
+
+    The KD term is KL(p_teacher || p_student) of the temperature-softened
+    joint posteriors, averaged over the VALID lattice cells (t < enc_len,
+    u <= label_len) and scaled by tau^2 (Hinton et al.) so its gradient
+    magnitude is temperature-invariant. The teacher forward runs under
+    stop_gradient with no dropout; any architecture whose lattice grid
+    matches (same vocab/blank/time_reduction) can teach — the classic
+    recipe distills a big offline teacher into a small streaming student.
+    Student trains at the xla loss tier (the KD needs materialized
+    logits, which the fused kernel never forms).
+    """
+    rngs = None
+    if dropout_rng is not None:
+        idx = dropout_offset + jnp.arange(feats.shape[0])
+        rngs = jax.vmap(jax.random.fold_in,
+                        in_axes=(None, 0))(dropout_rng, idx)
+    do = dict(dropout=dropout, rng=rngs)
+    enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens, **do)
+    pred_out, _ = m.predict(params, cfg, labels,
+                            embed_dropout=embed_dropout, **do)
+    logits = m.joint(params, cfg, enc_out, pred_out)
+    per_utt = rnnt_loss(logits, labels, enc_lens, label_lens, cfg.blank)
+
+    t_logits, t_lens = m.forward(teacher_params, teacher_cfg, feats,
+                                 feat_lens, labels)
+    t_logits = jax.lax.stop_gradient(t_logits)
+    tau = distill_temp
+    lp_s = jax.nn.log_softmax(logits.astype(jnp.float32) / tau, axis=-1)
+    lp_t = jax.nn.log_softmax(t_logits.astype(jnp.float32) / tau, axis=-1)
+    kl = jnp.sum(jnp.exp(lp_t) * (lp_t - lp_s), axis=-1)  # (B, T', U+1)
+    B, T, U1 = kl.shape
+    tmask = jnp.arange(T)[None, :, None] < enc_lens[:, None, None]
+    umask = jnp.arange(U1)[None, None, :] <= label_lens[:, None, None]
+    mask = (tmask & umask).astype(kl.dtype)
+    kd_pu = (jnp.sum(kl * mask, axis=(1, 2))
+             / jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)) * tau * tau
+    per_utt = per_utt + distill_weight * kd_pu
+    return jnp.mean(per_utt), per_utt
+
+
+def check_distill_compat(cfg: TransducerConfig,
+                         teacher_cfg: TransducerConfig,
+                         tcfg: TrainConfig):
+    """Raise unless the teacher's lattice grid matches the student's and
+    the training configuration supports the KD term."""
+    for field in ("vocab_size", "blank", "time_reduction"):
+        a, b = getattr(cfg, field), getattr(teacher_cfg, field)
+        if a != b:
+            raise ValueError(f"distillation needs teacher {field} == "
+                             f"student {field} (teacher {b}, student {a})")
+    if cfg.tdt_durations or cfg.big_blank_durations or \
+            teacher_cfg.tdt_durations or teacher_cfg.big_blank_durations:
+        raise ValueError("distillation supports standard transducers "
+                         "(no TDT / multi-blank joint grids)")
+    if cfg.joint_experts > 0:
+        raise ValueError("distillation with an MoE student joint is not "
+                         "supported")
+    if tcfg.loss_impl not in ("auto", "xla"):
+        raise ValueError("distillation trains at the xla loss tier "
+                         f"(loss_impl {tcfg.loss_impl!r}); the KD term "
+                         "needs materialized joint logits")
+    if tcfg.ctc_weight or tcfg.fastemit_lambda:
+        raise ValueError("distillation does not compose with ctc_weight/"
+                         "fastemit_lambda")
+
+
 def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
-                    loss_kind: str = "rnnt"):
+                    loss_kind: str = "rnnt", teacher_cfg=None):
     """Build the jitted update step.
 
     With a mesh the step runs under `shard_map` over the "data" axis:
@@ -277,6 +350,18 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
             expansions=tcfg.mwer_expansions,
             max_symbols=tcfg.mwer_max_symbols,
             nll_weight=tcfg.mwer_nll_weight)
+    elif loss_kind == "rnnt" and tcfg.distill_weight > 0.0:
+        # teacher-student: the step takes the (replicated) teacher params
+        # as an extra traced argument — closure capture would inline the
+        # teacher weights into the compiled program.
+        if teacher_cfg is None:
+            raise ValueError("distill_weight > 0 needs teacher_cfg (and "
+                             "the step must be called with teacher_params)")
+        check_distill_compat(cfg, teacher_cfg, tcfg)
+        batch_loss = functools.partial(
+            distill_loss_fn, cfg=cfg, teacher_cfg=teacher_cfg,
+            distill_weight=tcfg.distill_weight,
+            distill_temp=tcfg.distill_temp)
     else:
         batch_loss = functools.partial(loss_fn, cfg=cfg,
                                        loss_impl=tcfg.loss_impl,
@@ -284,11 +369,13 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
                                        simple_loss_scale=tcfg.simple_loss_scale,
                                        ctc_weight=tcfg.ctc_weight)
 
+    distilling = loss_kind == "rnnt" and tcfg.distill_weight > 0.0
     has_dropout = (loss_kind == "rnnt"
                    and (tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0))
 
     def grads_and_metrics(params, step, feats, feat_lens, labels,
-                          label_lens, dropout_offset=0):
+                          label_lens, dropout_offset=0,
+                          teacher_params=None):
         if has_dropout:
             # Fresh masks every step; the key folds in the step counter
             # (replicated under DP) and the masks are drawn per GLOBAL
@@ -315,9 +402,12 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
                      * jax.random.normal(k, l.shape, l.dtype)
                      for l, k in zip(leaves, keys)]
             params = jax.tree.unflatten(treedef, noisy)
+        extra = ({} if teacher_params is None
+                 else {"teacher_params": teacher_params})
         (loss, per_utt), grads = jax.value_and_grad(
             lambda p: batch_loss_step(p, feats=feats, feat_lens=feat_lens,
-                                      labels=labels, label_lens=label_lens),
+                                      labels=labels, label_lens=label_lens,
+                                      **extra),
             has_aux=True,
         )(params)
         return loss, grads
@@ -354,20 +444,31 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
                            "skipped_nonfinite": (~ok).astype(jnp.int32)}
 
     if mesh is None:
-        def step_fn(state, feats, feat_lens, labels, label_lens):
-            loss, grads = grads_and_metrics(state.params, state.step, feats,
-                                            feat_lens, labels, label_lens)
-            return apply(state, loss, grads)
+        if distilling:
+            def step_fn(state, feats, feat_lens, labels, label_lens,
+                        teacher_params):
+                loss, grads = grads_and_metrics(
+                    state.params, state.step, feats, feat_lens, labels,
+                    label_lens, teacher_params=teacher_params)
+                return apply(state, loss, grads)
+        else:
+            def step_fn(state, feats, feat_lens, labels, label_lens):
+                loss, grads = grads_and_metrics(state.params, state.step,
+                                                feats, feat_lens, labels,
+                                                label_lens)
+                return apply(state, loss, grads)
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
     from jax.sharding import PartitionSpec as P
 
-    def shard_fn(state, feats, feat_lens, labels, label_lens):
+    def shard_fn(state, feats, feat_lens, labels, label_lens,
+                 teacher_params=None):
         offset = jax.lax.axis_index("data") * feats.shape[0]
         loss, grads = grads_and_metrics(state.params, state.step, feats,
                                         feat_lens, labels, label_lens,
-                                        dropout_offset=offset)
+                                        dropout_offset=offset,
+                                        teacher_params=teacher_params)
         # batch-mean over all shards: each shard's mean weighted equally
         loss = jax.lax.pmean(loss, "data")
         grads = jax.lax.pmean(grads, "data")
@@ -377,7 +478,8 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(state_spec, P("data"), P("data"), P("data"), P("data")),
+        in_specs=(state_spec, P("data"), P("data"), P("data"), P("data"))
+        + ((P(),) if distilling else ()),  # teacher replicated
         out_specs=(state_spec, P()),
         check_vma=False,
     )

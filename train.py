@@ -156,6 +156,19 @@ def parse_args(argv=None):
                         "(auxiliary encoder head) to the RNN-T loss every "
                         "step (icefall/ESPnet hybrid recipe; typical "
                         "0.1-0.3)")
+    p.add_argument("--distill-from", default=None,
+                   help="teacher checkpoint dir for knowledge "
+                        "distillation: adds --distill-weight times the "
+                        "lattice KL(teacher || student) of the "
+                        "temperature-softened joint posteriors to the "
+                        "loss (any teacher architecture with the same "
+                        "vocab/blank/time_reduction — e.g. a big offline "
+                        "BiLSTM/conformer teaching a streaming student)")
+    p.add_argument("--distill-weight", type=float, default=0.3,
+                   help="weight of the KD term (with --distill-from)")
+    p.add_argument("--distill-temp", type=float, default=1.0,
+                   help="KD softmax temperature tau (the term is scaled "
+                        "by tau^2; classic choice 2.0)")
     return p.parse_args(argv)
 
 
@@ -226,11 +239,25 @@ def main(argv=None):
                        ema_decay=args.ema_decay,
                        mwer_beam=args.mwer_beam,
                        mwer_nll_weight=args.mwer_nll_weight,
-                       ctc_weight=args.ctc_weight)
+                       ctc_weight=args.ctc_weight,
+                       distill_weight=(args.distill_weight
+                                       if args.distill_from else 0.0),
+                       distill_temp=args.distill_temp)
     mlog = MetricsLogger(args.log_file)
 
     mp = args.model_parallel
     par_mode = args.parallel_mode if mp > 1 else None
+
+    teacher_params = teacher_cfg = None
+    if args.distill_from:
+        if par_mode is not None:
+            raise SystemExit("--distill-from supports single-device/"
+                             "data-parallel training (not --model-parallel)")
+        teacher_params, teacher_cfg, t_step, _ = ckpt.load_plain_params(
+            args.distill_from)
+        print(f"distilling from {args.distill_from} (step {t_step}, "
+              f"weight {args.distill_weight}, tau {args.distill_temp})",
+              file=sys.stderr)
     key = jax.random.PRNGKey(args.seed)
     start_step = 0
 
@@ -370,7 +397,13 @@ def main(argv=None):
                                step=replicate(mesh, state.step),
                                ema=(replicate(mesh, state.ema)
                                     if state.ema is not None else None))
-        step_fn = make_train_step(cfg, tcfg, mesh=mesh)
+        step_fn = make_train_step(cfg, tcfg, mesh=mesh,
+                                  teacher_cfg=teacher_cfg)
+        if teacher_params is not None:
+            # teacher rides as a per-call traced argument (replicated
+            # under the mesh); the lambda only forwards it
+            _rnnt_step, _teacher = step_fn, teacher_params
+            step_fn = lambda st, *b: _rnnt_step(st, *b, _teacher)
         shard_train_batch = (
             (lambda b: shard_batch(mesh, b)) if mesh is not None
             else (lambda b: b))
