@@ -65,8 +65,8 @@ def band_fused_supported(sp: int, j: int, v: int,
 
 def _fwd_kernel(blank, cdtype, f_ref, gw_ref, lab_ref, w_ref, b_ref,
                 lpb_ref, lpy_ref, base_ref):
-    f = f_ref[0]            # (TT, J)
-    gw = gw_ref[0]          # (TT, Sp, J)
+    f = f_ref[0, 0]         # (TT, J)
+    gw = gw_ref[0, 0]       # (TT, Sp, J)
     TT, Sp, J = gw.shape
     Vp = w_ref.shape[1]
     z = jnp.tanh(f[:, None, :] + gw)
@@ -76,30 +76,39 @@ def _fwd_kernel(blank, cdtype, f_ref, gw_ref, lab_ref, w_ref, b_ref,
     m = jnp.max(logits, axis=2, keepdims=True)
     lse = jnp.log(jnp.sum(jnp.exp(logits - m), axis=2, keepdims=True))
     base = (m + lse)[:, :, 0]                       # (TT, Sp)
-    lab = lab_ref[0]                                # (TT, Sp)
+    lab = lab_ref[0, 0]                             # (TT, Sp)
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
     sel = jnp.sum(jnp.where(col == lab[:, :, None], logits, 0.0), axis=2)
-    lpb_ref[0] = logits[:, :, blank] - base
-    lpy_ref[0] = sel - base
-    base_ref[0] = base
+    lpb_ref[0, 0] = logits[:, :, blank] - base
+    lpy_ref[0, 0] = sel - base
+    base_ref[0, 0] = base
+
+
+def _split_t(x, nT, tile_t):
+    """(B, Tp, ...) -> (B, nT, tile_t, ...): the time tile moves onto a
+    block-covered axis, so ANY tile_t satisfies Mosaic's (8, 128)
+    last-two-dims rule (a block dim equal to the full array dim is
+    always legal). Row-major contiguous — the reshape is free."""
+    return x.reshape((x.shape[0], nT, tile_t) + x.shape[2:])
 
 
 def band_lp_fwd(f, g_w, lab_w, w, b, blank, cdtype, tile_t):
     B, Tp, Sp, J = g_w.shape
     Vp = w.shape[1]
     nT = Tp // tile_t
-    out_shape = jax.ShapeDtypeStruct((B, Tp, Sp), jnp.float32)
-    out_spec = pl.BlockSpec((1, tile_t, Sp), lambda b_, t: (b_, t, 0),
+    out_shape = jax.ShapeDtypeStruct((B, nT, tile_t, Sp), jnp.float32)
+    out_spec = pl.BlockSpec((1, 1, tile_t, Sp), lambda b_, t: (b_, t, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel, blank, cdtype),
         grid=(B, nT),
         in_specs=[
-            pl.BlockSpec((1, tile_t, J), lambda b_, t: (b_, t, 0),
+            pl.BlockSpec((1, 1, tile_t, J), lambda b_, t: (b_, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, Sp, J), lambda b_, t: (b_, t, 0, 0),
+            pl.BlockSpec((1, 1, tile_t, Sp, J),
+                         lambda b_, t: (b_, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, Sp), lambda b_, t: (b_, t, 0),
+            pl.BlockSpec((1, 1, tile_t, Sp), lambda b_, t: (b_, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((J, Vp), lambda b_, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -109,26 +118,28 @@ def band_lp_fwd(f, g_w, lab_w, w, b, blank, cdtype, tile_t):
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=_interpret(),
-    )(f, g_w, lab_w, w, b)
+    )(_split_t(f, nT, tile_t), _split_t(g_w, nT, tile_t),
+      _split_t(lab_w, nT, tile_t), w, b)
+    return tuple(x.reshape(B, Tp, Sp) for x in outs)
 
 
 # ---------------------- backward A: df, dg_w -----------------------------
 
 def _bwd_a_kernel(blank, cdtype, f_ref, gw_ref, lab_ref, w_ref, b_ref,
                   base_ref, cb_ref, cy_ref, df_ref, dgw_ref):
-    f = f_ref[0]
-    gw = gw_ref[0]
+    f = f_ref[0, 0]
+    gw = gw_ref[0, 0]
     TT, Sp, J = gw.shape
     Vp = w_ref.shape[1]
     z = jnp.tanh(f[:, None, :] + gw)
     logits2 = jnp.dot(z.astype(cdtype).reshape(TT * Sp, J), w_ref[:],
                       preferred_element_type=jnp.float32)
     logits = logits2.reshape(TT, Sp, Vp) + b_ref[0][None, None, :]
-    probs = jnp.exp(logits - base_ref[0][:, :, None])
-    lab = lab_ref[0]
+    probs = jnp.exp(logits - base_ref[0, 0][:, :, None])
+    lab = lab_ref[0, 0]
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
-    cb = cb_ref[0][:, :, None]   # d loss / d lpb  (TT, Sp, 1)
-    cy = cy_ref[0][:, :, None]
+    cb = cb_ref[0, 0][:, :, None]   # d loss / d lpb  (TT, Sp, 1)
+    cy = cy_ref[0, 0][:, :, None]
     # lp = logits[k] - lse: dlogits = cb*(onehot_blank - p) + cy*(onehot_lab - p)
     dlogits = (cb + cy) * (-probs)
     dlogits = dlogits + jnp.where(col == blank, cb, 0.0)
@@ -139,23 +150,24 @@ def _bwd_a_kernel(blank, cdtype, f_ref, gw_ref, lab_ref, w_ref, b_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dz = dz2.reshape(TT, Sp, J) * (1.0 - z * z)
-    df_ref[0] = jnp.sum(dz, axis=1)
-    dgw_ref[0] = dz
+    df_ref[0, 0] = jnp.sum(dz, axis=1)
+    dgw_ref[0, 0] = dz
 
 
 def band_lp_bwd_a(f, g_w, lab_w, w, b, base, cb, cy, blank, cdtype, tile_t):
     B, Tp, Sp, J = g_w.shape
     Vp = w.shape[1]
     nT = Tp // tile_t
-    side = pl.BlockSpec((1, tile_t, Sp), lambda b_, t: (b_, t, 0),
+    side = pl.BlockSpec((1, 1, tile_t, Sp), lambda b_, t: (b_, t, 0, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    df, dgw = pl.pallas_call(
         functools.partial(_bwd_a_kernel, blank, cdtype),
         grid=(B, nT),
         in_specs=[
-            pl.BlockSpec((1, tile_t, J), lambda b_, t: (b_, t, 0),
+            pl.BlockSpec((1, 1, tile_t, J), lambda b_, t: (b_, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, Sp, J), lambda b_, t: (b_, t, 0, 0),
+            pl.BlockSpec((1, 1, tile_t, Sp, J),
+                         lambda b_, t: (b_, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             side,
             pl.BlockSpec((J, Vp), lambda b_, t: (0, 0),
@@ -165,17 +177,21 @@ def band_lp_bwd_a(f, g_w, lab_w, w, b, base, cb, cy, blank, cdtype, tile_t):
             side, side, side,
         ],
         out_specs=(
-            pl.BlockSpec((1, tile_t, J), lambda b_, t: (b_, t, 0),
+            pl.BlockSpec((1, 1, tile_t, J), lambda b_, t: (b_, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, Sp, J), lambda b_, t: (b_, t, 0, 0),
+            pl.BlockSpec((1, 1, tile_t, Sp, J),
+                         lambda b_, t: (b_, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Tp, J), jnp.float32),
-            jax.ShapeDtypeStruct((B, Tp, Sp, J), jnp.float32),
+            jax.ShapeDtypeStruct((B, nT, tile_t, J), jnp.float32),
+            jax.ShapeDtypeStruct((B, nT, tile_t, Sp, J), jnp.float32),
         ),
         interpret=_interpret(),
-    )(f, g_w, lab_w, w, b, base, cb, cy)
+    )(_split_t(f, nT, tile_t), _split_t(g_w, nT, tile_t),
+      _split_t(lab_w, nT, tile_t), w, b, _split_t(base, nT, tile_t),
+      _split_t(cb, nT, tile_t), _split_t(cy, nT, tile_t))
+    return df.reshape(B, Tp, J), dgw.reshape(B, Tp, Sp, J)
 
 
 # ---------------------- backward B: dW, db (V-tiled) ----------------------
@@ -188,20 +204,20 @@ def _bwd_b_kernel(blank, cdtype, v_tile, f_ref, gw_ref, lab_ref, w_ref,
     v_idx = pl.program_id(0)
     b_idx = pl.program_id(1)
     t_idx = pl.program_id(2)
-    f = f_ref[0]
-    gw = gw_ref[0]
+    f = f_ref[0, 0]
+    gw = gw_ref[0, 0]
     TT, Sp, J = gw.shape
     Vt = w_ref.shape[1]
     z = jnp.tanh(f[:, None, :] + gw)
     z2 = z.astype(cdtype).reshape(TT * Sp, J)
     logits2 = jnp.dot(z2, w_ref[:], preferred_element_type=jnp.float32)
     logits = logits2.reshape(TT, Sp, Vt) + b_ref[0][None, None, :]
-    probs = jnp.exp(logits - base_ref[0][:, :, None])
-    lab = lab_ref[0]
+    probs = jnp.exp(logits - base_ref[0, 0][:, :, None])
+    lab = lab_ref[0, 0]
     v0 = v_idx * v_tile
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2) + v0
-    cb = cb_ref[0][:, :, None]
-    cy = cy_ref[0][:, :, None]
+    cb = cb_ref[0, 0][:, :, None]
+    cy = cy_ref[0, 0][:, :, None]
     dlogits = (cb + cy) * (-probs)
     dlogits = dlogits + jnp.where(col == blank, cb, 0.0)
     dlogits = dlogits + jnp.where(col == lab[:, :, None], cy, 0.0)
@@ -226,16 +242,16 @@ def band_lp_bwd_b(f, g_w, lab_w, w, b, base, cb, cy, blank, cdtype, tile_t):
         if Vp > V_TILE else Vp
     nV = Vp // vt
     nT = Tp // tile_t
-    side = pl.BlockSpec((1, tile_t, Sp), lambda v_, b_, t: (b_, t, 0),
+    side = pl.BlockSpec((1, 1, tile_t, Sp), lambda v_, b_, t: (b_, t, 0, 0),
                         memory_space=pltpu.VMEM)
     dw, db = pl.pallas_call(
         functools.partial(_bwd_b_kernel, blank, cdtype, vt),
         grid=(nV, B, nT),
         in_specs=[
-            pl.BlockSpec((1, tile_t, J), lambda v_, b_, t: (b_, t, 0),
+            pl.BlockSpec((1, 1, tile_t, J), lambda v_, b_, t: (b_, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, Sp, J),
-                         lambda v_, b_, t: (b_, t, 0, 0),
+            pl.BlockSpec((1, 1, tile_t, Sp, J),
+                         lambda v_, b_, t: (b_, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             side,
             pl.BlockSpec((J, vt), lambda v_, b_, t: (0, v_),
@@ -255,7 +271,9 @@ def band_lp_bwd_b(f, g_w, lab_w, w, b, base, cb, cy, blank, cdtype, tile_t):
             jax.ShapeDtypeStruct((1, Vp), jnp.float32),
         ),
         interpret=_interpret(),
-    )(f, g_w, lab_w, w, b, base, cb, cy)
+    )(_split_t(f, nT, tile_t), _split_t(g_w, nT, tile_t),
+      _split_t(lab_w, nT, tile_t), w, b, _split_t(base, nT, tile_t),
+      _split_t(cb, nT, tile_t), _split_t(cy, nT, tile_t))
     return dw, db
 
 
