@@ -45,6 +45,9 @@ def parse_args(argv=None):
                    help="manifest input pipeline ('native' = C++ prefetch "
                         "threads, cpp/loader.cpp)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cmvn", default=None,
+                   help="global CMVN stats JSON; defaults to the stats "
+                        "recorded in the checkpoint's meta.json (if any)")
     p.add_argument("--use-ema", action="store_true",
                    help="decode with the checkpoint's Polyak-averaged "
                         "params (train.py --ema-decay)")
@@ -152,6 +155,14 @@ def main(argv=None):
     else:
         params = init_train_state(jax.random.PRNGKey(args.seed), cfg,
                                   TrainConfig()).params
+    # Global CMVN: explicit stats file, or the stats the checkpoint was
+    # trained with (meta.json, written by train.py --cmvn).
+    cmvn_stats = None
+    if args.cmvn:
+        from rnn_transducer_tpu.data.cmvn import load_cmvn
+        cmvn_stats = load_cmvn(args.cmvn)
+    elif meta and meta.get("cmvn"):
+        cmvn_stats = meta["cmvn"]
     if args.quantize == "int8":
         from rnn_transducer_tpu.ops.quant import (quantize_params,
                                                   quantized_bytes)
@@ -377,13 +388,21 @@ def main(argv=None):
                 with NativeLoader(man_path, cfg, TrainConfig().buckets,
                                   args.batch_size, loop=False,
                                   seed=None, n_threads=2) as ld:
-                    yield from ld
+                    if cmvn_stats is not None:
+                        from rnn_transducer_tpu.data.cmvn import (
+                            apply_cmvn_batch)
+                        for b in ld:
+                            yield ((apply_cmvn_batch(b[0], b[1],
+                                                     cmvn_stats),)
+                                   + tuple(b[1:]))
+                    else:
+                        yield from ld
         else:
             from rnn_transducer_tpu.data.bucketing import bucket_stream
             from rnn_transducer_tpu.data.manifest import manifest_examples
             def batches():
                 yield from bucket_stream(
-                    manifest_examples(man_path, cfg),
+                    manifest_examples(man_path, cfg, cmvn=cmvn_stats),
                     TrainConfig().buckets, args.batch_size, blank=cfg.blank,
                     with_valid=True)
     else:

@@ -28,8 +28,11 @@ def read_manifest(path):
                 yield json.loads(line)
 
 
-def load_example(rec, input_dim: int):
-    """Manifest record -> (feats (T, F) fp32, labels (U,) int32)."""
+def load_example(rec, input_dim: int, cmvn=None):
+    """Manifest record -> (feats (T, F) fp32, labels (U,) int32).
+
+    cmvn: optional global-CMVN stats dict (data/cmvn.py) applied to the
+    features after extraction (before any padding)."""
     labels = np.asarray(rec["labels"], np.int32)
     if "feats" in rec:
         feats = np.load(rec["feats"]).astype(np.float32)
@@ -53,16 +56,19 @@ def load_example(rec, input_dim: int):
     if feats.shape[1] != input_dim:
         raise ValueError(
             f"feature dim {feats.shape[1]} != config input_dim {input_dim}")
+    if cmvn is not None:
+        from rnn_transducer_tpu.data.cmvn import apply_cmvn
+        feats = apply_cmvn(feats, cmvn)
     return feats, labels
 
 
-def manifest_examples(path, cfg, order=None):
+def manifest_examples(path, cfg, order=None, cmvn=None):
     recs = read_manifest(path)
     if order is not None:
         recs = list(recs)
         recs = [recs[i] for i in order]
     for rec in recs:
-        yield load_example(rec, cfg.input_dim)
+        yield load_example(rec, cfg.input_dim, cmvn=cmvn)
 
 
 def example_length(rec) -> int:
@@ -173,7 +179,7 @@ def fast_forward_state(path, tcfg, n_batches: int, skip_first: int = 0,
 def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0,
                      sortagrad: bool = False,
                      shuffle_seed: int | None = None,
-                     resume_batches: int = 0):
+                     resume_batches: int = 0, cmvn=None):
     """Infinite (by default) stream of bucketed, padded training batches.
 
     skip_first: exclude the first N manifest examples from every epoch
@@ -206,7 +212,7 @@ def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0,
         # reconstructs the batcher state exactly; then the epoch
         # continues from `pos` (or goes straight to the flush)
         seq = pending_idx + ([] if in_flush else order[pos:])
-        ex = manifest_examples(path, cfg, order=seq)
+        ex = manifest_examples(path, cfg, order=seq, cmvn=cmvn)
         for batch in bucket_stream(ex, tcfg.buckets, tcfg.batch_size,
                                    blank=cfg.blank):
             yield batch
@@ -217,9 +223,9 @@ def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0,
         order = _epoch_order(path, epoch, skip_first, sortagrad,
                              shuffle_seed)
         if order is not None:
-            ex = manifest_examples(path, cfg, order=order)
+            ex = manifest_examples(path, cfg, order=order, cmvn=cmvn)
         else:
-            ex = manifest_examples(path, cfg)
+            ex = manifest_examples(path, cfg, cmvn=cmvn)
             if skip_first:
                 ex = itertools.islice(ex, skip_first, None)
         yielded = False
@@ -240,14 +246,14 @@ def manifest_batches(path, cfg, tcfg, loop: bool = True, skip_first: int = 0,
             return
 
 
-def manifest_dev_batch(path, cfg, tcfg, n: int | None = None):
+def manifest_dev_batch(path, cfg, tcfg, n: int | None = None, cmvn=None):
     """The first `n` (default batch_size) examples as one fixed padded batch.
 
     Returns (feats, feat_lens, labels, label_lens, n_valid) or None if the
     manifest is empty / nothing fits the buckets.
     """
     n = n or tcfg.batch_size
-    ex = itertools.islice(manifest_examples(path, cfg), n)
+    ex = itertools.islice(manifest_examples(path, cfg, cmvn=cmvn), n)
     for batch in bucket_stream(ex, tcfg.buckets, tcfg.batch_size,
                                blank=cfg.blank, with_valid=True):
         return batch

@@ -690,31 +690,40 @@ class StreamingEngine:
 # HTTP transport (stdlib)
 # --------------------------------------------------------------------------
 
-def _feats_from_body(body: dict, cfg) -> np.ndarray:
+def _feats_from_body(body: dict, cfg, cmvn=None) -> np.ndarray:
     """Request body -> (T, input_dim) features.
 
     Accepts precomputed {"feats": [[...]]} or raw 16 kHz PCM
     {"audio": [...]} run through the host FBANK frontend (native C++
-    when built, numpy oracle otherwise)."""
+    when built, numpy oracle otherwise). `cmvn`: global stats from the
+    checkpoint meta (data/cmvn.py) — applied to BOTH input forms, so a
+    client sending raw audio needs no knowledge of the training-time
+    normalization."""
     if "feats" in body:
-        return np.asarray(body["feats"], np.float32)
-    if "audio" not in body:
-        raise ValueError("body needs 'feats' or 'audio'")
-    audio = np.asarray(body["audio"], np.float32)
-    if audio.ndim != 1:
-        raise ValueError(f"audio must be 1-D PCM; got {audio.shape}")
-    from rnn_transducer_tpu.utils import hostio
-    if hostio.available():
-        return hostio.fbank(audio, n_mels=cfg.input_dim)
-    from rnn_transducer_tpu.ops.logmel import log_mel_oracle
-    f, _ = log_mel_oracle(audio[None], np.array([len(audio)]),
-                          n_mels=cfg.input_dim)
-    return f[0].astype(np.float32)
+        feats = np.asarray(body["feats"], np.float32)
+    else:
+        if "audio" not in body:
+            raise ValueError("body needs 'feats' or 'audio'")
+        audio = np.asarray(body["audio"], np.float32)
+        if audio.ndim != 1:
+            raise ValueError(f"audio must be 1-D PCM; got {audio.shape}")
+        from rnn_transducer_tpu.utils import hostio
+        if hostio.available():
+            feats = hostio.fbank(audio, n_mels=cfg.input_dim)
+        else:
+            from rnn_transducer_tpu.ops.logmel import log_mel_oracle
+            f, _ = log_mel_oracle(audio[None], np.array([len(audio)]),
+                                  n_mels=cfg.input_dim)
+            feats = f[0].astype(np.float32)
+    if cmvn is not None:
+        from rnn_transducer_tpu.data.cmvn import apply_cmvn
+        feats = apply_cmvn(feats, cmvn)
+    return feats
 
 
 def http_server(host: str, port: int, offline: BatchingEngine,
                 streaming: StreamingEngine | None = None, tok=None,
-                max_body_bytes: int = 32 << 20):
+                max_body_bytes: int = 32 << 20, cmvn=None):
     """Build (not start) a ThreadingHTTPServer exposing the engines.
 
     POST /recognize        {"feats": [[...]]} or {"audio": [...16 kHz PCM]}
@@ -791,7 +800,8 @@ def http_server(host: str, port: int, offline: BatchingEngine,
         def do_POST(self):
             try:
                 if self.path == "/recognize":
-                    feats = _feats_from_body(self._body(), offline.cfg)
+                    feats = _feats_from_body(self._body(), offline.cfg,
+                                             cmvn)
                     self._json(200, result(offline.submit_full(feats)))
                 elif self.path == "/session" and streaming is not None:
                     self._json(200, {"sid": streaming.open_session()})
@@ -799,7 +809,7 @@ def http_server(host: str, port: int, offline: BatchingEngine,
                       and streaming is not None):
                     sid = self.path.split("/")[2]
                     body = self._body()
-                    feats = _feats_from_body(body, streaming.cfg)
+                    feats = _feats_from_body(body, streaming.cfg, cmvn)
                     self._json(200, result(streaming.feed_full(
                         sid, feats, last=bool(body.get("last", False)))))
                 else:

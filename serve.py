@@ -95,6 +95,7 @@ def load_model(args):
     else:
         cfg = saved_cfg if saved_cfg is not None else get_model_config("smoke")
     tok = None
+    cmvn = None
     if args.ckpt_dir:
         # load_plain_params also merges model-parallel shard checkpoints
         # (meta['parallel']) back into plain serving params (ADVICE r2).
@@ -103,6 +104,12 @@ def load_model(args):
         print(f"loaded checkpoint step {step}", file=sys.stderr)
         if meta.get("tokenizer"):
             tok = tokenizer_from_meta(meta["tokenizer"])
+        if meta.get("cmvn"):
+            # train.py --cmvn recorded global stats: raw-PCM requests get
+            # the SAME normalization the model was trained with
+            cmvn = meta["cmvn"]
+            print("applying global CMVN from checkpoint meta",
+                  file=sys.stderr)
     else:
         params = init_train_state(jax.random.PRNGKey(args.seed), cfg,
                                   TrainConfig()).params
@@ -113,7 +120,7 @@ def load_model(args):
         qb, fb = quantized_bytes(params)
         print(f"int8 weights: {qb / 1e6:.1f} MB (fp32 {fb / 1e6:.1f} MB)",
               file=sys.stderr)
-    return params, cfg, tok
+    return params, cfg, tok, cmvn
 
 
 def main(argv=None):
@@ -127,7 +134,7 @@ def main(argv=None):
     from rnn_transducer_tpu.serve import (BatchingEngine, StreamingEngine,
                                           http_server)
 
-    params, cfg, tok = load_model(args)
+    params, cfg, tok, cmvn = load_model(args)
     lm = None
     if args.lm_ckpt:
         from rnn_transducer_tpu.models.lm import load_lm
@@ -221,7 +228,7 @@ def main(argv=None):
     if streaming is not None:
         streaming.warmup()
     srv = http_server(args.host, args.port, offline, streaming, tok,
-                      max_body_bytes=args.max_body_bytes)
+                      max_body_bytes=args.max_body_bytes, cmvn=cmvn)
     print(f"serving on http://{args.host}:{srv.server_address[1]} "
           f"(mode={args.mode}, max_batch={args.max_batch}, "
           f"stream_slots={args.stream_slots})", file=sys.stderr)

@@ -43,11 +43,12 @@ def main(argv=None):
     from rnn_transducer_tpu.train import checkpoint as ckpt
 
     try:
-        params, cfg, step, _ = ckpt.load_plain_params(args.ckpt_dir,
-                                                      seed=args.seed)
+        params, cfg, step, meta = ckpt.load_plain_params(args.ckpt_dir,
+                                                         seed=args.seed)
     except FileNotFoundError as e:
         raise SystemExit(str(e))
     print(f"loaded checkpoint step {step}", file=sys.stderr)
+    cmvn = meta.get("cmvn") if meta else None
 
     @jax.jit
     def viterbi(p, feats, feat_lens, labels, label_lens):
@@ -62,7 +63,7 @@ def main(argv=None):
     sec_per_frame = args.frame_hop_s * cfg.time_reduction
     i = 0
     for feats, fl, labels, ll, nv in bucket_stream(
-            manifest_examples(args.manifest, cfg),
+            manifest_examples(args.manifest, cfg, cmvn=cmvn),
             TrainConfig().buckets, args.batch_size, blank=cfg.blank,
             with_valid=True):
         score, K, enc_lens = viterbi(params, jnp.asarray(feats),

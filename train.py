@@ -76,6 +76,11 @@ def parse_args(argv=None):
                    help="per-example feature-domain speed perturbation: "
                         "comma-separated factor set (kaldi staple "
                         "'0.9,1.0,1.1'); applied before SpecAugment")
+    p.add_argument("--cmvn", default=None,
+                   help="global CMVN stats JSON (tools/compute_cmvn.py): "
+                        "normalize every utterance's features with corpus "
+                        "mean/std; recorded in the checkpoint meta so "
+                        "recognize/serve/align apply it automatically")
     p.add_argument("--sortagrad", action="store_true",
                    help="first epoch shortest-first (manifest data, "
                         "python loader)")
@@ -418,6 +423,14 @@ def main(argv=None):
                                         loss_kind="mwer")
                         if args.mwer_steps > 0 else None)
 
+    cmvn_stats = None
+    if args.cmvn:
+        if not (args.data.startswith("manifest:") or args.dev_manifest):
+            raise SystemExit("--cmvn requires manifest data (synthetic "
+                             "features are already standardized draws)")
+        from rnn_transducer_tpu.data.cmvn import load_cmvn
+        cmvn_stats = load_cmvn(args.cmvn)
+
     dev_batch = None
     skip_first = 0
     if args.data.startswith("manifest:"):
@@ -425,7 +438,8 @@ def main(argv=None):
                                                       manifest_dev_batch)
         train_path = args.data.split(":", 1)[1]
         if args.dev_manifest:
-            dev_batch = manifest_dev_batch(args.dev_manifest, cfg, tcfg)
+            dev_batch = manifest_dev_batch(args.dev_manifest, cfg, tcfg,
+                                           cmvn=cmvn_stats)
         else:
             # Hold the first batch_size examples out of every epoch as the
             # fixed dev batch, so dev metrics reflect the training corpus —
@@ -433,7 +447,8 @@ def main(argv=None):
             # (<= batch_size utterances) the holdout would consume every
             # training example, so dev overlaps the training data instead.
             from rnn_transducer_tpu.data.manifest import read_manifest
-            dev_batch = manifest_dev_batch(train_path, cfg, tcfg)
+            dev_batch = manifest_dev_batch(train_path, cfg, tcfg,
+                                           cmvn=cmvn_stats)
             n_utts = sum(1 for _ in read_manifest(train_path))
             skip_first = (tcfg.batch_size
                           if dev_batch is not None and n_utts > tcfg.batch_size
@@ -462,13 +477,21 @@ def main(argv=None):
                                   tcfg.batch_size, loop=True,
                                   seed=args.seed, n_threads=2,
                                   skip_first=skip_first)
-            batches = (b[:4] for b in loader)
+            if cmvn_stats is not None:
+                # the C++ pipeline emits padded batches; normalize post
+                # hoc with the pad mask (pad frames stay exactly zero)
+                from rnn_transducer_tpu.data.cmvn import apply_cmvn_batch
+                batches = ((apply_cmvn_batch(b[0], b[1], cmvn_stats),)
+                           + tuple(b[1:4]) for b in loader)
+            else:
+                batches = (b[:4] for b in loader)
         else:
             batches = manifest_batches(train_path, cfg, tcfg,
                                        skip_first=skip_first,
                                        sortagrad=args.sortagrad,
                                        shuffle_seed=args.seed,
-                                       resume_batches=resume_skip)
+                                       resume_batches=resume_skip,
+                                       cmvn=cmvn_stats)
     else:
         if args.resume_data == "exact":
             raise SystemExit("--resume-data exact requires manifest data "
@@ -477,7 +500,8 @@ def main(argv=None):
                              "seed)")
         if args.dev_manifest:
             from rnn_transducer_tpu.data.manifest import manifest_dev_batch
-            dev_batch = manifest_dev_batch(args.dev_manifest, cfg, tcfg)
+            dev_batch = manifest_dev_batch(args.dev_manifest, cfg, tcfg,
+                                           cmvn=cmvn_stats)
         def synthetic_batches():
             rng = np.random.default_rng(args.seed)
             n_labels = min(args.max_labels, 20)
@@ -532,6 +556,11 @@ def main(argv=None):
         extra = {"train_config": dataclasses.asdict(tcfg)}
         if tok_meta is not None:
             extra["tokenizer"] = tok_meta
+        if cmvn_stats is not None:
+            # self-describing: recognize/serve/align re-apply the SAME
+            # normalization from meta.json without the stats file
+            extra["cmvn"] = {"mean": cmvn_stats["mean"],
+                             "std": cmvn_stats["std"]}
         if par_mode is not None:
             # Parallel states keep their live pytree (TPParams nodes);
             # meta.json records the topology for resume/recognize.
