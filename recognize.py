@@ -121,6 +121,7 @@ def main(argv=None):
     from rnn_transducer_tpu.decode.metrics import (RtfMeter, error_rate,
                                                    tokens_to_lists)
     from rnn_transducer_tpu.decode.streaming import stream_transcribe
+    from rnn_transducer_tpu.decode.words import word_segments
     from rnn_transducer_tpu.models import transducer as m
     from rnn_transducer_tpu.models.config import TrainConfig
     from rnn_transducer_tpu.train import checkpoint as ckpt
@@ -482,6 +483,13 @@ def main(argv=None):
                     rec["frames"] = hyp_frames[i]
                     rec["times_s"] = [round(fr * args.frame_hop_s, 3)
                                       for fr in hyp_frames[i]]
+                    if tok is not None:
+                        # word-level segments (decode/words.py): token
+                        # frames grouped by the tokenizer's boundaries
+                        rec["words"] = word_segments(
+                            tok, hyps[i], hyp_frames[i],
+                            hyp_confs[i] if hyp_confs else None,
+                            hop_s=args.frame_hop_s)
                 if hyp_nbest:
                     rec["nbest"] = [
                         {"hyp": (decode_to_text(tok, ids)

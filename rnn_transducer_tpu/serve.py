@@ -723,7 +723,8 @@ def _feats_from_body(body: dict, cfg, cmvn=None) -> np.ndarray:
 
 def http_server(host: str, port: int, offline: BatchingEngine,
                 streaming: StreamingEngine | None = None, tok=None,
-                max_body_bytes: int = 32 << 20, cmvn=None):
+                max_body_bytes: int = 32 << 20, cmvn=None,
+                frame_hop_s: float = 0.01):
     """Build (not start) a ThreadingHTTPServer exposing the engines.
 
     POST /recognize        {"feats": [[...]]} or {"audio": [...16 kHz PCM]}
@@ -742,6 +743,7 @@ def http_server(host: str, port: int, offline: BatchingEngine,
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from rnn_transducer_tpu.data.tokenizer import decode_to_text
+    from rnn_transducer_tpu.decode.words import attach_words
 
     class _TooLarge(Exception):
         pass
@@ -749,12 +751,14 @@ def http_server(host: str, port: int, offline: BatchingEngine,
     def result(r):
         """r: token id list (close_session) or a full result dict
         (submit_full / feed_full) -> JSON payload, with text added
-        whenever a tokenizer is known."""
+        whenever a tokenizer is known, plus word-level segments
+        (decode/words.py) whenever timestamps are in the payload."""
         out = dict(r) if isinstance(r, dict) else {"tokens": r}
         if tok is not None:
             out["text"] = decode_to_text(tok, out["tokens"])
             for h in out.get("nbest", []):
                 h["text"] = decode_to_text(tok, h["tokens"])
+            attach_words(out, tok, hop_s=frame_hop_s)
         return out
 
     class Handler(BaseHTTPRequestHandler):

@@ -62,6 +62,9 @@ def parse_args(argv=None):
                    help="persistent JAX compilation-cache dir: compiles "
                         "are reused across server restarts")
     p.add_argument("--max-body-bytes", type=int, default=32 << 20)
+    p.add_argument("--frame-hop-s", type=float, default=0.01,
+                   help="feature frame hop in seconds, for the word-level "
+                        "segment times in responses (default 10 ms)")
     p.add_argument("--endpoint-frames", type=int, default=None,
                    help="end-of-utterance detector for streaming "
                         "sessions: add 'endpoint'/'trailing_frames' to "
@@ -228,7 +231,8 @@ def main(argv=None):
     if streaming is not None:
         streaming.warmup()
     srv = http_server(args.host, args.port, offline, streaming, tok,
-                      max_body_bytes=args.max_body_bytes, cmvn=cmvn)
+                      max_body_bytes=args.max_body_bytes, cmvn=cmvn,
+                      frame_hop_s=args.frame_hop_s)
     print(f"serving on http://{args.host}:{srv.server_address[1]} "
           f"(mode={args.mode}, max_batch={args.max_batch}, "
           f"stream_slots={args.stream_slots})", file=sys.stderr)

@@ -61,6 +61,7 @@ QUICK_MODULES = {
     "test_tensor_parallel.py",
     "test_text_output.py",
     "test_wer_report.py",
+    "test_words.py",
 }
 
 

@@ -154,3 +154,27 @@ def test_recognize_cli_timestamps(tmp_path):
         # times_s = frames * hop (0.01 default)
         for fr, ts in zip(r["frames"], r["times_s"]):
             assert abs(ts - fr * 0.01) < 1e-6
+
+
+def test_recognize_cli_words(tmp_path):
+    """--timestamps + a tokenizer adds word-level segments to the JSONL
+    (decode/words.py): words reconstruct the hyp text, times ride the
+    frame hop."""
+    import json
+
+    from recognize import main as recognize_main
+
+    hyps = tmp_path / "hyps.jsonl"
+    recognize_main(["--config", "smoke", "--mode", "greedy",
+                    "--data", "synthetic", "--batches", "1",
+                    "--batch-size", "2", "--max-symbols", "12",
+                    "--timestamps", "--confidence", "--tokenizer", "char",
+                    "--hyps-file", str(hyps)])
+    recs = [json.loads(l) for l in hyps.read_text().splitlines()]
+    assert recs
+    for r in recs:
+        assert "words" in r
+        assert [w["word"] for w in r["words"]] == r["hyp"].split()
+        for w in r["words"]:
+            assert w["end_s"] > w["start_s"] >= 0.0
+            assert w["conf"] <= 0.0  # log-prob domain
