@@ -742,11 +742,84 @@ def http_server(host: str, port: int, offline: BatchingEngine,
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    from rnn_transducer_tpu.data.pcm_stream import PcmFeaturizer
     from rnn_transducer_tpu.data.tokenizer import decode_to_text
     from rnn_transducer_tpu.decode.words import attach_words
 
     class _TooLarge(Exception):
         pass
+
+    # -- raw-PCM streaming sessions ---------------------------------------
+    #
+    # A session POSTing {"audio": [...]} gets a per-session incremental
+    # featurizer (data/pcm_stream.py: EXACT vs offline featurization — the
+    # engine-level contract "every chunk is exactly chunk_frames of
+    # features, a short chunk ends the stream" would otherwise force PCM
+    # clients to align samples to feature chunks AND lose every frame
+    # straddling a POST boundary) plus a feature buffer: complete
+    # chunk_frames slices feed the engine, the remainder waits for more
+    # audio. A POST that completes no full slice returns the session's
+    # last result with "pending_frames" so the client still gets a
+    # well-formed partial. {"last": true} flushes the tail (short final
+    # slice). Feature-body sessions keep the original exact-chunk contract.
+    pcm_lock = threading.Lock()
+    pcm_sess: dict[str, dict] = {}
+
+    def _pcm_state(sid: str) -> dict:
+        with pcm_lock:
+            st = pcm_sess.get(sid)
+            if st is None:
+                d = streaming.cfg.input_dim
+                st = pcm_sess[sid] = {
+                    "fe": PcmFeaturizer(d),
+                    "buf": np.zeros((0, d), np.float32),
+                    "res": {"tokens": [], "confidence": [], "frames": [],
+                            "stable_len": 0},
+                    "lock": threading.Lock(),
+                }
+            return st
+
+    def _pcm_drop(sid: str):
+        with pcm_lock:
+            pcm_sess.pop(sid, None)
+            # engine sessions can also die by TTL reaping without a
+            # DELETE; purge adapters for sids the engine no longer knows
+            with streaming._lock:
+                live = set(streaming._live)
+            for stale in [s for s in pcm_sess if s not in live]:
+                del pcm_sess[stale]
+
+    def _pcm_feed(sid: str, audio: np.ndarray, last: bool) -> dict:
+        st = _pcm_state(sid)
+        with st["lock"]:
+            new = st["fe"].feed(audio)
+            if cmvn is not None and new.shape[0]:
+                from rnn_transducer_tpu.data.cmvn import apply_cmvn
+                new = apply_cmvn(new, cmvn)
+            buf = np.concatenate([st["buf"], new], axis=0)
+            C = streaming.chunk_frames
+            slices = []
+            while buf.shape[0] >= C:
+                slices.append(buf[:C])
+                buf = buf[C:]
+            if last and buf.shape[0]:
+                slices.append(buf)  # short final slice ends the stream
+                buf = buf[:0]
+            st["buf"] = buf
+            res = None
+            try:
+                for i, s in enumerate(slices):
+                    res = streaming.feed_full(
+                        sid, s, last=last and i == len(slices) - 1)
+            except KeyError:
+                _pcm_drop(sid)
+                raise
+            if res is not None:
+                st["res"] = res
+            else:
+                res = dict(st["res"])
+                res["pending_frames"] = int(st["buf"].shape[0])
+            return res
 
     def result(r):
         """r: token id list (close_session) or a full result dict
@@ -813,9 +886,17 @@ def http_server(host: str, port: int, offline: BatchingEngine,
                       and streaming is not None):
                     sid = self.path.split("/")[2]
                     body = self._body()
-                    feats = _feats_from_body(body, streaming.cfg, cmvn)
-                    self._json(200, result(streaming.feed_full(
-                        sid, feats, last=bool(body.get("last", False)))))
+                    last = bool(body.get("last", False))
+                    if "audio" in body and "feats" not in body:
+                        audio = np.asarray(body["audio"], np.float32)
+                        if audio.ndim != 1:
+                            raise ValueError(
+                                f"audio must be 1-D PCM; got {audio.shape}")
+                        self._json(200, result(_pcm_feed(sid, audio, last)))
+                    else:
+                        feats = _feats_from_body(body, streaming.cfg, cmvn)
+                        self._json(200, result(streaming.feed_full(
+                            sid, feats, last=last)))
                 else:
                     self._json(404, {"error": "not found"})
             except _TooLarge as e:
@@ -829,7 +910,9 @@ def http_server(host: str, port: int, offline: BatchingEngine,
             try:
                 if self.path.startswith("/session/") and streaming is not None:
                     sid = self.path.split("/")[2]
-                    self._json(200, result(streaming.close_session(sid)))
+                    out = result(streaming.close_session(sid))
+                    _pcm_drop(sid)
+                    self._json(200, out)
                 else:
                     self._json(404, {"error": "not found"})
             except Exception as e:

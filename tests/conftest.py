@@ -52,6 +52,7 @@ QUICK_MODULES = {
     "test_lstm.py",
     "test_model.py",
     "test_native_loader.py",
+    "test_pcm_stream.py",
     "test_pipeline_parallel.py",
     "test_prepare_manifest.py",
     "test_rnnt_loss.py",

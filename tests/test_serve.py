@@ -442,3 +442,54 @@ def test_engines_with_contextual_biasing_match_direct():
         BatchingEngine(PARAMS, CFG, mode="greedy", context=bias)
     with pytest.raises(ValueError):
         StreamingEngine(PARAMS, CFG, slots=1, mode="greedy", context=bias)
+
+
+def test_http_pcm_streaming_exact_vs_offline():
+    """Raw-PCM streaming sessions accept ANY chunk size: the per-session
+    incremental featurizer (data/pcm_stream.py) + feature buffering make
+    arbitrarily-split PCM produce the SAME features as featurizing the
+    whole waveform, so the final tokens equal the offline /recognize
+    result on the full audio (streaming greedy ≡ offline greedy)."""
+    offline = BatchingEngine(PARAMS, CFG, max_symbols=MAXSYM,
+                             frame_buckets=(32,), max_batch=2,
+                             window_ms=1.0)
+    streaming = StreamingEngine(PARAMS, CFG, slots=2, chunk_frames=4,
+                                max_symbols=MAXSYM, window_ms=1.0)
+    srv = http_server("127.0.0.1", 0, offline, streaming,
+                      max_body_bytes=1 << 22)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    def req(method, path, payload=None):
+        data = json.dumps(payload).encode() if payload is not None else None
+        r = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                   data=data, method=method)
+        with urllib.request.urlopen(r, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    rng = np.random.default_rng(11)
+    # 400 + 160*18 samples -> 19 feature frames (snip-edges)
+    audio = (rng.normal(size=400 + 160 * 18) * 0.1).astype(np.float32)
+    try:
+        ref = req("POST", "/recognize", {"audio": audio.tolist()})
+
+        sid = req("POST", "/session")["sid"]
+        # uneven splits, none aligned to frames or engine chunks; the
+        # tiny 50-sample POST completes no frame at all
+        cuts = [700, 750, 1911, 2400]
+        parts = np.split(audio, cuts)
+        outs = [req("POST", f"/session/{sid}", {"audio": p.tolist()})
+                for p in parts[:-1]]
+        assert any("pending_frames" in o for o in outs)
+        last = req("POST", f"/session/{sid}",
+                   {"audio": parts[-1].tolist(), "last": True})
+        final = req("DELETE", f"/session/{sid}")
+        assert final["tokens"] == ref["tokens"]
+        # partials were well-formed token lists throughout
+        for o in outs + [last]:
+            assert isinstance(o["tokens"], list)
+    finally:
+        srv.shutdown()
+        offline.close()
+        streaming.close()
