@@ -192,6 +192,16 @@ class TrainConfig:
     # conformer teaching a small streaming student). 0.0 = off.
     distill_weight: float = 0.0
     distill_temp: float = 1.0
+    # Alignment-restricted RNN-T (Mahadeokar et al. 2021): ar_range > 0
+    # trains with loss_impl="ar" — the banded loss (ops/rnnt_pruned.py)
+    # on an ar_range-wide band around a reference Viterbi alignment,
+    # computed in-step from --ar-align-from's checkpoint (same lattice
+    # grid) or from the live model under stop_gradient. Emission timing
+    # becomes a constraint: paths may run at most ar_left labels behind
+    # the alignment (late) and ar_range-1-ar_left ahead (early) —
+    # bounding training-time emission delay for streaming models.
+    ar_range: int = 0
+    ar_left: int = -1  # band positions behind the aligned path (-1 = half)
     # data-parallel mesh axis size (1 = single chip)
     data_parallel: int = 1
     # bucketing: (max_frames, max_labels) per bucket

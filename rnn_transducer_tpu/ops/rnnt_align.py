@@ -142,3 +142,49 @@ def align(params, cfg, feats, feat_lens, labels, label_lens):
     logits, enc_lens = m.forward(params, cfg, feats, feat_lens, labels)
     return rnnt_forced_align(logits, labels, enc_lens, label_lens,
                              cfg.blank)
+
+
+def emit_frames_device(K, frame_lens, label_lens):
+    """Backpointers -> per-label emit frames, fully on device (jittable).
+
+    The host backtrace (backtrace_emit_frames) walks t backwards writing
+    ranges; the device form instead reconstructs colafter (B, T) — the
+    path's label column AFTER each frame — by a reverse lax.scan over the
+    backpointer rows, then reads off
+
+        emit_frame[b, j] = #{t < frame_len : colafter[b, t] <= j}
+
+    (label j is emitted at the first frame whose after-column exceeds j;
+    colafter is non-decreasing). Positions >= label_len return -1, like
+    the host version. Used by the alignment-restricted training band
+    (ops/rnnt_pruned.alignment_bounds), where the alignment must be
+    computed INSIDE the jitted train step.
+    """
+    B, T, U1 = K.shape
+    frame_lens = frame_lens.astype(jnp.int32)
+    label_lens = label_lens.astype(jnp.int32)
+    bi = jnp.arange(B)
+
+    def step(u, t):
+        # entering column of frame t, only while t is a valid (non-pad,
+        # non-first) frame row; otherwise the column holds
+        k = K[bi, t, u]
+        u_new = jnp.where((t >= 1) & (t <= frame_lens - 1), k, u)
+        return u_new, u_new  # colafter[t - 1]
+
+    # t = T-1 .. 1; carry starts at the terminal column label_lens
+    ts = jnp.arange(T - 1, 0, -1, dtype=jnp.int32)
+    if T > 1:
+        _, cols = jax.lax.scan(step, label_lens, ts)
+        # cols[i] = colafter[T-1-i - ... ] for t-1 = T-2 .. 0 -> reverse
+        colafter = jnp.concatenate(
+            [jnp.flip(jnp.moveaxis(cols, 0, 1), axis=1),
+             label_lens[:, None]], axis=1)  # (B, T)
+    else:
+        colafter = label_lens[:, None]
+    t_ids = jnp.arange(T, dtype=jnp.int32)[None, :]
+    valid_t = t_ids < frame_lens[:, None]  # (B, T)
+    j = jnp.arange(U1 - 1, dtype=jnp.int32)[None, None, :]  # (1, 1, U)
+    emitted_by = (colafter[:, :, None] <= j) & valid_t[:, :, None]
+    emit = jnp.sum(emitted_by.astype(jnp.int32), axis=1)  # (B, U)
+    return jnp.where(j[0] < label_lens[:, None], emit, -1)

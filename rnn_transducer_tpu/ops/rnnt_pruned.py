@@ -109,8 +109,24 @@ def prune_bounds(occ, pruned_range, frame_lens, label_lens, quantize=1):
     sublane alignment); the jump limit is relaxed to the largest
     quantized multiple <= S - 1.
     """
-    B, T, U1 = occ.shape
+    center = jnp.argmax(occ, axis=-1).astype(jnp.int32)  # (B, T)
+    return bounds_from_centers(center, occ.shape[2], pruned_range,
+                               frame_lens, label_lens, quantize,
+                               offset=pruned_range // 2)
+
+
+def bounds_from_centers(center, U1, pruned_range, frame_lens, label_lens,
+                        quantize=1, offset=None):
+    """Feasible window starts from per-frame band centers (B, T) int32.
+
+    The feasibility machinery shared by posterior pruning (prune_bounds)
+    and alignment-restricted bands (alignment_bounds): clip, quantize,
+    monotone running max, jump cap, terminal raise. `offset` shifts the
+    window start below the center (default: centered)."""
+    B, T = center.shape
     S = min(pruned_range, U1)
+    if offset is None:
+        offset = S // 2
     step = S - 1 if quantize == 1 else max(1, ((S - 1) // quantize)) * quantize
     # with quantization the start cap rounds UP (the window may overhang
     # the top of the lattice; overhanging cells are masked NEG_INF by the
@@ -120,8 +136,7 @@ def prune_bounds(occ, pruned_range, frame_lens, label_lens, quantize=1):
     t_len = frame_lens.astype(jnp.int32)[:, None]
     u_len = label_lens.astype(jnp.int32)[:, None]
 
-    center = jnp.argmax(occ, axis=-1).astype(jnp.int32)  # (B, T)
-    raw = jnp.clip(center - S // 2, 0, hi)
+    raw = jnp.clip(center - offset, 0, hi)
     if quantize > 1:
         raw = (raw // quantize) * quantize
     raw = raw.at[:, 0].set(0)
@@ -142,6 +157,44 @@ def prune_bounds(occ, pruned_range, frame_lens, label_lens, quantize=1):
     lo = final_lo - jnp.maximum(t_len - 1 - t_ids, 0) * step
     sb = jnp.maximum(c, jnp.maximum(lo, 0))
     return jnp.clip(sb, 0, hi)
+
+
+def alignment_bounds(emit_frames, T, pruned_range, frame_lens, label_lens,
+                     U1, quantize=1, left_labels=None):
+    """Window starts from a per-label alignment (AR-RNNT band).
+
+    Alignment-restricted RNN-T (Mahadeokar et al. 2021, "Alignment
+    Restricted Streaming RNN-T") confines training-time alignment paths
+    to a band around a trusted reference alignment instead of the simple
+    joiner's posteriors: emission timing becomes a CONSTRAINT (bounding
+    the model's emission delay — the paper's motivation) rather than a
+    by-product, and no simple-pass heads are needed.
+
+    emit_frames: (B, U) int32 — encoder frame at which label u is
+    emitted on the reference alignment (ops/rnnt_align: a teacher model,
+    the live model under stop_gradient, or external forced alignments;
+    positions >= label_len are ignored). The band center at frame t is
+    the aligned path's label column after frame t,
+
+        center[b, t] = #{u < label_len : emit_frames[b, u] <= t},
+
+    so the S-wide band covers `left_labels` positions behind the path
+    (late emissions) and S - 1 - left_labels ahead (early emissions),
+    then the shared feasibility machinery (bounds_from_centers) makes it
+    monotone, jump-capped, and terminal-covering. Same contract as
+    prune_bounds: consumable by rnnt_loss_pruned / the band kernels.
+    """
+    B, U = emit_frames.shape
+    S = min(pruned_range, U1)
+    if left_labels is None:
+        left_labels = S // 2
+    t_ids = jnp.arange(T, dtype=jnp.int32)[None, :, None]  # (1, T, 1)
+    u_ids = jnp.arange(U, dtype=jnp.int32)[None, None, :]  # (1, 1, U)
+    valid_u = u_ids < label_lens.astype(jnp.int32)[:, None, None]
+    emitted = (emit_frames[:, None, :] <= t_ids) & valid_u  # (B, T, U)
+    center = jnp.sum(emitted.astype(jnp.int32), axis=2)  # (B, T)
+    return bounds_from_centers(center, U1, pruned_range, frame_lens,
+                               label_lens, quantize, offset=left_labels)
 
 
 # --------------------------- banded lattice DP ----------------------------

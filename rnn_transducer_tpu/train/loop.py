@@ -103,7 +103,9 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             label_lens, loss_impl: str = "auto", dropout: float = 0.0,
             embed_dropout: float = 0.0, dropout_rng=None,
             dropout_offset=0, fastemit: float = 0.0,
-            simple_loss_scale: float = 0.5, ctc_weight: float = 0.0):
+            simple_loss_scale: float = 0.5, ctc_weight: float = 0.0,
+            ar_range: int = 0, ar_left: int = -1, align_cfg=None,
+            teacher_params=None):
     """Batch-mean RNN-T loss; per-utterance losses also returned.
 
     "fused" (default on TPU) never materializes the (B,T,U+1,V) logits:
@@ -183,6 +185,9 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             enc_out, enc_lens)
         return jnp.mean(per_utt), per_utt
     if cfg.joint_experts > 0:
+        if loss_impl == "ar":
+            raise ValueError("alignment-restricted training (ar_range) "
+                             "does not support an MoE joint")
         # MoE joint: the logits must materialize through the routed joint
         # (the fused joint+loss kernel computes dense logits on-chip), and
         # the router's load-balance aux loss joins the objective.
@@ -194,6 +199,50 @@ def loss_fn(params, cfg: TransducerConfig, feats, feat_lens, labels,
             "xla" if loss_impl in ("auto", "fused") else loss_impl)(
             logits, labels, enc_lens, label_lens, cfg.blank, fastemit)
         return jnp.mean(per_utt) + cfg.moe_aux_weight * aux, per_utt
+    if loss_impl == "ar":
+        # Alignment-restricted RNN-T (Mahadeokar et al. 2021): the banded
+        # loss on a band around a reference Viterbi alignment instead of
+        # the simple joiner's posteriors — no simple heads, and emission
+        # timing is CONSTRAINED (paths may run at most ar_left labels
+        # behind the alignment, ar_range-1-ar_left ahead), bounding
+        # training-time emission delay for streaming models. The
+        # alignment comes from teacher_params (an --ar-align-from
+        # checkpoint on the same lattice grid) or, when None, from the
+        # live model under stop_gradient (self-alignment — guided
+        # pruning along the model's own best path).
+        if ar_range <= 0:
+            raise ValueError("loss_impl='ar' requires TrainConfig."
+                             "ar_range > 0")
+        from rnn_transducer_tpu.ops.rnnt_align import (
+            _gather_label_logprobs, emit_frames_device, rnnt_viterbi)
+        from rnn_transducer_tpu.ops.rnnt_pruned import (alignment_bounds,
+                                                        rnnt_loss_pruned)
+        enc_out, enc_lens = m.encode(params, cfg, feats, feat_lens, **do)
+        pred_out, _ = m.predict(params, cfg, labels,
+                                embed_dropout=embed_dropout, **do)
+        f, g, w, b = m.joint_activations(params, cfg, enc_out, pred_out)
+        a_params = (jax.lax.stop_gradient(params) if teacher_params is None
+                    else teacher_params)
+        a_cfg = cfg if teacher_params is None else align_cfg
+        # the aligner runs clean (no dropout) — the band must not jitter
+        # with the regularizer's masks
+        a_logits, a_lens = m.forward(a_params, a_cfg, feats, feat_lens,
+                                     labels)
+        lp = jax.lax.stop_gradient(
+            jax.nn.log_softmax(a_logits.astype(jnp.float32), axis=-1))
+        _, K = rnnt_viterbi(lp[..., a_cfg.blank],
+                            _gather_label_logprobs(lp, labels),
+                            a_lens, label_lens)
+        emit = emit_frames_device(K, a_lens, label_lens)
+        U1 = labels.shape[1] + 1
+        sb = alignment_bounds(emit, enc_out.shape[1], ar_range, enc_lens,
+                              label_lens, U1,
+                              left_labels=None if ar_left < 0 else ar_left)
+        per_utt = with_ctc(
+            rnnt_loss_pruned(f, g, w, b, labels, enc_lens, label_lens, sb,
+                             ar_range, cfg.blank, cfg.cdtype, fastemit),
+            enc_out, enc_lens)
+        return jnp.mean(per_utt), per_utt
     if loss_impl == "pruned":
         # k2-style two-pass objective (ops/rnnt_pruned.py): cheap
         # trivial-joiner first pass -> pruning band -> expensive joint on
@@ -329,6 +378,21 @@ def check_distill_compat(cfg: TransducerConfig,
                          "fastemit_lambda")
 
 
+def check_ar_compat(cfg: TransducerConfig, align_cfg: TransducerConfig):
+    """Raise unless the aligner checkpoint's lattice grid matches the
+    student's — its Viterbi emit frames index the student's encoder
+    frames directly (alignment-restricted training, loss_impl='ar')."""
+    for field in ("vocab_size", "blank", "time_reduction"):
+        a, b = getattr(cfg, field), getattr(align_cfg, field)
+        if a != b:
+            raise ValueError(f"ar alignment needs aligner {field} == "
+                             f"student {field} (aligner {b}, student {a})")
+    if cfg.tdt_durations or cfg.big_blank_durations or \
+            align_cfg.tdt_durations or align_cfg.big_blank_durations:
+        raise ValueError("alignment-restricted training supports standard "
+                         "transducers (no TDT / multi-blank joint grids)")
+
+
 def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
                     loss_kind: str = "rnnt", teacher_cfg=None):
     """Build the jitted update step.
@@ -354,6 +418,9 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
         # teacher-student: the step takes the (replicated) teacher params
         # as an extra traced argument — closure capture would inline the
         # teacher weights into the compiled program.
+        if tcfg.ar_range > 0:
+            raise ValueError("ar_range and distill_weight are mutually "
+                             "exclusive (one teacher slot)")
         if teacher_cfg is None:
             raise ValueError("distill_weight > 0 needs teacher_cfg (and "
                              "the step must be called with teacher_params)")
@@ -362,6 +429,22 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
             distill_loss_fn, cfg=cfg, teacher_cfg=teacher_cfg,
             distill_weight=tcfg.distill_weight,
             distill_temp=tcfg.distill_temp)
+    elif loss_kind == "rnnt" and tcfg.ar_range > 0:
+        # alignment-restricted training: the (optional) aligner checkpoint
+        # rides the step as the same traced teacher_params argument the
+        # distillation path uses (None = self-alignment).
+        if tcfg.distill_weight > 0.0:
+            raise ValueError("ar_range and distill_weight are mutually "
+                             "exclusive (one teacher slot)")
+        if tcfg.loss_impl not in ("auto", "ar"):
+            raise ValueError("ar_range > 0 trains with loss_impl='auto'|"
+                             f"'ar' (got {tcfg.loss_impl!r})")
+        if teacher_cfg is not None:
+            check_ar_compat(cfg, teacher_cfg)
+        batch_loss = functools.partial(
+            loss_fn, cfg=cfg, loss_impl="ar", ar_range=tcfg.ar_range,
+            ar_left=tcfg.ar_left, fastemit=tcfg.fastemit_lambda,
+            ctc_weight=tcfg.ctc_weight, align_cfg=teacher_cfg)
     else:
         batch_loss = functools.partial(loss_fn, cfg=cfg,
                                        loss_impl=tcfg.loss_impl,
@@ -370,6 +453,8 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
                                        ctc_weight=tcfg.ctc_weight)
 
     distilling = loss_kind == "rnnt" and tcfg.distill_weight > 0.0
+    uses_teacher = distilling or (loss_kind == "rnnt" and tcfg.ar_range > 0
+                                  and teacher_cfg is not None)
     has_dropout = (loss_kind == "rnnt"
                    and (tcfg.dropout > 0.0 or tcfg.embed_dropout > 0.0))
 
@@ -444,7 +529,7 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
                            "skipped_nonfinite": (~ok).astype(jnp.int32)}
 
     if mesh is None:
-        if distilling:
+        if uses_teacher:
             def step_fn(state, feats, feat_lens, labels, label_lens,
                         teacher_params):
                 loss, grads = grads_and_metrics(
@@ -479,7 +564,7 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
         shard_fn,
         mesh=mesh,
         in_specs=(state_spec, P("data"), P("data"), P("data"), P("data"))
-        + ((P(),) if distilling else ()),  # teacher replicated
+        + ((P(),) if uses_teacher else ()),  # teacher replicated
         out_specs=(state_spec, P()),
         check_vma=False,
     )

@@ -171,6 +171,21 @@ def parse_args(argv=None):
                         "BiLSTM/conformer teaching a streaming student)")
     p.add_argument("--distill-weight", type=float, default=0.3,
                    help="weight of the KD term (with --distill-from)")
+    p.add_argument("--ar-range", type=int, default=0,
+                   help="alignment-restricted RNN-T (Mahadeokar et al. "
+                        "2021): train on an N-wide band around a "
+                        "reference Viterbi alignment (from "
+                        "--ar-align-from, else the live model under "
+                        "stop_gradient) — bounds emission delay. "
+                        "0 = off")
+    p.add_argument("--ar-left", type=int, default=-1,
+                   help="band positions BEHIND the aligned path (late "
+                        "emissions); the rest of --ar-range looks ahead. "
+                        "-1 = centered")
+    p.add_argument("--ar-align-from", default=None,
+                   help="checkpoint dir of the aligner model for "
+                        "--ar-range (same vocab/blank/time_reduction); "
+                        "omit to self-align")
     p.add_argument("--distill-temp", type=float, default=1.0,
                    help="KD softmax temperature tau (the term is scaled "
                         "by tau^2; classic choice 2.0)")
@@ -247,7 +262,8 @@ def main(argv=None):
                        ctc_weight=args.ctc_weight,
                        distill_weight=(args.distill_weight
                                        if args.distill_from else 0.0),
-                       distill_temp=args.distill_temp)
+                       distill_temp=args.distill_temp,
+                       ar_range=args.ar_range, ar_left=args.ar_left)
     mlog = MetricsLogger(args.log_file)
 
     mp = args.model_parallel
@@ -258,10 +274,24 @@ def main(argv=None):
         if par_mode is not None:
             raise SystemExit("--distill-from supports single-device/"
                              "data-parallel training (not --model-parallel)")
+        if args.ar_range > 0:
+            raise SystemExit("--distill-from and --ar-range are mutually "
+                             "exclusive (one teacher slot)")
         teacher_params, teacher_cfg, t_step, _ = ckpt.load_plain_params(
             args.distill_from)
         print(f"distilling from {args.distill_from} (step {t_step}, "
               f"weight {args.distill_weight}, tau {args.distill_temp})",
+              file=sys.stderr)
+    if args.ar_range > 0 and par_mode is not None:
+        raise SystemExit("--ar-range supports single-device/data-parallel "
+                         "training (not --model-parallel)")
+    if args.ar_align_from:
+        if args.ar_range <= 0:
+            raise SystemExit("--ar-align-from needs --ar-range N")
+        teacher_params, teacher_cfg, a_step, _ = ckpt.load_plain_params(
+            args.ar_align_from)
+        print(f"ar band from {args.ar_align_from} (step {a_step}, "
+              f"range {args.ar_range}, left {args.ar_left})",
               file=sys.stderr)
     key = jax.random.PRNGKey(args.seed)
     start_step = 0
