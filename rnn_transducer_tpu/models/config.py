@@ -65,7 +65,8 @@ class TransducerConfig:
     # SKIPS duration frames when a big blank wins — 2-4x fewer decode
     # steps on blank-dominated audio; the loss marginalizes over the
     # extra transitions (ops/rnnt_multiblank.py). Trains at the xla loss
-    # tier; beam search is frame-synchronous and rejects these models.
+    # tier; beam search handles the skips via per-beam wake times
+    # (decode/beam.py, tests/test_beam_duration.py).
     big_blank_durations: tuple = ()
     # Token-and-duration transducer (TDT, Xu et al. 2023): a second joint
     # head predicts how many frames each emission (token OR blank)
@@ -73,7 +74,8 @@ class TransducerConfig:
     # not take duration 0). The loss marginalizes tokens x durations
     # (ops/rnnt_tdt.py); greedy decode advances by the argmax duration —
     # it never stalls on a frame, the variant's decode-speed point.
-    # Trains at the xla tier; beam search rejects TDT models. Mutually
+    # Trains at the xla tier; beam search forks candidates over the
+    # duration set with per-beam wake times (decode/beam.py). Mutually
     # exclusive with big_blank_durations.
     tdt_durations: tuple = ()
     # numerics

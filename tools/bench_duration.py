@@ -1,0 +1,224 @@
+"""On-chip multi-blank / TDT decode-speed validation (PERFORMANCE.md).
+
+Trains three otherwise-identical smoke-scale transducers (standard,
+multi-blank durations (2,4,8), TDT durations (0,1,2,4)) on the same
+synthetic toy corpus (each label = an 8-frame one-hot burst, so the
+audio is blank-dominated the way real speech is), checks they reach
+EQUAL accuracy on a held-out batch, then slope-times batched greedy
+decode for each variant on the real chip. The duration variants' win is
+fewer decode-loop steps: a standard greedy pass runs ~T + U joint/pred
+steps per utterance, a multi-blank pass skips d frames per big blank,
+and TDT never stalls on a frame (it advances by the predicted duration
+of EVERY emission).
+
+Also runs the wake-time beam-8 smoke on the duration models (compile +
+decode + top-1 vs greedy agreement) — the CPU tests
+(tests/test_beam_duration.py) pin exactness vs a host reference; this
+records that the fork/sleep search compiles and runs on hardware.
+
+Usage: python tools/bench_duration.py [--steps 700] [--skip-beam]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T_TOK = 8        # frames per label token in the toy corpus
+U = 12           # labels per utterance
+V = 32           # vocab (incl. blank)
+T = T_TOK * U    # 96 frames
+B_TRAIN = 16
+B_DEC = 8
+N_REP = 5        # decode input repeats T -> T*N_REP frames (480) so the
+                 # decode loop dominates and frame-skipping is visible
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def toy_batch(rng, n, t_rep=1):
+    """Blank-dominated toy 'speech': one-hot tone burst per label."""
+    feats = np.zeros((n, T * t_rep, V), np.float32)
+    labels = rng.integers(1, V, size=(n, U * t_rep)).astype(np.int32)
+    for i in range(n):
+        for u in range(U * t_rep):
+            feats[i, T_TOK * u: T_TOK * u + T_TOK, labels[i, u]] = 1.0
+    feats += rng.normal(scale=0.05, size=feats.shape).astype(np.float32)
+    return feats, labels
+
+
+def train_one(name, cfg, steps, lr=3e-3, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from rnn_transducer_tpu.train.loop import init_train_state, make_train_step
+
+    from rnn_transducer_tpu.models.config import TrainConfig
+    # xla loss tier for ALL variants: the duration losses only exist
+    # there, and it keeps the standard model off the fused kernels whose
+    # remote compile costs ~7 min at this one-off toy shape.
+    tcfg = TrainConfig(batch_size=B_TRAIN, learning_rate=lr,
+                       warmup_steps=100, total_steps=steps, loss_impl="xla")
+    state = init_train_state(jax.random.PRNGKey(seed), cfg, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0,))
+    rng = np.random.default_rng(7)
+    fl = jnp.full((B_TRAIN,), T, jnp.int32)
+    ll = jnp.full((B_TRAIN,), U, jnp.int32)
+    t0 = time.perf_counter()
+    loss = float("nan")
+    for i in range(steps):
+        feats, labels = toy_batch(rng, B_TRAIN)
+        state, info = step(state, jnp.asarray(feats), fl,
+                           jnp.asarray(labels), ll)
+        if i in (0, steps - 1) or (i + 1) % 200 == 0:
+            loss = float(info["loss"])
+            log(f"  [{name}] step {i + 1}/{steps} loss {loss:.3f} "
+                f"({time.perf_counter() - t0:.0f}s)")
+    return state.params
+
+
+def accuracy(params, cfg, feats, labels):
+    import jax.numpy as jnp
+    from rnn_transducer_tpu.decode.greedy import recognize_greedy
+    n = feats.shape[0]
+    toks, lens = recognize_greedy(
+        params, cfg, jnp.asarray(feats),
+        jnp.full((n,), feats.shape[1], jnp.int32),
+        max_symbols=labels.shape[1] + 4)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    return sum(list(toks[i, : int(lens[i])]) == list(labels[i])
+               for i in range(n)) / n
+
+
+def slope_decode(params, cfg, enc_out, enc_lens, max_symbols):
+    """Device ms per batched greedy decode (dependency-chained slope)."""
+    import jax
+    import jax.numpy as jnp
+    from rnn_transducer_tpu.decode.greedy import greedy_decode
+
+    def make(n):
+        def run(e):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(n):
+                toks, lens, _ = greedy_decode(
+                    params, cfg, e + acc * 1e-20, enc_lens,
+                    max_symbols=max_symbols)
+                acc = acc + jnp.sum(lens).astype(jnp.float32)
+            return acc
+        return jax.jit(run)
+
+    ts = []
+    for n in (2, 12):
+        f = make(n)
+        jax.device_get(f(enc_out))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(f(enc_out))
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    return (ts[1] - ts[0]) / 10 * 1e3  # ms per decode
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--only", default=None,
+                   choices=[None, "standard", "multiblank", "tdt"])
+    p.add_argument("--skip-beam", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from rnn_transducer_tpu.models import transducer as m
+    from rnn_transducer_tpu.models.config import TransducerConfig
+
+    log("devices:", jax.devices())
+
+    H = args.hidden
+    base = dict(input_dim=V, enc_layers=2, enc_hidden=H, pred_layers=1,
+                pred_hidden=H, embed_dim=H // 2, joint_dim=H, vocab_size=V,
+                compute_dtype="float32")
+    variants = [
+        ("standard", TransducerConfig(**base)),
+        ("multiblank", TransducerConfig(**base,
+                                        big_blank_durations=(2, 4, 8))),
+        ("tdt", TransducerConfig(**base, tdt_durations=(0, 1, 2, 4))),
+    ]
+
+    rng_eval = np.random.default_rng(99)
+    feats_eval, labels_eval = toy_batch(rng_eval, 16)
+    # long decode probe: N_REP x the training length (same per-frame
+    # statistics; static shapes, one compile per variant)
+    feats_dec, _ = toy_batch(np.random.default_rng(5), B_DEC, t_rep=N_REP)
+
+    rows = []
+    trained = {}
+    for name, cfg in variants:
+        if args.only and name != args.only:
+            continue
+        log(f"== {name} ==")
+        params = train_one(name, cfg, args.steps, lr=args.lr)
+        trained[name] = (params, cfg)
+        acc = accuracy(params, cfg, feats_eval, labels_eval)
+        log(f"  [{name}] held-out exact-match {acc:.3f}")
+
+        enc_out, enc_lens = jax.jit(
+            lambda f, l, cfg=cfg, params=params:
+                m.encode(params, cfg, f, l))(
+            jnp.asarray(feats_dec),
+            jnp.full((B_DEC,), feats_dec.shape[1], jnp.int32))
+        ms = slope_decode(params, cfg, enc_out, enc_lens,
+                          max_symbols=U * N_REP + 8)
+        log(f"  [{name}] greedy decode (B={B_DEC}, T={feats_dec.shape[1]}): "
+            f"{ms:.3f} ms/batch")
+        rows.append({"variant": name, "exact_match": round(acc, 3),
+                     "greedy_ms_per_batch": round(ms, 3)})
+
+    if not args.skip_beam:
+        from rnn_transducer_tpu.decode.beam import beam_search
+        from rnn_transducer_tpu.decode.greedy import greedy_decode
+        for name in ("multiblank", "tdt"):
+            params, cfg = trained[name]
+            enc_out, enc_lens = jax.jit(
+                lambda f, l, cfg=cfg, params=params:
+                    m.encode(params, cfg, f, l))(
+                jnp.asarray(feats_eval[:4]),
+                jnp.full((4,), T, jnp.int32))
+            t0 = time.perf_counter()
+            bs = jax.jit(lambda e, el: beam_search(
+                params, cfg, e, el, beam=8, max_symbols=U + 4))
+            toks, lens, scores = jax.device_get(bs(enc_out, enc_lens))[:3]
+            compile_s = time.perf_counter() - t0
+            gt, gl, _ = jax.device_get(greedy_decode(
+                params, cfg, enc_out, enc_lens, max_symbols=U + 4))
+            agree = sum(
+                list(np.asarray(toks)[i, 0, : int(lens[i, 0])])
+                == list(np.asarray(gt)[i, : int(gl[i])])
+                for i in range(4))
+            t0 = time.perf_counter()
+            jax.device_get(bs(enc_out, enc_lens))
+            run_ms = (time.perf_counter() - t0) * 1e3
+            log(f"  [beam8 {name}] compile+first {compile_s:.1f}s, "
+                f"warm e2e {run_ms:.1f} ms, top1==greedy {agree}/4, "
+                f"scores finite: {bool(np.isfinite(np.asarray(scores)).all())}")
+            rows.append({"variant": f"beam8_{name}",
+                         "compile_s": round(compile_s, 1),
+                         "warm_e2e_ms": round(run_ms, 1),
+                         "top1_eq_greedy": int(agree)})
+
+    log(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
