@@ -253,8 +253,7 @@ def config_libri100_conformer() -> TransducerConfig:
 def config_libri100_conformer_stream() -> TransducerConfig:
     """Causal/streamable conformer twin: 64-frame left attention window
     per block (~2.5 s of audio at 4x stacking), causal conv."""
-    import dataclasses as _dc
-    return _dc.replace(config_libri100_conformer(), enc_att_left=64)
+    return dataclasses.replace(config_libri100_conformer(), enc_att_left=64)
 
 
 def config_libri100_conformer_chunked() -> TransducerConfig:
@@ -262,8 +261,8 @@ def config_libri100_conformer_chunked() -> TransducerConfig:
     chunks + 64 frames of left context — queries see in-chunk future
     (latency = 32 encoded frames) for accuracy between the strict-causal
     and offline forms."""
-    return _dc.replace(config_libri100_conformer(), enc_chunk_att=32,
-                       enc_att_left=64)
+    return dataclasses.replace(config_libri100_conformer(), enc_chunk_att=32,
+                               enc_att_left=64)
 
 
 NAMED_CONFIGS = {

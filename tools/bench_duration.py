@@ -56,7 +56,19 @@ def toy_batch(rng, n, t_rep=1):
     return feats, labels
 
 
-def train_one(name, cfg, steps, lr=3e-3, seed=0):
+def train_one(name, cfg, steps, eval_fn, lr=3e-3, seed=0,
+              target_acc=0.9, eval_every=2000):
+    """Train with a periodic exact-match eval and early stop.
+
+    The RNN-T toy objective has a long label-identity saddle (loss ==
+    U*ln(V-1): emission POSITIONS learned, labels still uniform) whose
+    escape step grows with U/V/blank-dominance — the r3 run's
+    exact-match 0.000 rows were runs stopped INSIDE the saddle, not a
+    model bug (diagnosed on a scaled-down CPU toy: every variant reaches
+    exact=1.0 given enough steps; docs/PERFORMANCE.md round-4 log).
+    Steps cost ~1.5 ms on-chip, so the cap is high and convergence is
+    detected by eval instead of guessed by step count.
+    """
     import jax
     import jax.numpy as jnp
     from rnn_transducer_tpu.train.loop import init_train_state, make_train_step
@@ -73,16 +85,20 @@ def train_one(name, cfg, steps, lr=3e-3, seed=0):
     fl = jnp.full((B_TRAIN,), T, jnp.int32)
     ll = jnp.full((B_TRAIN,), U, jnp.int32)
     t0 = time.perf_counter()
-    loss = float("nan")
+    acc = 0.0
+    i = 0
     for i in range(steps):
         feats, labels = toy_batch(rng, B_TRAIN)
         state, info = step(state, jnp.asarray(feats), fl,
                            jnp.asarray(labels), ll)
-        if i in (0, steps - 1) or (i + 1) % 200 == 0:
+        if (i + 1) % eval_every == 0 or i + 1 == steps:
             loss = float(info["loss"])
+            acc = eval_fn(state.params)
             log(f"  [{name}] step {i + 1}/{steps} loss {loss:.3f} "
-                f"({time.perf_counter() - t0:.0f}s)")
-    return state.params
+                f"exact {acc:.3f} ({time.perf_counter() - t0:.0f}s)")
+            if acc >= target_acc:
+                break
+    return state.params, acc, i + 1
 
 
 def accuracy(params, cfg, feats, labels):
@@ -105,14 +121,17 @@ def slope_decode(params, cfg, enc_out, enc_lens, max_symbols):
     from rnn_transducer_tpu.decode.greedy import greedy_decode
 
     def make(n):
+        # lax.fori_loop (not a Python unroll): the body traces ONCE so
+        # compile time is independent of n — the same slope recipe as
+        # bench_r3_extras.slope().
         def run(e):
-            acc = jnp.zeros((), jnp.float32)
-            for _ in range(n):
+            def body(i, acc):
                 toks, lens, _ = greedy_decode(
                     params, cfg, e + acc * 1e-20, enc_lens,
                     max_symbols=max_symbols)
-                acc = acc + jnp.sum(lens).astype(jnp.float32)
-            return acc
+                return acc + jnp.sum(lens).astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body,
+                                     jnp.zeros((), jnp.float32))
         return jax.jit(run)
 
     ts = []
@@ -130,7 +149,10 @@ def slope_decode(params, cfg, enc_out, enc_lens, max_symbols):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--steps", type=int, default=40000,
+                   help="step CAP; training early-stops at --target-acc")
+    p.add_argument("--target-acc", type=float, default=0.9)
+    p.add_argument("--eval-every", type=int, default=2000)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--only", default=None,
@@ -168,10 +190,14 @@ def main(argv=None):
         if args.only and name != args.only:
             continue
         log(f"== {name} ==")
-        params = train_one(name, cfg, args.steps, lr=args.lr)
+        params, acc, steps_used = train_one(
+            name, cfg, args.steps, lr=args.lr,
+            eval_fn=lambda p, cfg=cfg: accuracy(p, cfg, feats_eval,
+                                                labels_eval),
+            target_acc=args.target_acc, eval_every=args.eval_every)
         trained[name] = (params, cfg)
-        acc = accuracy(params, cfg, feats_eval, labels_eval)
-        log(f"  [{name}] held-out exact-match {acc:.3f}")
+        log(f"  [{name}] held-out exact-match {acc:.3f} "
+            f"(converged at step {steps_used})")
 
         enc_out, enc_lens = jax.jit(
             lambda f, l, cfg=cfg, params=params:
@@ -189,6 +215,8 @@ def main(argv=None):
         from rnn_transducer_tpu.decode.beam import beam_search
         from rnn_transducer_tpu.decode.greedy import greedy_decode
         for name in ("multiblank", "tdt"):
+            if name not in trained:  # --only excluded this variant
+                continue
             params, cfg = trained[name]
             enc_out, enc_lens = jax.jit(
                 lambda f, l, cfg=cfg, params=params:

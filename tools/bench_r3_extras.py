@@ -100,7 +100,7 @@ def bench_lm_beam():
     cfg = config_greedy_smoke()
     params = m.init_params(jax.random.PRNGKey(0), cfg)
     lm_cfg = TransformerLMConfig(vocab_size=cfg.vocab_size, d_model=256,
-                                 n_layers=4, n_heads=4)
+                                 layers=4, heads=4)
     lm_params = init_transformer_lm_params(jax.random.PRNGKey(1), lm_cfg)
 
     B, T = 8, 500
