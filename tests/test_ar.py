@@ -174,3 +174,51 @@ def test_ar_cli_teacher_align(tmp_path):
                       "--ar-align-from", str(ck),
                       "--eval-every", "1000", "--data-parallel", "1"])
     assert out is not None and int(out.step) == 3
+
+
+def test_ar_model_parallel_lockstep():
+    """AR training under --parallel-mode sp AND tp, self-aligned and
+    teacher-aligned: 2-step loss trajectory == the single-device AR step
+    (parallel/tp.py sp_ar_loss_fn / tp_ar_loss_fn; the aligner checkpoint
+    rides as the replicated traced argument)."""
+    from rnn_transducer_tpu.parallel import tp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    feats, fl, labels, ll = _batch(B=8, seed=6)
+    batch = (feats, fl, labels, ll)
+    teacher = m.init_params(jax.random.PRNGKey(3), CFG)
+
+    for teach in (False, True):
+        tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                           ar_range=3, ar_left=1, seed=0)
+        kw = dict(teacher_cfg=CFG) if teach else {}
+        extra = (teacher,) if teach else ()
+        state = init_train_state(jax.random.PRNGKey(7), CFG, tcfg)
+        step1 = make_train_step(CFG, tcfg, **kw)
+        want = []
+        for _ in range(2):
+            state, info = step1(state, *batch, *extra)
+            want.append(float(info["loss"]))
+
+        mesh = tp.make_mesh_2d(2, 4)
+        batch2 = tp.shard_batch_2d(mesh, batch)
+        sps = tp.replicate_state(mesh, tp.init_sp_train_state(
+            jax.random.PRNGKey(7), CFG, tcfg))
+        step_sp = tp.make_tp_train_step(CFG, tcfg, mesh, "sp", **kw)
+        got_sp = []
+        for _ in range(2):
+            sps, info = step_sp(sps, *batch2, *extra)
+            got_sp.append(float(info["loss"]))
+        np.testing.assert_allclose(got_sp, want, rtol=2e-5,
+                                   err_msg=f"sp teach={teach}")
+
+        tps = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+            jax.random.PRNGKey(7), CFG, tcfg, 4))
+        step_tp = tp.make_tp_train_step(CFG, tcfg, mesh, "tp", **kw)
+        got_tp = []
+        for _ in range(2):
+            tps, info = step_tp(tps, *batch2, *extra)
+            got_tp.append(float(info["loss"]))
+        np.testing.assert_allclose(got_tp, want, rtol=2e-5,
+                                   err_msg=f"tp teach={teach}")

@@ -158,8 +158,78 @@ def test_distill_cli(tmp_path, capsys):
                          "0.5", "--distill-temp", "2.0"])
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["steps"] == 2 and np.isfinite(res["final_loss"])
-    with pytest.raises(SystemExit, match="model-parallel"):
+    # tp carries the teacher as a replicated traced argument (round 4);
+    # pp/ep stay guarded.
+    train.main(common + ["--steps", "1", "--distill-from",
+                         str(tmp_path / "teacher"), "--distill-weight",
+                         "0.5", "--model-parallel", "2",
+                         "--parallel-mode", "tp"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["steps"] == 1 and np.isfinite(res["final_loss"])
+    with pytest.raises(SystemExit, match="sp|tp"):
         train.main(common + ["--steps", "1", "--distill-from",
                              str(tmp_path / "teacher"),
                              "--model-parallel", "2",
-                             "--parallel-mode", "tp"])
+                             "--parallel-mode", "pp"])
+
+
+def test_distill_model_parallel_lockstep():
+    """KD training under --parallel-mode sp AND tp: 2-step loss trajectory
+    == the single-device distill step; the (different-architecture)
+    teacher rides both sharded steps as the replicated traced argument
+    (parallel/tp.py sp_distill_loss_fn / tp_distill_loss_fn)."""
+    from rnn_transducer_tpu.parallel import tp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    # dims divisible by mp=4 for the gate-sharded tp encoder/predictor
+    cfg = dataclasses.replace(CFG, enc_hidden=16, pred_hidden=12)
+    tcfg = TrainConfig(batch_size=8, warmup_steps=2, total_steps=6,
+                       distill_weight=0.5, distill_temp=2.0,
+                       loss_impl="xla")
+    teacher = _params(BIG, 5)
+    batch = _batch(3, B=8, T=12, U=4)
+
+    state = init_train_state(jax.random.PRNGKey(6), cfg, tcfg)
+    step1 = make_train_step(cfg, tcfg, teacher_cfg=BIG)
+    want = []
+    for _ in range(2):
+        state, info = step1(state, *batch, teacher)
+        want.append(float(info["loss"]))
+
+    mesh = tp.make_mesh_2d(2, 4)
+    batch2 = tp.shard_batch_2d(mesh, batch)
+    sps = tp.replicate_state(mesh, tp.init_sp_train_state(
+        jax.random.PRNGKey(6), cfg, tcfg))
+    step_sp = tp.make_tp_train_step(cfg, tcfg, mesh, "sp", teacher_cfg=BIG)
+    got_sp = []
+    for _ in range(2):
+        sps, info = step_sp(sps, *batch2, teacher)
+        got_sp.append(float(info["loss"]))
+    np.testing.assert_allclose(got_sp, want, rtol=2e-5)
+
+    tps = tp.shard_tp_state(mesh, tp.init_tp_train_state(
+        jax.random.PRNGKey(6), cfg, tcfg, 4))
+    step_tp = tp.make_tp_train_step(cfg, tcfg, mesh, "tp", teacher_cfg=BIG)
+    got_tp = []
+    for _ in range(2):
+        tps, info = step_tp(tps, *batch2, teacher)
+        got_tp.append(float(info["loss"]))
+    np.testing.assert_allclose(got_tp, want, rtol=2e-5)
+
+
+def test_distill_model_parallel_guards():
+    from rnn_transducer_tpu.parallel import tp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = tp.make_mesh_2d(2, 4)
+    tcfg = TrainConfig(distill_weight=0.3, loss_impl="xla")
+    with pytest.raises(ValueError, match="teacher_cfg"):
+        tp.make_tp_train_step(CFG, tcfg, mesh, "sp")
+    with pytest.raises(ValueError, match="sp"):
+        tp.make_tp_train_step(CFG, tcfg, mesh, "ep", teacher_cfg=CFG)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tp.make_tp_train_step(
+            CFG, dataclasses.replace(tcfg, ar_range=3), mesh, "sp",
+            teacher_cfg=CFG)

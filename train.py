@@ -271,9 +271,15 @@ def main(argv=None):
 
     teacher_params = teacher_cfg = None
     if args.distill_from:
-        if par_mode is not None:
-            raise SystemExit("--distill-from supports single-device/"
-                             "data-parallel training (not --model-parallel)")
+        if par_mode in ("pp", "ep"):
+            # sp/tp carry the teacher as a replicated traced argument
+            # (parallel/tp.py sp/tp_distill_loss_fn); ep routes the joint
+            # through MoE experts the KD term doesn't model, and pp's
+            # stage-sliced params can't host the replicated teacher
+            # forward without assembling the full lattice on every stage.
+            raise SystemExit("--distill-from supports single-device, "
+                             "data-parallel, and --parallel-mode sp|tp "
+                             "training (not pp/ep)")
         if args.ar_range > 0:
             raise SystemExit("--distill-from and --ar-range are mutually "
                              "exclusive (one teacher slot)")
@@ -282,9 +288,10 @@ def main(argv=None):
         print(f"distilling from {args.distill_from} (step {t_step}, "
               f"weight {args.distill_weight}, tau {args.distill_temp})",
               file=sys.stderr)
-    if args.ar_range > 0 and par_mode is not None:
-        raise SystemExit("--ar-range supports single-device/data-parallel "
-                         "training (not --model-parallel)")
+    if args.ar_range > 0 and par_mode in ("pp", "ep"):
+        raise SystemExit("--ar-range supports single-device, data-parallel, "
+                         "and --parallel-mode sp|tp training (not pp/ep) — "
+                         "parallel/tp.py sp/tp_ar_loss_fn")
     if args.ar_align_from:
         if args.ar_range <= 0:
             raise SystemExit("--ar-align-from needs --ar-range N")
@@ -378,13 +385,25 @@ def main(argv=None):
             print(f"resumed from step {start_step}", file=sys.stderr)
         if par_mode == "sp":
             state = tpx.replicate_state(mesh, state)
-            step_fn = tpx.make_tp_train_step(cfg, tcfg, mesh, "sp")
+            step_fn = tpx.make_tp_train_step(cfg, tcfg, mesh, "sp",
+                                             teacher_cfg=teacher_cfg)
         else:
             state = tpx.shard_tp_state(mesh, state)
             step_fn = (ppx.make_pp_train_step(cfg, tcfg, mesh,
                                               args.microbatches or None)
                        if par_mode == "pp" else
-                       tpx.make_tp_train_step(cfg, tcfg, mesh, par_mode))
+                       tpx.make_tp_train_step(cfg, tcfg, mesh, par_mode,
+                                              teacher_cfg=teacher_cfg))
+        if teacher_params is not None:
+            # distill teacher / AR aligner rides each call as a replicated
+            # traced argument (in_spec P()) — same contract as the dp step.
+            # Checkpoint-loaded params are committed to device 0; re-place
+            # them replicated on the mesh or jit rejects the device mix.
+            _mp_step = step_fn
+            _teacher = jax.device_put(
+                teacher_params,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+            step_fn = lambda st, *b: _mp_step(st, *b, _teacher)
         shard_train_batch = lambda b: tpx.shard_batch_2d(mesh, b)
 
         def plain_params(st):
