@@ -101,6 +101,29 @@ def _mask_nonlabels(x, cfg, vocab, val):
     return x
 
 
+def _cap_lm_cache(lm, max_symbols: int):
+    """Cap a transformer fusion LM's KV-cache length at max_symbols + 1.
+
+    The decode emits at most max_symbols labels, so the LM consumes at
+    most BOS + max_symbols positions — capping is EXACT. Without the cap
+    the per-beam (B*K, max_len, H, Dh) caches ride the beam carry at the
+    checkpoint's full max_len (512 by default): at production shapes
+    (B=8, K=8, d_model=256, 4 layers) that is a ~1 GB while_loop carry
+    whose per-frame reindex copies crashed the TPU worker outright
+    (round-4 diagnosis: max_len=128 runs at 484 MB temp, max_len=512
+    kills the worker)."""
+    if lm is None:
+        return lm
+    from rnn_transducer_tpu.models.lm_transformer import TransformerLMConfig
+    if isinstance(lm[1], TransformerLMConfig) and \
+            lm[1].max_len > max_symbols + 1:
+        import dataclasses
+        return (lm[0], dataclasses.replace(lm[1],
+                                           max_len=max_symbols + 1)) + \
+            tuple(lm[2:])
+    return lm
+
+
 def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
                     beam: int = 8, max_symbols: int = 200, lm=None,
                     context=None, ngram=None):
@@ -110,6 +133,7 @@ def init_beam_state(params, cfg: TransducerConfig, batch: int, *,
     fusion LM's per-beam next-token log-probs + LSTM state to the carry;
     `context` (decode/context.py ContextBias) adds the per-beam trie node
     id for phrase boosting."""
+    lm = _cap_lm_cache(lm, max_symbols)
     B, K, U = batch, beam, max_symbols
     tokens0 = jnp.full((B, K, U), cfg.blank, jnp.int32)
     lens0 = jnp.zeros((B, K), jnp.int32)
@@ -201,6 +225,9 @@ def beam_search(params, cfg: TransducerConfig, enc_out, enc_lens, *,
     enc_lens = enc_lens.astype(jnp.int32)
     if lm is not None:
         from rnn_transducer_tpu.models.lm import lm_step
+        # same cap as init_beam_state: the carried KV caches and the step
+        # cfg must agree on max_len (exact — see _cap_lm_cache)
+        lm = _cap_lm_cache(lm, max_symbols)
         lm_params, lm_cfg, lm_w, *_rest = lm
         ilm_w = _rest[0] if _rest else 0.0
     V = cfg.vocab_size

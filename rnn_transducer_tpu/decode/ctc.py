@@ -135,6 +135,10 @@ def ctc_prefix_beam_search(log_probs, frame_lens, *, beam: int = 8,
     if lm is not None:
         from rnn_transducer_tpu.models.lm import (BOS_ID, init_lm_state,
                                                   lm_step)
+        from rnn_transducer_tpu.decode.beam import _cap_lm_cache
+        # prefixes are capped at max_symbols labels, so the transformer
+        # KV caches need only max_symbols+1 positions (see beam.py)
+        lm = _cap_lm_cache(lm, max_symbols)
         lm_params, lm_cfg, lm_w = lm[0], lm[1], lm[2]
         lp0, st0 = lm_step(lm_params, lm_cfg,
                            jnp.full((B * K,), BOS_ID, jnp.int32),
