@@ -45,6 +45,16 @@ TILE_T = 8       # backward tile
 TILE_T_FWD = 16  # forward tile (separate: fwd VMEM footprint is smaller)
 LANE = 128
 
+# Round-4 backward variant (see docs/PERFORMANCE.md round-4 log):
+# "t16v2" = 16-frame time tile with the (tile, U1p, Vp) epilogue split
+# into 2 vocab chunks — halves the sequential grid (fewer W re-streams
+# for the logits/dz matmuls) and gives Mosaic two partially-independent
+# VPU/MXU chains per tile to overlap. "t8v2" = chunking alone at the
+# original tile. Default from env RNNT_FUSED_BWD (unset = classic v1).
+import os as _os
+
+_BWD_VARIANT = _os.environ.get("RNNT_FUSED_BWD", "v1")
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -147,6 +157,77 @@ def joint_lp_fwd(f, g, labels_pad, w, b, blank, cdtype):
 
 # --------------------------- backward kernel -----------------------------
 
+def _bwd_kernel_vc(blank, cdtype, tile_t, nvc, f_ref, g_ref, lab_ref,
+                   w_ref, b_ref, gb_ref, gy_ref, base_ref, gbar_ref,
+                   df_ref, dg_ref, dw_ref, db_ref):
+    """Vocab-chunked backward tile (round-4 experiment).
+
+    Identical math to _bwd_kernel, but the (tile_t, U1p, Vp) epilogue is
+    split into `nvc` static vocab chunks. Two effects under test:
+    (a) halved VMEM residency per chunk lets tile_t grow 8 -> 16, halving
+    the sequential grid (and the per-grid-step W re-streams of the logits
+    and dz matmuls); (b) chunk c+1's VPU epilogue (exp + dlogits
+    assembly) is data-independent of chunk c's dz/dW matmuls, giving
+    Mosaic's scheduler two chains to overlap where the monolithic tile
+    serializes VPU and MXU by data dependence.
+    """
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    f = f_ref[0]  # (tile_t, J)
+    g = g_ref[0]  # (U1p, J)
+    U1p, J = g.shape
+    Vp = w_ref.shape[1]
+    Vc = Vp // nvc
+    z = jnp.tanh(f[:, None, :] + g[None, :, :])
+    z2 = z.astype(cdtype).reshape(tile_t * U1p, J)
+    s = gbar_ref[0, 0, 0]
+    occ_s = ((gb_ref[0] + gy_ref[0]) * s)[:, :, None]
+    gb_s = (gb_ref[0] * s)[:, :, None]
+    gy_s = (gy_ref[0] * s)[:, :, None]
+    lab = lab_ref[0, 0, :]
+    base = base_ref[0][:, :, None]
+
+    @pl.when(jnp.logical_and(b_idx == 0, t_idx == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref[:])
+        db_ref[:] = jnp.zeros_like(db_ref[:])
+
+    dz2 = jnp.zeros((tile_t * U1p, J), jnp.float32)
+    for c in range(nvc):
+        sl = slice(c * Vc, (c + 1) * Vc)
+        w_c = w_ref[:, sl]
+        # b_ref[0][..., sl] would partial-slice a rank-1 vector, which
+        # Mosaic lowers as a 1D gather ("Only 2D gather is supported");
+        # slice the 2D ref instead and broadcast the (1, Vc) row.
+        logits = (jnp.dot(z2, w_c, preferred_element_type=jnp.float32)
+                  .reshape(tile_t, U1p, Vc) + b_ref[:, sl][None])
+        probs = jnp.exp(logits - base)
+        col = jax.lax.broadcasted_iota(jnp.int32, probs.shape, 2) + c * Vc
+        dlogits = probs * occ_s
+        dlogits = dlogits - jnp.where(col == blank, gb_s, 0.0)
+        dlogits = dlogits - jnp.where(col == lab[None, :, None], gy_s, 0.0)
+        dl2 = dlogits.astype(cdtype).reshape(tile_t * U1p, Vc)
+        dz2 = dz2 + jax.lax.dot_general(
+            dl2, w_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw_ref[:, sl] += jax.lax.dot_general(
+            z2, dl2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # rank-2 access: db_ref[0, sl] would lower as a 1D gather, which
+        # Mosaic rejects ("Only 2D gather is supported")
+        db_ref[:, sl] += jnp.sum(dlogits, axis=(0, 1),
+                                 dtype=jnp.float32)[None, :]
+
+    dz = dz2.reshape(tile_t, U1p, J) * (1.0 - z * z)
+    df_ref[0] = jnp.sum(dz, axis=1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        dg_ref[0] = jnp.zeros_like(dg_ref[0])
+
+    dg_ref[0] += jnp.sum(dz, axis=0)
+
+
 def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
                 gb_ref, gy_ref, base_ref, gbar_ref,
                 df_ref, dg_ref, dw_ref, db_ref):
@@ -217,22 +298,29 @@ def joint_lp_bwd(f, g, labels_pad, w, b, gb, gy, base, gbar, blank, cdtype):
     B, T, J = f.shape
     U1p = g.shape[1]
     Vp = w.shape[1]
-    nT = -(-T // TILE_T)
-    if T % TILE_T:
+    variant = _BWD_VARIANT
+    if variant == "t16v2" and not (Vp % 2 == 0 and (Vp // 2) % LANE == 0):
+        variant = "v1"  # vocab too small to chunk
+    tile_t = 16 if variant == "t16v2" else TILE_T
+    nvc = {"t16v2": 2, "t8v2": 2}.get(variant)
+    kern = (functools.partial(_bwd_kernel_vc, blank, cdtype, tile_t, nvc)
+            if nvc else functools.partial(_bwd_kernel, blank, cdtype))
+    nT = -(-T // tile_t)
+    if T % tile_t:
         # zero-pad time so tail tiles contribute zero occupancy; pad base
         # LARGE so exp(logits - base) underflows to exactly 0 there
-        f = _pad_axis(f, 1, TILE_T)
-        gb = _pad_axis(gb, 1, TILE_T)
-        gy = _pad_axis(gy, 1, TILE_T)
-        base = _pad_axis(base, 1, TILE_T, value=1.0e9)
+        f = _pad_axis(f, 1, tile_t)
+        gb = _pad_axis(gb, 1, tile_t)
+        gy = _pad_axis(gy, 1, tile_t)
+        base = _pad_axis(base, 1, tile_t, value=1.0e9)
     Tp = f.shape[1]
-    occ_spec = pl.BlockSpec((1, TILE_T, U1p), lambda b_, t: (b_, t, 0),
+    occ_spec = pl.BlockSpec((1, tile_t, U1p), lambda b_, t: (b_, t, 0),
                             memory_space=pltpu.VMEM)
     df, dg, dw, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, blank, cdtype),
+        kern,
         grid=(B, nT),
         in_specs=[
-            pl.BlockSpec((1, TILE_T, J), lambda b_, t: (b_, t, 0),
+            pl.BlockSpec((1, tile_t, J), lambda b_, t: (b_, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U1p, J), lambda b_, t: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -247,7 +335,7 @@ def joint_lp_bwd(f, g, labels_pad, w, b, gb, gy, base, gbar, blank, cdtype):
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_T, J), lambda b_, t: (b_, t, 0),
+            pl.BlockSpec((1, tile_t, J), lambda b_, t: (b_, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U1p, J), lambda b_, t: (b_, 0, 0),
                          memory_space=pltpu.VMEM),

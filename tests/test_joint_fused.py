@@ -141,3 +141,33 @@ def test_fused_through_model_loss_fn():
     for a, e in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_bwd_variant_grads_match_v1():
+    """The env-gated vocab-chunked backward kernels (RNNT_FUSED_BWD=t8v2 /
+    t16v2, round 4) compute identical math to the classic v1 tile — same
+    grads to fp32 tolerance on a vocab large enough to chunk (Vp/2 must be
+    lane-aligned, so V >= 256)."""
+    import rnn_transducer_tpu.ops.rnnt_joint_fused as jf
+
+    f, g, w, b, labels, fl, ll = _setup(B=2, T=19, U=4, J=32, V=256, seed=5)
+
+    def fused(f, g, w, b):
+        return jnp.sum(rnnt_loss_fused(f, g, w, b, labels, fl, ll,
+                                       compute_dtype=jnp.float32))
+
+    grad = jax.grad(fused, argnums=(0, 1, 2, 3))
+    old = jf._BWD_VARIANT
+    try:
+        jf._BWD_VARIANT = "v1"
+        want = grad(f, g, w, b)
+        for variant in ("t8v2", "t16v2"):
+            jf._BWD_VARIANT = variant
+            got = jax.clear_caches() or grad(f, g, w, b)
+            for name, a, e in zip("fgwb", got, want):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-5,
+                    err_msg=f"{variant} grad d{name}")
+    finally:
+        jf._BWD_VARIANT = old
+        jax.clear_caches()
