@@ -85,11 +85,13 @@ def main(argv=None):
                    help="capture a jax.profiler trace of the timed region")
     p.add_argument("--skip-libri960", action="store_true")
     p.add_argument("--skip-decode", action="store_true")
+    p.add_argument("--skip-conformer", action="store_true")
     args = p.parse_args(argv)
 
     import jax
 
     from rnn_transducer_tpu.models.config import (config_libri100,
+                                                  config_libri100_conformer,
                                                   config_libri960)
 
     log(f"devices: {jax.devices()}")
@@ -130,6 +132,18 @@ def main(argv=None):
         out["libri960_utt_per_sec"] = round(B9 / dt9, 2)
         out["libri960_mfu"] = round(mfu9, 4)
         out["libri960_batch"] = B9
+
+    # secondary: the conformer encoder family (VERDICT r3 item 3 — the
+    # matmul-dense second encoder needs a driver-captured perf record).
+    # libri100_conformer = configs[2]'s parameter-matched conformer twin
+    # (8 x d=512 blocks, 4x frame stacking; models/config.py).
+    if not args.skip_conformer:
+        dtc, mfuc = measure_config(config_libri100_conformer(),
+                                   B=32, T=400, U=40)
+        log(f"libri100_conformer: {dtc * 1e3:.1f} ms/step -> "
+            f"{32 / dtc:.1f} utt/s/chip, MFU {mfuc:.1%}")
+        out["conformer_utt_per_sec"] = round(32 / dtc, 2)
+        out["conformer_mfu"] = round(mfuc, 4)
 
     # decode half of the metric of record (BASELINE.json: "decode RTF +
     # p50 latency at beam=8"): slope-timed via tools/bench_decode.py.

@@ -75,10 +75,21 @@ def bench_ctc_multitask():
         raw = make_train_step(cfg, tcfg)
 
         def make(n, raw=raw):
+            # The loop returns ONLY the last step's scalar loss: returning
+            # the TrainState would device_get the full params+opt state
+            # through the axon relay every timing rep (~100+ MB whose
+            # transfer noise swamps the slope — measured as negative
+            # ms/step before this fix).
             def run(probe):
                 s0, f = probe
+
+                def body(i, carry):
+                    s, _ = carry
+                    s2, info = raw(s, f, fl, labels, ll)
+                    return (s2, info["loss"])
+
                 return jax.lax.fori_loop(
-                    0, n, lambda i, s: raw(s, f, fl, labels, ll)[0], s0)
+                    0, n, body, (s0, jnp.zeros((), jnp.float32)))[1]
             return run
 
         ms = slope(make, (state, feats), ns=(2, 8))
