@@ -160,7 +160,10 @@ def test_train_cli_conformer(tmp_path, capsys):
 
     import train
 
-    train.main(["--config", "libri100_conformer", "--data", "synthetic",
+    # conformer_smoke exercises the same CLI path (enc_type routing, frame
+    # stacking, conformer train step) as libri100_conformer at ~1/100 the
+    # FLOPs — the full 8x512 config took 422 s of the suite on one core.
+    train.main(["--config", "conformer_smoke", "--data", "synthetic",
                 "--steps", "2", "--batch-size", "8", "--loss-impl", "xla"])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert np.isfinite(json.loads(out)["final_loss"])
