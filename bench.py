@@ -138,12 +138,17 @@ def main(argv=None):
     # libri100_conformer = configs[2]'s parameter-matched conformer twin
     # (8 x d=512 blocks, 4x frame stacking; models/config.py).
     if not args.skip_conformer:
+        # B=64 is the conformer's best measured batch (B=32/64/128 sweep
+        # in docs/PERFORMANCE.md) — the config isn't batch-pinned by any
+        # driver config, so like libri960 it reports its best batch.
+        Bc = 64
         dtc, mfuc = measure_config(config_libri100_conformer(),
-                                   B=32, T=400, U=40)
-        log(f"libri100_conformer: {dtc * 1e3:.1f} ms/step -> "
-            f"{32 / dtc:.1f} utt/s/chip, MFU {mfuc:.1%}")
-        out["conformer_utt_per_sec"] = round(32 / dtc, 2)
+                                   B=Bc, T=400, U=40)
+        log(f"libri100_conformer (B={Bc}): {dtc * 1e3:.1f} ms/step -> "
+            f"{Bc / dtc:.1f} utt/s/chip, MFU {mfuc:.1%}")
+        out["conformer_utt_per_sec"] = round(Bc / dtc, 2)
         out["conformer_mfu"] = round(mfuc, 4)
+        out["conformer_batch"] = Bc
 
     # decode half of the metric of record (BASELINE.json: "decode RTF +
     # p50 latency at beam=8"): slope-timed via tools/bench_decode.py.

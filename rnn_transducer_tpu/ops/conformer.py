@@ -85,14 +85,22 @@ def _ln(p, x):
     return (x - mu) * jax.lax.rsqrt(var + 1e-6) * p["g"] + p["b"]
 
 
-def _dense(p, x, cd):
-    return (jnp.dot(x.astype(cd), p["w"].astype(cd),
-                    preferred_element_type=jnp.float32)
-            + p["b"].astype(jnp.float32))
+def _dense(p, x, cd, out_dtype=None):
+    """f32-accumulated matmul + bias. out_dtype=cd emits the result in
+    the compute dtype AT THE SOURCE — for activations whose only consumer
+    casts to cd anyway (FFN/GLU hiddens, q/k/v) the f32 materialization
+    between two fusions is pure HBM waste (measured: ~4.6 ms/step of
+    elementwise loop fusions at B=32 libri100_conformer, about half of it
+    these round trips). Bit-identical when cd == float32."""
+    y = (jnp.dot(x.astype(cd), p["w"].astype(cd),
+                 preferred_element_type=jnp.float32)
+         + p["b"].astype(jnp.float32))
+    return y.astype(out_dtype) if out_dtype is not None else y
 
 
 def _ffn(p, x, cd):
-    return _dense(p["out"], jax.nn.silu(_dense(p["in"], x, cd)), cd)
+    return _dense(p["out"],
+                  jax.nn.silu(_dense(p["in"], x, cd, out_dtype=cd)), cd)
 
 
 def _attend(p, q_in, kv_in, ages, key_ok, heads, cd):
@@ -102,18 +110,18 @@ def _attend(p, q_in, kv_in, ages, key_ok, heads, cd):
     B, Tq, D = q_in.shape
     Tk = kv_in.shape[1]
     dh = D // heads
-    q = _dense(p["q"], q_in, cd).reshape(B, Tq, heads, dh)
-    k = _dense(p["k"], kv_in, cd).reshape(B, Tk, heads, dh)
-    v = _dense(p["v"], kv_in, cd).reshape(B, Tk, heads, dh)
-    logits = jnp.einsum("bthd,bshd->bhts", q.astype(cd), k.astype(cd),
+    q = _dense(p["q"], q_in, cd, out_dtype=cd).reshape(B, Tq, heads, dh)
+    k = _dense(p["k"], kv_in, cd, out_dtype=cd).reshape(B, Tk, heads, dh)
+    v = _dense(p["v"], kv_in, cd, out_dtype=cd).reshape(B, Tk, heads, dh)
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits * (1.0 / math.sqrt(dh))
     rel = jnp.clip(ages, -REL_CLIP, REL_CLIP)
     logits = logits + p["rel"][:, rel + REL_CLIP][None]  # (1,H,Tq,Tk)
     logits = jnp.where(key_ok[:, None], logits, NEG_INF)
-    w = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", w.astype(cd), v.astype(cd),
-                     preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)  # f32 (softmax stays full precision)
+    out = jnp.einsum("bhts,bshd->bthd", w.astype(cd), v,
+                     preferred_element_type=jnp.float32).astype(cd)
     return _dense(p["o"], out.reshape(B, Tq, D), cd)
 
 
@@ -149,8 +157,8 @@ def _conv_module(p, x, lens, cd, causal: bool = False):
     masking the block input alone would still leak pads into the last
     valid frames."""
     B, T, D = x.shape
-    h = _dense(p["pw1"], x, cd)  # (B, T, 2D)
-    h = h[..., :D] * jax.nn.sigmoid(h[..., D:])  # GLU
+    h = _dense(p["pw1"], x, cd, out_dtype=cd)  # (B, T, 2D)
+    h = h[..., :D] * jax.nn.sigmoid(h[..., D:])  # GLU, in cd
     h = mask_padding(h, lens)
     return _dw_and_out(p, h, cd, causal=causal)
 
@@ -250,11 +258,14 @@ def conformer_block_chunk(p, x, cache, n_seen, chunk_lens, heads, cd,
     key_ok = win_ok[None] & exists[:, None, :]  # (B, C, W+C)
     x2 = x1 + _attend(p["att"], q_in, kv_ln, ages, key_ok, heads, cd)
     # ---- conv module over [history GLU, chunk GLU] ----
-    h = _dense(p["conv"]["pw1"], _ln(p["ln_conv"], x2), cd)
+    h = _dense(p["conv"]["pw1"], _ln(p["ln_conv"], x2), cd, out_dtype=cd)
     h = h[..., :D] * jax.nn.sigmoid(h[..., D:])
     h = mask_padding(h, chunk_lens)
     K = p["conv"]["dw_w"].shape[0]
-    h_cat = jnp.concatenate([cache["conv"], h], axis=1)  # (B, K-1+C, D)
+    # f32 cache ++ cd chunk promotes to f32 == the offline tap sum's
+    # h.astype(f32) on the same bf16 values — stream parity is exact
+    h_cat = jnp.concatenate([cache["conv"], h.astype(jnp.float32)],
+                            axis=1)  # (B, K-1+C, D)
     # VALID conv over the concatenation == causal conv on the stream
     conv_out = _dw_and_out({"dw_w": p["conv"]["dw_w"],
                             "dw_b": p["conv"]["dw_b"],
