@@ -33,7 +33,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_config(cfg, B, T, U, ns=(3, 13), repeats=2, profile_dir=None):
+def measure_config(cfg, B, T, U, ns=(3, 13), repeats=3, profile_dir=None):
     """Slope-timed ms/step for one config; returns (dt_seconds, mfu)."""
     import jax
     import jax.numpy as jnp

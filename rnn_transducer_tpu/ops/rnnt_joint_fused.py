@@ -45,15 +45,20 @@ TILE_T = 8       # backward tile
 TILE_T_FWD = 16  # forward tile (separate: fwd VMEM footprint is smaller)
 LANE = 128
 
-# Round-4 backward variant (see docs/PERFORMANCE.md round-4 log):
-# "t16v2" = 16-frame time tile with the (tile, U1p, Vp) epilogue split
-# into 2 vocab chunks — halves the sequential grid (fewer W re-streams
-# for the logits/dz matmuls) and gives Mosaic two partially-independent
-# VPU/MXU chains per tile to overlap. "t8v2" = chunking alone at the
-# original tile. Default from env RNNT_FUSED_BWD (unset = classic v1).
+# Backward-kernel variant (see docs/PERFORMANCE.md round-4 log):
+# "t8v2" (DEFAULT since round 4) splits the (TILE_T, U1p, Vp) backward
+# epilogue into 2 static vocab chunks — chunk c+1's VPU epilogue (exp +
+# dlogits assembly) is data-independent of chunk c's dz/dW matmuls, so
+# Mosaic gets two partially-independent VPU/MXU chains to overlap where
+# the monolithic tile serializes them by data dependence. Measured on
+# the libri100 headline: 51.9% MFU vs v1's 47-50%. "t16v2" additionally
+# grows the time tile to 16 (halving the sequential grid) but measures
+# WORSE (44.1% — the fatter tile loses more to the VMEM-resident tail).
+# "v1" = the classic monolithic tile. Vocabs whose Vp/2 is not
+# lane-aligned fall back to v1 automatically (joint_lp_bwd).
 import os as _os
 
-_BWD_VARIANT = _os.environ.get("RNNT_FUSED_BWD", "v1")
+_BWD_VARIANT = _os.environ.get("RNNT_FUSED_BWD", "t8v2")
 
 
 def _interpret() -> bool:
