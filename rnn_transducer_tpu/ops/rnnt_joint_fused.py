@@ -45,20 +45,23 @@ TILE_T = 8       # backward tile
 TILE_T_FWD = 16  # forward tile (separate: fwd VMEM footprint is smaller)
 LANE = 128
 
-# Backward-kernel variant (see docs/PERFORMANCE.md round-4 log):
-# "t8v2" (DEFAULT since round 4) splits the (TILE_T, U1p, Vp) backward
-# epilogue into 2 static vocab chunks — chunk c+1's VPU epilogue (exp +
-# dlogits assembly) is data-independent of chunk c's dz/dW matmuls, so
-# Mosaic gets two partially-independent VPU/MXU chains to overlap where
-# the monolithic tile serializes them by data dependence. Measured on
-# the libri100 headline: 51.9% MFU vs v1's 47-50%. "t16v2" additionally
-# grows the time tile to 16 (halving the sequential grid) but measures
-# WORSE (44.1% — the fatter tile loses more to the VMEM-resident tail).
-# "v1" = the classic monolithic tile. Vocabs whose Vp/2 is not
-# lane-aligned fall back to v1 automatically (joint_lp_bwd).
+# Backward-kernel variant (see docs/PERFORMANCE.md round-4 failed
+# experiment): "t8v2" splits the (TILE_T, U1p, Vp) backward epilogue
+# into 2 static vocab chunks — the idea was that chunk c+1's VPU
+# epilogue (exp + dlogits assembly) is data-independent of chunk c's
+# dz/dW matmuls, giving Mosaic two partially-independent VPU/MXU chains
+# to overlap. A single same-session measurement read 51.9% MFU, but two
+# order-controlled A/B reps on an idle chip show t8v2 is consistently
+# SLOWER on the libri100 headline: 13.7-14.0 ms (44.6-45.4% MFU) vs
+# v1's 13.2-13.3 ms (47.0-47.2%) — the per-chunk W re-stream costs more
+# than the overlap buys. "t16v2" (16-frame time tile, halved grid) also
+# measures worse (44.1%). Default is the classic monolithic "v1" tile;
+# the chunked variants stay env-selectable for future shapes. Vocabs
+# whose Vp/2 is not lane-aligned fall back to v1 automatically
+# (joint_lp_bwd) — a 64-wide lane slice does not lower on hardware.
 import os as _os
 
-_BWD_VARIANT = _os.environ.get("RNNT_FUSED_BWD", "t8v2")
+_BWD_VARIANT = _os.environ.get("RNNT_FUSED_BWD", "v1")
 
 
 def _interpret() -> bool:
@@ -304,8 +307,13 @@ def joint_lp_bwd(f, g, labels_pad, w, b, gb, gy, base, gbar, blank, cdtype):
     U1p = g.shape[1]
     Vp = w.shape[1]
     variant = _BWD_VARIANT
-    if variant == "t16v2" and not (Vp % 2 == 0 and (Vp // 2) % LANE == 0):
-        variant = "v1"  # vocab too small to chunk
+    if variant in ("t8v2", "t16v2") and not (
+            Vp % 2 == 0 and (Vp // 2) % LANE == 0):
+        # Vocab too small to chunk: each chunk's lane slice of w/b (and
+        # the per-chunk dlogits matmul operands) must be 128-lane-aligned
+        # or Mosaic rejects the lowering on hardware. Vp <= 128 also gains
+        # nothing from chunking. Fall back to the monolithic tile.
+        variant = "v1"
     tile_t = 16 if variant == "t16v2" else TILE_T
     nvc = {"t16v2": 2, "t8v2": 2}.get(variant)
     kern = (functools.partial(_bwd_kernel_vc, blank, cdtype, tile_t, nvc)

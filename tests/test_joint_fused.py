@@ -171,3 +171,43 @@ def test_bwd_variant_grads_match_v1():
     finally:
         jf._BWD_VARIANT = old
         jax.clear_caches()
+
+
+def test_bwd_chunked_variant_small_vocab_falls_back_to_v1():
+    """With a vocab whose padded width can't be split into lane-aligned
+    chunks (Vp=128 -> chunk 64), the chunked variants MUST dispatch the
+    monolithic v1 kernel: a 64-wide lane slice of w/b is rejected by
+    Mosaic on hardware (interpret mode would mask the bug). Pins the
+    round-4 fallback for t8v2 — the default variant — not just t16v2."""
+    import rnn_transducer_tpu.ops.rnnt_joint_fused as jf
+
+    f, g, w, b, labels, fl, ll = _setup(B=2, T=11, U=3, J=32, V=32, seed=7)
+
+    def fused(f, g, w, b):
+        return jnp.sum(rnnt_loss_fused(f, g, w, b, labels, fl, ll,
+                                       compute_dtype=jnp.float32))
+
+    grad = jax.grad(fused, argnums=(0, 1, 2, 3))
+    old_variant = jf._BWD_VARIANT
+    old_kern = jf._bwd_kernel_vc
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "chunked backward kernel dispatched for Vp=128 (must fall "
+            "back to v1: 64-wide lane slices don't lower on hardware)")
+
+    try:
+        jf._BWD_VARIANT = "v1"
+        want = grad(f, g, w, b)
+        jf._bwd_kernel_vc = _boom
+        for variant in ("t8v2", "t16v2"):
+            jf._BWD_VARIANT = variant
+            got = jax.clear_caches() or grad(f, g, w, b)
+            for name, a, e in zip("fgwb", got, want):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-5,
+                    err_msg=f"{variant} small-vocab grad d{name}")
+    finally:
+        jf._BWD_VARIANT = old_variant
+        jf._bwd_kernel_vc = old_kern
+        jax.clear_caches()

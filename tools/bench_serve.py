@@ -77,6 +77,8 @@ def bench_streaming(args, params, cfg):
         "mean_tick_batch": round(s["mean_batch"], 2),
         "p50_chunk_latency_ms": round(lat[len(lat) // 2] * 1e3, 2),
         "p90_chunk_latency_ms": round(lat[int(len(lat) * 0.9)] * 1e3, 2),
+        "p99_chunk_latency_ms": round(
+            lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3, 2),
     }))
 
 
@@ -162,6 +164,8 @@ def main(argv=None):
         "mean_batch": round(s["mean_batch"], 2),
         "p50_latency_ms": round(lat[len(lat) // 2] * 1e3, 2),
         "p90_latency_ms": round(lat[int(len(lat) * 0.9)] * 1e3, 2),
+        "p99_latency_ms": round(
+            lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3, 2),
         "concurrency": args.concurrency,
         "requests": args.requests,
     }))
