@@ -239,7 +239,14 @@ class BatchingEngine:
             lens[i] = f.shape[0]
         t0 = time.perf_counter()
         out = self._decode(self.params, feats, lens)
-        out = tuple(np.asarray(o) for o in out)
+        # One overlapped fetch for ALL output arrays: a per-array
+        # np.asarray() is a synchronous relay round-trip (~35 ms EACH
+        # through axon), and the full payload surface (confidence +
+        # timestamps + n-best) grew the output count to 4-5 arrays —
+        # measured as ~2x serving latency before this fix. device_get
+        # issues every copy_to_host async first, then gathers.
+        import jax
+        out = tuple(jax.device_get(out))
         self.stats.record(len(batch), time.perf_counter() - t0)
         tr = self.cfg.time_reduction
         if self.mode == "greedy":
@@ -644,7 +651,9 @@ class StreamingEngine:
             with self._state_lock:
                 self.state, out = self._gstep(
                     self.params, self.state, chunks, lens, active)
-            out = {k: np.asarray(v) for k, v in out.items()}
+            # overlapped fetch of all tick outputs (see BatchingEngine)
+            import jax
+            out = jax.device_get(out)
         self.stats.record(len(batch), time.perf_counter() - t0)
         for slot, it in batch.items():
             it["result"] = self._slot_result(out, slot)
