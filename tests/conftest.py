@@ -28,14 +28,38 @@ jax.config.update("jax_platforms", "cpu")
 # compile-bound (~100 tests >= 20 s, nearly all of it XLA CPU compiles of
 # the virtual-mesh programs), and the per-module jax.clear_caches() below
 # forces recompiles even within one run. The on-disk cache makes repeat
-# suite runs skip every previously-seen program (keyed on jaxlib version +
-# backend + flags, so it is always safe); a cold run pays the same
+# suite runs skip every previously-seen program; a cold run pays the same
 # compiles as before and warms the cache for the next one. Measured
 # cold/warm times live in CLAUDE.md. Override dir with RNNT_TEST_CACHE.
+#
+# The cache key does NOT include the host's CPU features: XLA:CPU AOT
+# results compiled on an AVX-512/AMX host LOADED on a host without them
+# (the build machine changes between rounds here) abort the process mid-
+# test ("Fatal Python error: Aborted" inside a device_get) or risk wrong
+# numerics — diagnosed round 5 when r4's cache hit a feature-poorer
+# host. Key a per-host subdirectory on the CPU flags so a different
+# machine starts a fresh cache instead of loading foreign code.
+import hashlib
+
+
+def _host_key() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split())).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 _cache_dir = os.environ.get(
     "RNNT_TEST_CACHE",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".cache", "jax"))
+                 ".cache", f"jax-{_host_key()}"))
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
