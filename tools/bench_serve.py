@@ -99,9 +99,17 @@ def main(argv=None):
                         "offline dynamic batching")
     p.add_argument("--chunk-frames", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compilation-cache", default=None, metavar="DIR",
+                   help="persistent JAX compilation cache dir (beam-mode "
+                        "warmup compiles can take >30 min cold through a "
+                        "loaded relay; the cache makes repeats seconds)")
     args = p.parse_args(argv)
 
     import jax
+
+    if args.compilation_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from train import get_model_config
     from rnn_transducer_tpu.models import transducer as m
