@@ -94,6 +94,11 @@ class TransducerConfig:
     # Mixture-of-Experts joint (ops/moe.py): > 0 inserts a residual top-1
     # routed expert FFN on the joint activation. The expert axis is the
     # framework's expert-parallelism dimension (parallel "ep" mode).
+    # EXPERIMENTAL — capacity research axis, not a production path: the
+    # fused joint+loss kernel does not support routed experts, so MoE
+    # training materializes the full lattice logits in HBM and measures
+    # ~10x the dense joint's step time at libri100 shapes (141 vs ~13.5
+    # ms/step, docs/PERFORMANCE.md). Use for EP-scaling studies only.
     joint_experts: int = 0
     joint_expert_hidden: int = 0  # 0 -> 2 * joint_dim
     moe_capacity_factor: float = 1.25

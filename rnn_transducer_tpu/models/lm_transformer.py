@@ -42,10 +42,22 @@ class TransformerLMConfig:
     # sized correctly).
     max_len: int = 512
     compute_dtype: str = "bfloat16"
+    # Storage dtype of the step-decode KV caches. In beam fusion the
+    # caches ride the beam carry and are re-gathered by source beam on
+    # every expansion round — the dominant HBM cost of transformer-LM
+    # fusion (docs/PERFORMANCE.md: ~90x plain beam). "bfloat16" halves
+    # that traffic (cache reindex + rewrite + attention reads); scores
+    # still accumulate in f32 after the upcast, so only the storage
+    # rounding differs. Default stays exact f32.
+    cache_dtype: str = "float32"
 
     @property
     def cdtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def cache_dt(self):
+        return jnp.dtype(self.cache_dtype)
 
     @property
     def head_dim(self) -> int:
@@ -125,10 +137,11 @@ def transformer_lm_forward(params: Params, cfg: TransformerLMConfig,
 def init_transformer_lm_state(cfg: TransformerLMConfig, batch: int):
     """Step-decode carry: per-layer KV caches + per-example position."""
     H, Dh = cfg.heads, cfg.head_dim
+    cdt = cfg.cache_dt
     return {
         "pos": jnp.zeros((batch,), jnp.int32),
-        "kv": [{"k": jnp.zeros((batch, cfg.max_len, H, Dh), jnp.float32),
-                "v": jnp.zeros((batch, cfg.max_len, H, Dh), jnp.float32)}
+        "kv": [{"k": jnp.zeros((batch, cfg.max_len, H, Dh), cdt),
+                "v": jnp.zeros((batch, cfg.max_len, H, Dh), cdt)}
                for _ in range(cfg.layers)],
     }
 
@@ -151,8 +164,11 @@ def transformer_lm_step(params: Params, cfg: TransformerLMConfig, token,
         h = _ln(blk["ln1"], x)
         qkv = _linear(blk["qkv"], h, cd).reshape(B, 3, H, Dh)
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
-        kc = jnp.where(write[:, :, None, None], k[:, None], cache["k"])
-        vc = jnp.where(write[:, :, None, None], v[:, None], cache["v"])
+        cdt = cache["k"].dtype
+        kc = jnp.where(write[:, :, None, None], k[:, None].astype(cdt),
+                       cache["k"])
+        vc = jnp.where(write[:, :, None, None], v[:, None].astype(cdt),
+                       cache["v"])
         new_kv.append({"k": kc, "v": vc})
         scores = jnp.einsum("bhd,bkhd->bhk", q, kc) / math.sqrt(Dh)
         scores = jnp.where(attend[:, None], scores, -1e30)

@@ -80,9 +80,23 @@ def init_conformer_block(key, d: int, heads: int, ff_mult: int,
 
 
 def _ln(p, x):
+    from rnn_transducer_tpu.ops.fused_ln import (fused_layer_norm,
+                                                 fused_ln_enabled)
+    if fused_ln_enabled(x.shape[-1]):
+        return fused_layer_norm(x, p["g"], p["b"])
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + 1e-6) * p["g"] + p["b"]
+
+
+def _ln_silu(p, x):
+    """silu(LayerNorm(x)) — fused into one Pallas pass on TPU (the conv
+    module's LN -> swish pair; same numerics as the two-op form)."""
+    from rnn_transducer_tpu.ops.fused_ln import (fused_layer_norm,
+                                                 fused_ln_enabled)
+    if fused_ln_enabled(x.shape[-1]):
+        return fused_layer_norm(x, p["g"], p["b"], "silu")
+    return jax.nn.silu(_ln(p, x))
 
 
 def _dense(p, x, cd, out_dtype=None):
@@ -186,7 +200,7 @@ def _dw_and_out(p, h, cd, causal: bool, valid_from: int = 0):
         hp[:, k:k + T, :] * kern[k][None, None, :] for k in range(K))
     if valid_from:
         h = h[:, valid_from:]
-    h = jax.nn.silu(_ln(p["ln"], h))
+    h = _ln_silu(p["ln"], h)
     return _dense(p["pw2"], h, cd)
 
 

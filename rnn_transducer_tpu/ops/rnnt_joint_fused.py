@@ -236,6 +236,78 @@ def _bwd_kernel_vc(blank, cdtype, tile_t, nvc, f_ref, g_ref, lab_ref,
     dg_ref[0] += jnp.sum(dz, axis=0)
 
 
+def _bwd_kernel_pipe(blank, cdtype, nT, f_ref, g_ref, lab_ref, w_ref,
+                     b_ref, gb_ref, gy_ref, base_ref, gbar_ref,
+                     df_ref, dg_ref, dw_ref, db_ref, z_s, dl_s):
+    """Software-pipelined backward (round-5, the lever named in
+    docs/PERFORMANCE.md's round-4 floor analysis).
+
+    The monolithic tile serializes VPU and MXU by data dependence:
+    tanh -> logits matmul -> exp/dlogits assembly (VPU) -> dz/dW matmuls.
+    Here the grid runs one step longer (nT+1) and each step t executes
+    two data-INDEPENDENT stages Mosaic's scheduler can interleave:
+
+      stage A (t < nT): tile t's logits matmul + VPU epilogue; the f32
+        z and bf16 dlogits land in double-buffered VMEM scratch.
+      stage B (t > 0): tile t-1's dz and dW matmuls straight from
+        scratch — no VPU dependence inside this step.
+
+    Stage A's big VPU chain (exp + dlogits assembly, the ~3 ms the
+    roofline charges as serialized) overlaps stage B's MXU work. Every
+    per-tile partial is accumulated in the same t order as v1, so
+    df/dg/dw/db are bitwise identical. Costs 2 extra scratch buffers
+    (~3 MB at libri100 shapes) and one drain step per batch row.
+    """
+    t_idx = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    U1p, J = g_ref.shape[1], g_ref.shape[2]
+    Vp = w_ref.shape[1]
+    tile_t = f_ref.shape[1]
+
+    @pl.when(jnp.logical_and(b_idx == 0, t_idx == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref[:])
+        db_ref[:] = jnp.zeros_like(db_ref[:])
+
+    @pl.when(t_idx == 0)
+    def _():
+        dg_ref[0] = jnp.zeros_like(dg_ref[0])
+
+    @pl.when(t_idx < nT)
+    def _stage_a():
+        p = jax.lax.rem(t_idx, 2)
+        z, logits = _joint_tile(f_ref, g_ref, w_ref, b_ref, cdtype)
+        probs = jnp.exp(logits - base_ref[0][:, :, None])
+        lab = lab_ref[0, 0, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+        s = gbar_ref[0, 0, 0]
+        occ_s = ((gb_ref[0] + gy_ref[0]) * s)[:, :, None]
+        gb_s = (gb_ref[0] * s)[:, :, None]
+        gy_s = (gy_ref[0] * s)[:, :, None]
+        dlogits = probs * occ_s
+        dlogits = dlogits - jnp.where(col == blank, gb_s, 0.0)
+        dlogits = dlogits - jnp.where(col == lab[None, :, None], gy_s, 0.0)
+        db_ref[0] += jnp.sum(dlogits, axis=(0, 1), dtype=jnp.float32)
+        z_s[p] = z
+        dl_s[p] = dlogits.astype(cdtype)
+
+    @pl.when(t_idx > 0)
+    def _stage_b():
+        q = jax.lax.rem(t_idx + 1, 2)  # (t-1) % 2
+        z = z_s[q]
+        dl2 = dl_s[q].reshape(tile_t * U1p, Vp)
+        dz2 = jax.lax.dot_general(
+            dl2, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dz = dz2.reshape(tile_t, U1p, J) * (1.0 - z * z)
+        df_ref[0] = jnp.sum(dz, axis=1)
+        dg_ref[0] += jnp.sum(dz, axis=0)
+        z2 = z.astype(cdtype).reshape(tile_t * U1p, J)
+        dw_ref[:] += jax.lax.dot_general(
+            z2, dl2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
 def _bwd_kernel(blank, cdtype, f_ref, g_ref, lab_ref, w_ref, b_ref,
                 gb_ref, gy_ref, base_ref, gbar_ref,
                 df_ref, dg_ref, dw_ref, db_ref):
@@ -327,6 +399,9 @@ def joint_lp_bwd(f, g, labels_pad, w, b, gb, gy, base, gbar, blank, cdtype):
         gy = _pad_axis(gy, 1, tile_t)
         base = _pad_axis(base, 1, tile_t, value=1.0e9)
     Tp = f.shape[1]
+    if variant == "pipe":
+        return _joint_lp_bwd_pipe(f, g, labels_pad, w, b, gb, gy, base,
+                                  gbar, blank, cdtype, nT, T)
     occ_spec = pl.BlockSpec((1, tile_t, U1p), lambda b_, t: (b_, t, 0),
                             memory_space=pltpu.VMEM)
     df, dg, dw, db = pl.pallas_call(
@@ -363,6 +438,67 @@ def joint_lp_bwd(f, g, labels_pad, w, b, gb, gy, base, gbar, blank, cdtype):
             jax.ShapeDtypeStruct((J, Vp), jnp.float32),
             jax.ShapeDtypeStruct((1, Vp), jnp.float32),
         ),
+        interpret=_interpret(),
+    )(f, g, labels_pad, w, b, gb, gy, base,
+      gbar.astype(jnp.float32).reshape(B, 1, 1))
+    return df[:, :T], dg, dw, db
+
+
+def _joint_lp_bwd_pipe(f, g, labels_pad, w, b, gb, gy, base, gbar, blank,
+                       cdtype, nT, T):
+    """pallas_call plumbing for the software-pipelined backward.
+
+    Grid is (B, nT+1): step nT only drains the pipeline (stage B for the
+    last tile). Stage-A input blocks clamp to tile nT-1 on the drain
+    step; the df output block lags one step behind the grid index.
+    """
+    B = f.shape[0]
+    J = f.shape[2]
+    U1p = g.shape[1]
+    Vp = w.shape[1]
+    tile_t = TILE_T
+    Tp = f.shape[1]
+    a_idx = lambda b_, t: (b_, jnp.minimum(t, nT - 1), 0)
+    occ_spec = pl.BlockSpec((1, tile_t, U1p), a_idx,
+                            memory_space=pltpu.VMEM)
+    df, dg, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel_pipe, blank, cdtype, nT),
+        grid=(B, nT + 1),
+        in_specs=[
+            pl.BlockSpec((1, tile_t, J), a_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U1p, J), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, U1p), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            occ_spec, occ_spec, occ_spec,
+            pl.BlockSpec((1, 1, 1), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_t, J),
+                         lambda b_, t: (b_, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U1p, J), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), lambda b_, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tp, J), jnp.float32),
+            jax.ShapeDtypeStruct((B, U1p, J), jnp.float32),
+            jax.ShapeDtypeStruct((J, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Vp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_t, U1p, J), jnp.float32),
+            pltpu.VMEM((2, tile_t, U1p, Vp), cdtype),
+        ],
         interpret=_interpret(),
     )(f, g, labels_pad, w, b, gb, gy, base,
       gbar.astype(jnp.float32).reshape(B, 1, 1))

@@ -243,10 +243,17 @@ class BatchingEngine:
         # np.asarray() is a synchronous relay round-trip (~35 ms EACH
         # through axon), and the full payload surface (confidence +
         # timestamps + n-best) grew the output count to 4-5 arrays —
-        # measured as ~2x serving latency before this fix. device_get
-        # issues every copy_to_host async first, then gathers.
+        # measured as ~2x serving latency before this fix (A/B numbers in
+        # docs/SERVING.md; RNNT_SERVE_SYNC_FETCH=1 restores the old path
+        # for measurement). device_get issues every copy_to_host async
+        # first, then gathers.
+        import os
+
         import jax
-        out = tuple(jax.device_get(out))
+        if os.environ.get("RNNT_SERVE_SYNC_FETCH"):
+            out = tuple(np.asarray(a) for a in out)
+        else:
+            out = tuple(jax.device_get(out))
         self.stats.record(len(batch), time.perf_counter() - t0)
         tr = self.cfg.time_reduction
         if self.mode == "greedy":

@@ -79,8 +79,17 @@ def make_lr_schedule(tcfg: TrainConfig) -> optax.Schedule:
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    # grad_accum == 1: the clip slot is an identity — the train step's
+    # failure guard already computes the global grad norm, so apply()
+    # clips with THAT norm (same math as optax.clip_by_global_norm)
+    # instead of paying a second full read of the gradients every step.
+    # optax.identity() has the same EmptyState as clip_by_global_norm, so
+    # the opt_state pytree (and every existing checkpoint) is unchanged.
+    # grad_accum > 1 keeps the real clip inside MultiSteps: there it must
+    # apply to the ACCUMULATED gradient, which apply() never sees.
     tx = optax.chain(
-        optax.clip_by_global_norm(tcfg.grad_clip_norm),
+        optax.identity() if tcfg.grad_accum == 1
+        else optax.clip_by_global_norm(tcfg.grad_clip_norm),
         optax.adamw(make_lr_schedule(tcfg), weight_decay=tcfg.weight_decay),
     )
     if tcfg.grad_accum > 1:
@@ -509,6 +518,14 @@ def make_train_step(cfg: TransducerConfig, tcfg: TrainConfig, mesh=None,
 
         def do_update(operand):
             st, grads = operand
+            if tcfg.grad_accum == 1:
+                # clip with the guard's gnorm (exactly optax
+                # clip_by_global_norm's arithmetic — see make_optimizer)
+                c = tcfg.grad_clip_norm
+                trigger = gnorm < c
+                grads = jax.tree.map(
+                    lambda t: jax.lax.select(
+                        trigger, t, (t / gnorm.astype(t.dtype)) * c), grads)
             updates, opt_state = tx.update(grads, st.opt_state, st.params)
             params = optax.apply_updates(st.params, updates)
             ema = st.ema

@@ -161,7 +161,7 @@ def test_bwd_variant_grads_match_v1():
     try:
         jf._BWD_VARIANT = "v1"
         want = grad(f, g, w, b)
-        for variant in ("t8v2", "t16v2"):
+        for variant in ("t8v2", "t16v2", "pipe"):
             jf._BWD_VARIANT = variant
             got = jax.clear_caches() or grad(f, g, w, b)
             for name, a, e in zip("fgwb", got, want):
@@ -171,6 +171,36 @@ def test_bwd_variant_grads_match_v1():
     finally:
         jf._BWD_VARIANT = old
         jax.clear_caches()
+
+
+def test_bwd_pipe_variant_small_vocab_and_single_tile():
+    """The software-pipelined backward (RNNT_FUSED_BWD=pipe, round 5) has
+    no vocab-chunk constraint and must be exact at Vp=128 and at T <=
+    TILE_T (nT=1: the pipeline is pure fill-then-drain)."""
+    import rnn_transducer_tpu.ops.rnnt_joint_fused as jf
+
+    for T in (5, 11):
+        f, g, w, b, labels, fl, ll = _setup(B=2, T=T, U=3, J=32, V=32,
+                                            seed=11 + T)
+
+        def fused(f, g, w, b):
+            return jnp.sum(rnnt_loss_fused(f, g, w, b, labels, fl, ll,
+                                           compute_dtype=jnp.float32))
+
+        grad = jax.grad(fused, argnums=(0, 1, 2, 3))
+        old = jf._BWD_VARIANT
+        try:
+            jf._BWD_VARIANT = "v1"
+            want = grad(f, g, w, b)
+            jf._BWD_VARIANT = "pipe"
+            got = jax.clear_caches() or grad(f, g, w, b)
+            for name, a, e in zip("fgwb", got, want):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-5,
+                    err_msg=f"pipe T={T} grad d{name}")
+        finally:
+            jf._BWD_VARIANT = old
+            jax.clear_caches()
 
 
 def test_bwd_chunked_variant_small_vocab_falls_back_to_v1():

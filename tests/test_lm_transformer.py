@@ -40,6 +40,26 @@ def test_step_matches_forward():
         tok = labels[:, u]
 
 
+def test_bf16_cache_step_close_to_forward():
+    """cache_dtype="bfloat16" (the fusion-cost mitigation: halves the
+    per-round KV gather/rewrite HBM traffic in beam fusion) stays within
+    bf16 storage rounding of the full-precision pass."""
+    cfg = _cfg(cache_dtype="bfloat16")
+    params = init_lm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, U = 3, 7
+    labels = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, U)), jnp.int32)
+    want = jax.nn.log_softmax(lm_forward(params, cfg, labels), axis=-1)
+    state = init_lm_state(cfg, B)
+    assert state["kv"][0]["k"].dtype == jnp.bfloat16
+    tok = jnp.full((B,), BOS_ID, jnp.int32)
+    for u in range(U):
+        lp, state = lm_step(params, cfg, tok, state)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(want[:, u]),
+                                   rtol=0.05, atol=0.05)
+        tok = labels[:, u]
+
+
 def test_causality():
     """Changing token u must not change next-token predictions at
     positions <= u."""

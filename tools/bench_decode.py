@@ -154,6 +154,73 @@ def measure_encode(cfg=None, params=None, B: int = 8, T: int = 500):
             "rtf": dev_s / (B * T * frame_s)}
 
 
+def measure_streaming_chunk(cfg=None, params=None, B: int = 8,
+                            chunk_frames: int = 32,
+                            max_symbols: int = 256):
+    """Slope-timed FULL streaming chunk step: encode_chunk + greedy
+    decode + cache/state carry — the per-chunk cost a streaming user
+    pays (VERDICT r4 item 3). States are CHAINED chunk to chunk inside
+    the jitted loop (real cache carry, not a re-initialized step); the
+    loop returns a scalar so nothing large crosses the relay. The probe
+    params get a +10 blank bias so the untrained model behaves like the
+    blank-dominant streams it would serve (otherwise random params emit
+    until the token buffer saturates, which is not a representative
+    decode-loop shape).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_transducer_tpu.decode.streaming import init_stream, stream_chunk
+    from rnn_transducer_tpu.models import transducer as m
+    from rnn_transducer_tpu.models.config import config_greedy_smoke
+
+    if cfg is None:
+        cfg = config_greedy_smoke()
+    if params is None:
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+    if not cfg.streamable:
+        raise ValueError("config is not streamable")
+    params = jax.tree.map(lambda x: x, params)  # shallow copy for the bias
+    params["joint"] = dict(params["joint"])
+    params["joint"]["out"] = dict(params["joint"]["out"])
+    params["joint"]["out"]["b"] = params["joint"]["out"]["b"].at[
+        cfg.blank].add(10.0)
+    rng = np.random.default_rng(0)
+    frame_s = 0.01
+    feats = jnp.asarray(rng.normal(size=(B, chunk_frames, cfg.input_dim)),
+                        jnp.float32)
+    cl = jnp.full((B,), chunk_frames, jnp.int32)
+
+    def mk(n):
+        def run(fc):
+            st0 = init_stream(params, cfg, B, max_symbols)
+
+            def body(i, carry):
+                st, acc = carry
+                st2, toks, lens = stream_chunk(
+                    params, cfg, st, fc + acc * 1e-20, cl,
+                    max_symbols=max_symbols)
+                return (st2, acc + jnp.sum(lens).astype(jnp.float32)
+                        * 1e-9)
+            return jax.lax.fori_loop(0, n, body, (st0, 0.0))[1]
+        return run
+
+    ts, ns = [], (2, 12)
+    for n in ns:
+        f = jax.jit(mk(n))
+        jax.device_get(f(feats))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(f(feats))
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    dev_s = (ts[1] - ts[0]) / (ns[1] - ns[0])
+    return {"mode": f"stream_chunk_b{B}_c{chunk_frames}",
+            "device_ms": dev_s * 1e3,
+            "rtf": dev_s / (B * chunk_frames * frame_s)}
+
+
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser()
@@ -162,6 +229,10 @@ def main(argv=None):
                         "(ops/quant.py) — rows tagged _int8")
     p.add_argument("--config", default=None,
                    help="named config (default greedy_smoke)")
+    p.add_argument("--streaming-chunk", type=int, default=0, metavar="C",
+                   help="also slope-time the full streaming chunk step "
+                        "(encode_chunk + decode + cache carry) at "
+                        "C-frame chunks (streamable configs only)")
     args = p.parse_args(argv)
     cfg = params = None
     if args.config:
@@ -178,6 +249,9 @@ def main(argv=None):
     for r in measure_decode(cfg, params):
         emit(r)
     emit(measure_encode(cfg, params))
+    if args.streaming_chunk:
+        emit(measure_streaming_chunk(cfg, params,
+                                     chunk_frames=args.streaming_chunk))
     if args.quantize == "int8":
         import jax
 

@@ -31,21 +31,23 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Toy-corpus scale. Overridable from the CLI because the saddle depth
-# (see train_one) grows with U, V and blank-dominance: at the original
-# V=32/U=12/T_TOK=8 the STANDARD variant sits in the label-identity
-# saddle for >= 40k steps on-chip (recorded in docs/PERFORMANCE.md),
-# while at --t-tok 4 --labels 6 --vocab 16 every variant converges to
-# exact-match ~1.0 within ~2k steps (CPU-verified) — use that scale for
-# the equal-accuracy decode comparison, the default scale for the
-# larger blank-dominance effect size.
-T_TOK = 8        # frames per label token in the toy corpus
-U = 12           # labels per utterance
-V = 32           # vocab (incl. blank)
-T = T_TOK * U    # 96 frames
+# Toy-corpus scale. The saddle depth (see train_one) grows with U, V
+# and blank-dominance: at the round-3/4 scale (V=32/U=12/T_TOK=8) the
+# STANDARD variant sits in the label-identity saddle for >= 40k steps
+# on-chip (recorded in docs/PERFORMANCE.md), which made it a dead
+# control for the "equal accuracy" comparison. The round-5 DEFAULT is
+# recalibrated per VERDICT r4 item 6 to a shallower saddle (V=16, U=8,
+# T_TOK=6 — still 6x blank dominance) where every variant including
+# standard escapes within a few thousand steps; the old scale stays
+# reachable via --t-tok 8 --labels 12 --vocab 32 for the larger
+# blank-dominance effect size.
+T_TOK = 6        # frames per label token in the toy corpus
+U = 8            # labels per utterance
+V = 16           # vocab (incl. blank)
+T = T_TOK * U    # 48 frames
 B_TRAIN = 16
 B_DEC = 8
-N_REP = 5        # decode input repeats T -> T*N_REP frames (480) so the
+N_REP = 10       # decode input repeats T -> T*N_REP frames (480) so the
                  # decode loop dominates and frame-skipping is visible
 
 
@@ -160,7 +162,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=40000,
                    help="step CAP; training early-stops at --target-acc")
     p.add_argument("--target-acc", type=float, default=0.9)
-    p.add_argument("--eval-every", type=int, default=2000)
+    p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--only", default=None,
@@ -170,7 +172,14 @@ def main(argv=None):
     p.add_argument("--labels", type=int, default=None)
     p.add_argument("--vocab", type=int, default=None)
     p.add_argument("--t-rep", type=int, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (saddle-calibration "
+                        "probes without occupying the chip)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     global T_TOK, U, V, T, N_REP
     T_TOK = args.t_tok or T_TOK
