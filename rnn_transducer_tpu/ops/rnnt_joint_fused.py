@@ -45,23 +45,25 @@ TILE_T = 8       # backward tile
 TILE_T_FWD = 16  # forward tile (separate: fwd VMEM footprint is smaller)
 LANE = 128
 
-# Backward-kernel variant (see docs/PERFORMANCE.md round-4 failed
-# experiment): "t8v2" splits the (TILE_T, U1p, Vp) backward epilogue
-# into 2 static vocab chunks — the idea was that chunk c+1's VPU
-# epilogue (exp + dlogits assembly) is data-independent of chunk c's
-# dz/dW matmuls, giving Mosaic two partially-independent VPU/MXU chains
-# to overlap. A single same-session measurement read 51.9% MFU, but two
-# order-controlled A/B reps on an idle chip show t8v2 is consistently
-# SLOWER on the libri100 headline: 13.7-14.0 ms (44.6-45.4% MFU) vs
-# v1's 13.2-13.3 ms (47.0-47.2%) — the per-chunk W re-stream costs more
-# than the overlap buys. "t16v2" (16-frame time tile, halved grid) also
-# measures worse (44.1%). Default is the classic monolithic "v1" tile;
-# the chunked variants stay env-selectable for future shapes. Vocabs
+# Backward-kernel variant. Round-5 default is "pipe": the grid runs one
+# step longer and each step overlaps tile t's VPU epilogue with tile
+# t-1's dz/dW matmuls through double-buffered VMEM scratch
+# (_bwd_kernel_pipe). Order-controlled A/B on the libri100 headline
+# (fresh process per variant, both orders, idle chip — the CLAUDE.md
+# protocol): pipe 13.2/13.3 ms (47.1/46.8% MFU) vs v1 13.4/13.5 ms
+# (46.4/46.3%) — a consistent ~0.2 ms win with BITWISE-identical
+# grads on chip (same per-tile partials accumulated in the same
+# order). The modest size of the win is itself informative: the
+# serialized-VPU term the round-2 roofline priced at ~3 ms is mostly
+# gone since the saved-normalizer change, so the backward now sits
+# near its MXU floor (docs/PERFORMANCE.md round-5 log).
+# Round-4's "t8v2"/"t16v2" vocab-chunked variants measured SLOWER
+# (44-45%: per-chunk W re-streams) and remain env-selectable; vocabs
 # whose Vp/2 is not lane-aligned fall back to v1 automatically
 # (joint_lp_bwd) — a 64-wide lane slice does not lower on hardware.
 import os as _os
 
-_BWD_VARIANT = _os.environ.get("RNNT_FUSED_BWD", "v1")
+_BWD_VARIANT = _os.environ.get("RNNT_FUSED_BWD", "pipe")
 
 
 def _interpret() -> bool:
@@ -379,6 +381,17 @@ def joint_lp_bwd(f, g, labels_pad, w, b, gb, gy, base, gbar, blank, cdtype):
     U1p = g.shape[1]
     Vp = w.shape[1]
     variant = _BWD_VARIANT
+    if variant == "pipe":
+        # the pipeline's double-buffered z/dlogits scratch rides on top
+        # of the v1 working set; the libri100 total (15.0 MB by this
+        # estimate) is measured to fit scoped VMEM, so 15.5 MB is the
+        # calibrated ceiling — bigger (U1p, J, Vp) products fall back
+        # to the monolithic tile rather than OOM.
+        v1_est = (2 * J * Vp * 4 + 4 * TILE_T * U1p * Vp * 4
+                  + 2 * TILE_T * U1p * J * 4)
+        scratch = 2 * TILE_T * U1p * (J * 4 + Vp * 2)
+        if v1_est + scratch > 15.5 * 1024 * 1024:
+            variant = "v1"
     if variant in ("t8v2", "t16v2") and not (
             Vp % 2 == 0 and (Vp // 2) % LANE == 0):
         # Vocab too small to chunk: each chunk's lane slice of w/b (and
