@@ -12,10 +12,11 @@ across the sequential grid. An optional fused silu epilogue serves the
 conv module's LN -> swish pair without materializing the pre-activation.
 
 OPT-IN via `RNNT_FUSED_LN=1` (see `fused_ln_enabled`): the round-5
-order-controlled A/B measured the kernel SLOWER end-to-end (conformer
-step 50.9 ms vs 33.0 ms) — the per-LN pallas_call boundary costs XLA
-the producer/consumer fusions it otherwise builds around each LN, which
-outweighs the kernel's saved HBM passes at these shapes. Kept as a
+order-controlled A/B measured the kernel slightly SLOWER end-to-end
+(conformer step 34.1 ms vs 33.1 ms, controlled reps) — the per-LN
+pallas_call boundary costs XLA the producer/consumer fusions it
+otherwise builds around each LN, which outweighs the kernel's saved
+HBM passes at these shapes. Kept as a
 tested, numerically-exact alternative (the same trade could flip for
 much larger d_model or longer chains). CPU tests exercise the kernels
 in interpret mode via the dedicated parity tests.
@@ -42,11 +43,11 @@ def _interpret() -> bool:
 def fused_ln_enabled(d: int) -> bool:
     """OPT-IN (RNNT_FUSED_LN=1) after the round-5 A/B: the kernel is
     numerically exact on chip (bitwise forward vs the XLA form) but the
-    conformer step measured 50.9 ms with it vs 33.0 ms without — the
-    pallas_call boundaries around every LN stop XLA from fusing the LN
-    chain into its elementwise/matmul neighbors, and that lost fusion
-    costs far more than the kernel's saved passes. Recorded in
-    docs/PERFORMANCE.md (round-5 failed experiment)."""
+    conformer step measured 34.1 ms with it vs 33.1 ms without
+    (controlled reps) — the pallas_call boundaries around every LN stop
+    XLA from fusing the LN chain into its elementwise/matmul neighbors,
+    and that lost fusion slightly outweighs the kernel's saved passes.
+    Recorded in docs/PERFORMANCE.md (round-5 failed experiment)."""
     if os.environ.get("RNNT_FUSED_LN", "0") != "1":
         return False
     return jax.default_backend() == "tpu" and d % 128 == 0
