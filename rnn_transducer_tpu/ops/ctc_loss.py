@@ -75,7 +75,7 @@ def ctc_loss(log_probs, labels, frame_lens, label_lens, blank=0):
 
     (alpha, _), _ = jax.lax.scan(
         masked_step, (alpha0, jnp.int32(1)),
-        jnp.moveaxis(lp_z[:, 1:, :], 1, 0), unroll=8)
+        jnp.moveaxis(lp_z[:, 1:, :], 1, 0), unroll=4)
 
     b_idx = jnp.arange(B)
     last = alpha[b_idx, s_len - 1]
@@ -135,7 +135,7 @@ def _alpha_scan(lp_z, can_skip, frame_lens, s_len):
     (alpha_T,), alphas_rest = jax.lax.scan(
         masked_step, (alpha0,),
         (jnp.moveaxis(lp_z[:, 1:, :], 1, 0),
-         jnp.arange(1, T, dtype=jnp.int32)), unroll=8)
+         jnp.arange(1, T, dtype=jnp.int32)), unroll=4)
     alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
 
     b_idx = jnp.arange(B)
@@ -230,7 +230,7 @@ def _ctc_bwd(blank, res, g):
     (_,), occ_rest = jax.lax.scan(
         bstep, (beta_T,),
         (jnp.moveaxis(lp_z[:, 1:, :], 1, 0)[::-1],
-         alphas[:-1][::-1], ts), unroll=8)
+         alphas[:-1][::-1], ts), unroll=4)
     occ = jnp.concatenate([occ_rest[::-1], occ_T[None]], axis=0)  # (T,B,S)
     occ = jnp.moveaxis(occ, 0, 1)                                 # (B,T,S)
     # the rare all-dead lattice (e.g. infeasible label len) has loss ~1e30;
